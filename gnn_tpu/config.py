@@ -1,0 +1,53 @@
+"""Global configuration: default float dtype and padding buckets.
+
+The reference uses `tf.keras.backend.floatx()` (graph_class.py:42). Here the
+default is float32 (TPU-native accumulate dtype); bfloat16 can be enabled for
+throughput — MXU matmuls then run in bf16 with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FLOATX = np.float32
+
+
+def floatx():
+    """Current default floating dtype (numpy dtype object)."""
+    return _FLOATX
+
+
+def set_floatx(dtype) -> None:
+    """Set default floating dtype. Accepts 'float32' | 'bfloat16' | 'float64' or dtypes."""
+    global _FLOATX
+    import jax.numpy as jnp
+
+    name = np.dtype(dtype).name if not isinstance(dtype, str) else dtype
+    table = {"float32": np.float32, "float64": np.float64, "bfloat16": jnp.bfloat16}
+    if name not in table:
+        raise ValueError(f"unsupported floatx {dtype!r}; use float32/bfloat16/float64")
+    _FLOATX = table[name]
+
+
+# Padding buckets: device arrays are padded up so jit caches a small number of
+# compiled shapes instead of one per ragged graph. Sizes are rounded to the next
+# multiple of PAD_MULTIPLE, then to the next power-of-two bucket beyond
+# PAD_POW2_FROM. 128 matches the TPU lane width.
+PAD_MULTIPLE = 128
+PAD_POW2_FROM = 1024
+
+
+def pad_size(n: int, multiple: int = PAD_MULTIPLE, pow2_from: int = PAD_POW2_FROM) -> int:
+    """Bucketed padded size >= max(n, 1)."""
+    n = max(int(n), 1)
+    m = -(-n // multiple) * multiple
+    if m <= pow2_from:
+        return m
+    p = pow2_from
+    while p < m:
+        p *= 2
+    # soften pure powers of two with a midpoint bucket to halve waste
+    half = p // 2 + p // 4
+    if m <= half:
+        return half
+    return p

@@ -1,0 +1,190 @@
+"""Device-side graph batch: a frozen, padded, static-shape pytree.
+
+Equivalent in role to the reference `GraphTensor` (graph_class.py:330-372), but
+TPU-native instead of sparse-TF:
+
+* The reference stores pre-transposed `tf.SparseTensor`s and does
+  `sparse_dense_matmul` in the hot loop (GNN.py:234,259,263). Here the three
+  sparse matmuls become edge/node-weighted segment sums driven by flat index
+  vectors (`src`, `dst`, `graph_ids`) — the shapes XLA/Pallas tile well.
+
+* All arrays are padded to bucketed sizes (config.pad_size) so `jit` compiles a
+  handful of shapes for an entire ragged dataset. Padding is neutralised by
+  masks: padded edges carry weight 0, padded nodes are excluded from
+  convergence checks and batch-norm statistics, padded targets have
+  `sel_mask == False`.
+
+* Dynamic-size `boolean_mask` readouts (GNN.py:245-248, GNN_BaseClass.py:406-409)
+  are replaced by the static gather `out_index` + `sel_mask`: the output net
+  runs on every (padded) entity, rows are gathered at `out_index` to align with
+  target rows, and `sel_mask` zeroes non-selected rows in the loss. This keeps
+  every shape static under jit while matching the reference's filtered-loss
+  semantics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gnn_tpu.config import floatx, pad_size
+from gnn_tpu.graphs.graph import Graph
+
+
+@struct.dataclass
+class GraphBatch:
+    # --- node level (padded to Np) ---
+    nodes: jnp.ndarray        # [Np, NL] float
+    node_mask: jnp.ndarray    # [Np] bool — True for real nodes
+    graph_ids: jnp.ndarray    # [Np] int32 — graph membership (0 when not 'g')
+    pool_w: jnp.ndarray       # [Np] float — graph pooling weight 1/n_g (0 on pad)
+
+    # --- edge level (padded to Ep) ---
+    src: jnp.ndarray          # [Ep] int32 (0 on pad)
+    dst: jnp.ndarray          # [Ep] int32 (0 on pad)
+    arc_labels: jnp.ndarray   # [Ep, AL] float
+    edge_w: jnp.ndarray       # [Ep] float — aggregation weight w_e (0 on pad)
+    edge_mask: jnp.ndarray    # [Ep] bool
+
+    # --- supervision (entity level: nodes for 'n'/'g', arcs for 'a') ---
+    set_mask: jnp.ndarray     # [Np] or [Ep] bool
+    output_mask: jnp.ndarray  # [Np] or [Ep] bool
+
+    # --- targets (padded to Tp; for 'g' the graph axis is also Tp) ---
+    targets: jnp.ndarray         # [Tp, DT] float
+    sample_weights: jnp.ndarray  # [Tp] float
+    out_index: jnp.ndarray       # [Tp] int32 — entity (or graph) row per target
+    sel_mask: jnp.ndarray        # [Tp] bool — target in active set & not padding
+
+    # --- bookkeeping (device scalars, not used in compute) ---
+    n_real: jnp.ndarray          # [3] int32 = (n_nodes, n_arcs, n_targets)
+
+    # --- static ---
+    focus: str = struct.field(pytree_node=False, default="n")
+
+    # ------------------------------------------------------------------ sizes
+    @property
+    def n_node_pad(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def n_edge_pad(self) -> int:
+        return self.src.shape[0]
+
+    @property
+    def n_target_pad(self) -> int:
+        return self.targets.shape[0]
+
+    @property
+    def dim_node_label(self) -> int:
+        return self.nodes.shape[1]
+
+    @property
+    def dim_arc_label(self) -> int:
+        return self.arc_labels.shape[1]
+
+    @property
+    def dim_target(self) -> int:
+        return self.targets.shape[1]
+
+    # ----------------------------------------------------------------- build
+    @classmethod
+    def from_graph(cls, g: Graph, *, node_pad: Optional[int] = None,
+                   edge_pad: Optional[int] = None, target_pad: Optional[int] = None,
+                   dtype=None) -> "GraphBatch":
+        """Pad + upload a host Graph. Pads are bucketed unless given explicitly."""
+        dt = dtype or floatx()
+        N, E, T = g.n_nodes, g.n_arcs, g.targets.shape[0]
+        Np = node_pad or pad_size(N)
+        Ep = edge_pad or pad_size(E)
+        Tp = target_pad or pad_size(T)
+        if Np < N or Ep < E or Tp < T:
+            raise ValueError(f"pad sizes ({Np},{Ep},{Tp}) below real sizes ({N},{E},{T})")
+
+        def padf(x, size, fill=0.0):
+            x = np.asarray(x)
+            out = np.full((size,) + x.shape[1:], fill, dtype=x.dtype)
+            out[: x.shape[0]] = x
+            return out
+
+        nodes = padf(g.nodes.astype(dt), Np)
+        node_mask = padf(np.ones(N, dtype=bool), Np, False)
+        graph_ids = padf(g.graph_ids(), Np)
+        pool_w = padf(g.pool_weights().astype(dt), Np)
+
+        src = padf(g.src, Ep)
+        dst = padf(g.dst, Ep)
+        arc_labels = padf(g.arc_labels.astype(dt), Ep)
+        edge_w = padf(g.edge_weights().astype(dt), Ep)
+        edge_mask = padf(np.ones(E, dtype=bool), Ep, False)
+
+        ent_pad = Ep if g.focus == "a" else Np
+        set_mask = padf(g.set_mask, ent_pad, False)
+        output_mask = padf(g.output_mask, ent_pad, False)
+
+        targets = padf(g.targets.astype(dt), Tp)
+        sample_weights = padf(g.sample_weights.astype(dt), Tp)
+
+        if g.focus == "g":
+            # target row t <-> pooled graph t (pooling runs with Tp segments)
+            out_index = np.arange(Tp, dtype=np.int32)
+            sel = padf(np.ones(T, dtype=bool), Tp, False)
+        else:
+            # target rows correspond, in order, to output-masked entities
+            # (reference get_filtered_tensor, GNN_BaseClass.py:406-409)
+            ent_idx = np.nonzero(g.output_mask)[0].astype(np.int32)
+            if len(ent_idx) != T:
+                raise ValueError(
+                    f"targets rows ({T}) != output-masked entities ({len(ent_idx)})")
+            out_index = padf(ent_idx, Tp)
+            sel = padf(g.set_mask[ent_idx], Tp, False)
+
+        return cls(
+            nodes=jnp.asarray(nodes), node_mask=jnp.asarray(node_mask),
+            graph_ids=jnp.asarray(graph_ids), pool_w=jnp.asarray(pool_w),
+            src=jnp.asarray(src), dst=jnp.asarray(dst),
+            arc_labels=jnp.asarray(arc_labels), edge_w=jnp.asarray(edge_w),
+            edge_mask=jnp.asarray(edge_mask),
+            set_mask=jnp.asarray(set_mask), output_mask=jnp.asarray(output_mask),
+            targets=jnp.asarray(targets), sample_weights=jnp.asarray(sample_weights),
+            out_index=jnp.asarray(out_index), sel_mask=jnp.asarray(sel),
+            n_real=jnp.asarray([N, E, T], dtype=np.int32),
+            focus=g.focus,
+        )
+
+    # ------------------------------------------------------------- utilities
+    def with_set_mask(self, set_mask: np.ndarray) -> "GraphBatch":
+        """Functional set-mask swap (LKO single-graph folds, GNN_utils.py:268-311).
+        Recomputes sel_mask for the new split."""
+        sm = np.zeros(self.set_mask.shape[0], dtype=bool)
+        sm[: len(set_mask)] = np.asarray(set_mask, dtype=bool)
+        if self.focus == "g":
+            sel = np.asarray(self.sel_mask)
+        else:
+            oi = np.asarray(self.out_index)
+            valid = np.arange(len(oi)) < int(self.n_real[2])  # real target rows only
+            sel = sm[oi] & valid
+        return self.replace(set_mask=jnp.asarray(sm), sel_mask=jnp.asarray(sel))
+
+    def pad_shapes(self) -> Tuple[int, int, int]:
+        return (self.n_node_pad, self.n_edge_pad, self.n_target_pad)
+
+
+def batch_key(gb: GraphBatch) -> tuple:
+    """Compile-cache key: jit recompiles only when this changes."""
+    return (gb.focus, gb.pad_shapes(), gb.dim_node_label, gb.dim_arc_label, gb.dim_target)
+
+
+def stack_batches(batches) -> GraphBatch:
+    """Stack equal-shape GraphBatches along a new leading device axis (for
+    data-parallel shard_map: one merged graph per device)."""
+    focus = batches[0].focus
+    if any(b.focus != focus for b in batches):
+        raise ValueError("all batches must share focus")
+    if any(b.pad_shapes() != batches[0].pad_shapes() for b in batches):
+        raise ValueError("all batches must share padded shapes — pad to a common bucket")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *batches)

@@ -1,0 +1,274 @@
+"""Functional core of the Scarselli GNN: fixed-point state propagation,
+focus-specific readout, loss, and the jitted training step.
+
+Reference semantics reproduced (GNN/GNN.py):
+
+* State init (GNN.py:259-267): state0 = node labels when state_dim == 0, else
+  N(0, 0.1); aggregated arc labels precomputed; with state_dim > 0 also
+  aggregated neighbour labels.
+* Convergence loop (GNN.py:202-242 + tf.while_loop :271): iterate
+  `state <- net_state([state (|labels), Σ_nbr state, Σ_nbr labels, Σ_in arcs])`
+  while any node moved more than threshold·‖state_old‖ and k < max_iteration.
+  TPU-native: a `lax.scan` over max_iteration steps with an `active` flag —
+  once the convergence predicate fails, remaining steps are identity, which
+  preserves BOTH the dynamic iteration count (k) and the exact reverse-mode
+  gradient of the dynamically-stopped loop (identity steps have identity
+  Jacobian), something `lax.while_loop` cannot differentiate.
+* Readout (GNN.py:245-248, 289-302, 318-333): node / edge / graph focus. The
+  dynamic boolean_mask readout becomes a static out_index gather + sel_mask
+  (see graphs/batch.py). Edge focus feeds [state_src, state_dst, arc_label]
+  in original arc order — the *intended* semantics of GNN.py:289-302 (the
+  reference gathers rows in sparse-reordered (dst,src) order, misaligned with
+  arc-ordered labels/masks; see SURVEY.md §3 "quirks").
+* Loss (GNN.py:180-199): per-target-row loss · sample_weight, summed over
+  selected rows.
+* Training step (GNN_BaseClass.py:231-247): grads of (loss + regularizers);
+  state-net grads divided by the realised iteration count when mean=True;
+  optax update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.ops.aggregate import aggregate_to_nodes, pool_graphs
+from gnn_tpu.ops.mlp import MLPSpec, mlp_apply, mlp_init, mlp_regularization
+from gnn_tpu.training.losses import get_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class GNNSpec:
+    """Static model description (hashable; safe to close over under jit).
+
+    :param focus: 'n' | 'a' | 'g' — problem focus (reference problem_based).
+    :param state_spec / output_spec: MLP architectures for f_w and g_w.
+    :param state_dim: reference state_vect_dim (0 = labels are the state).
+    :param max_iteration: max propagation steps (GNN.py:62).
+    :param threshold: convergence threshold (GNN.py:63).
+    :param aggregation: kernel strategy 'auto' | 'segment' | 'onehot' | 'pallas'.
+    """
+    focus: str
+    state_spec: MLPSpec
+    output_spec: MLPSpec
+    state_dim: int = 0
+    max_iteration: int = 5
+    threshold: float = 0.01
+    aggregation: str = "auto"
+
+    def __post_init__(self):
+        if self.focus not in ("n", "a", "g"):
+            raise ValueError("focus must be 'n', 'a' or 'g'")
+        if self.state_dim < 0 or not isinstance(self.state_dim, int):
+            raise TypeError("param <state_dim> must be int>=0")
+
+
+def gnn_init(spec: GNNSpec, rng: jax.Array, dtype=jnp.float32):
+    """Initialise (params, bn_state) for both nets."""
+    r1, r2 = jax.random.split(rng)
+    ps, bs = mlp_init(spec.state_spec, r1, dtype)
+    po, bo = mlp_init(spec.output_spec, r2, dtype)
+    return {"state": ps, "output": po}, {"state": bs, "output": bo}
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _entity_mask(gb: GraphBatch) -> jnp.ndarray:
+    """set_mask ∧ output_mask at entity level (GNN.py:275), padding excluded."""
+    base = gb.set_mask & gb.output_mask
+    real = gb.edge_mask if gb.focus == "a" else gb.node_mask
+    return base & real
+
+
+def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
+              rng: jax.Array, training: bool):
+    """Run the fixed-point propagation loop.
+
+    Returns (iters, state, new_bn_state) where iters is the realised dynamic
+    iteration count (float, matching the reference's k)."""
+    Np = gb.n_node_pad
+    dt = gb.nodes.dtype
+    nm = gb.node_mask
+
+    def agg(values_per_edge):
+        return aggregate_to_nodes(values_per_edge, gb.edge_w, gb.dst, Np,
+                                  strategy=spec.aggregation)
+
+    # precomputed aggregations (GNN.py:259-263)
+    agg_arcs = agg(gb.arc_labels)
+    rng, rng_init, rng_loop = jax.random.split(rng, 3)
+    if spec.state_dim > 0:
+        state0 = 0.1 * jax.random.normal(rng_init, (Np, spec.state_dim), dtype=dt)
+        state0 = state0 * nm[:, None].astype(dt)
+        agg_nodes = agg(jnp.take(gb.nodes, gb.src, axis=0))
+        const_feats = jnp.concatenate([agg_nodes, agg_arcs], axis=1)
+
+        def step_input(state):
+            return jnp.concatenate(
+                [state, gb.nodes, agg(jnp.take(state, gb.src, axis=0)), const_feats], axis=1)
+    else:
+        state0 = gb.nodes
+
+        def step_input(state):
+            return jnp.concatenate(
+                [state, agg(jnp.take(state, gb.src, axis=0)), agg_arcs], axis=1)
+
+    state_old0 = jnp.ones_like(state0)
+    step_rngs = jax.random.split(rng_loop, spec.max_iteration)
+    thr = jnp.asarray(spec.threshold, dtype=jnp.float32)
+
+    def body(carry, step_rng):
+        k, state, state_old, active, bn = carry
+        # convergence predicate evaluated BEFORE the update (GNN.py:202-220);
+        # padded nodes never block convergence.
+        diff = (state - state_old).astype(jnp.float32)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+        norm = jnp.sqrt(jnp.sum(jnp.square(state_old.astype(jnp.float32)), axis=1))
+        moving = (dist > thr * norm) & nm
+        active = active & jnp.any(moving)
+
+        new_state, new_bn = mlp_apply(
+            spec.state_spec, params_state, bn, step_input(state),
+            training=training, rng=step_rng, stat_mask=nm)
+        state_next = jnp.where(active, new_state, state)
+        state_old_next = jnp.where(active, state, state_old)
+        bn_next = _tree_where(active, new_bn, bn)
+        return (k + active.astype(jnp.float32), state_next, state_old_next,
+                active, bn_next), None
+
+    carry0 = (jnp.float32(0.0), state0, state_old0, jnp.bool_(True), bn_state)
+    (k, state, _, _, bn_out), _ = jax.lax.scan(body, carry0, step_rngs)
+    return k, state, bn_out
+
+
+def gnn_forward(spec: GNNSpec, params, bn, gb: GraphBatch, rng: jax.Array,
+                training: bool = False):
+    """Full forward pass.
+
+    Returns dict with:
+      iters:      realised propagation steps (float scalar)
+      state:      [Np, D] converged node states
+      out_entity: per-entity outputs — [Np, DT] for 'n'/'g' (node level),
+                  [Ep, DT] for 'a'. For 'g' this is the pre-pooling node output
+                  (needed by LGNN.update_graph, LGNN.py:251-256).
+      out:        target-aligned rows [Tp, DT] (pooled for 'g')
+      bn:         updated batch-norm state pytree
+    """
+    rng, rng_prop, rng_out = jax.random.split(rng, 3)
+    iters, state, bn_s = propagate(spec, params["state"], bn["state"], gb,
+                                   rng_prop, training)
+
+    # node components for readout (GNN.py:245-248)
+    node_comp = state if spec.state_dim == 0 else jnp.concatenate([state, gb.nodes], axis=1)
+    emask = _entity_mask(gb)
+
+    if gb.focus == "a":
+        # intended edge readout: [state_src, state_dst, arc_label] per arc
+        arc_inp = jnp.concatenate(
+            [jnp.take(node_comp, gb.src, axis=0),
+             jnp.take(node_comp, gb.dst, axis=0),
+             gb.arc_labels], axis=1)
+        out_entity, bn_o = mlp_apply(spec.output_spec, params["output"], bn["output"],
+                                     arc_inp, training=training, rng=rng_out,
+                                     stat_mask=emask)
+        out_rows = jnp.take(out_entity, gb.out_index, axis=0)
+    else:
+        out_entity, bn_o = mlp_apply(spec.output_spec, params["output"], bn["output"],
+                                     node_comp, training=training, rng=rng_out,
+                                     stat_mask=emask)
+        if gb.focus == "g":
+            # average readout over each graph's nodes (GNN.py:318-333);
+            # graph axis padded to Tp so rows align with targets directly
+            pooled = pool_graphs(out_entity * gb.node_mask[:, None].astype(out_entity.dtype),
+                                 gb.graph_ids, gb.pool_w, gb.n_target_pad)
+            out_rows = pooled
+        else:
+            out_rows = jnp.take(out_entity, gb.out_index, axis=0)
+
+    return {"iters": iters, "state": state, "out_entity": out_entity,
+            "out": out_rows, "bn": {"state": bn_s, "output": bn_o}}
+
+
+# ----------------------------------------------------------------------- loss
+def weighted_loss(loss_fn, loss_args: dict, gb: GraphBatch, out_rows: jnp.ndarray):
+    """Σ_selected loss(target_t, out_t) · w_t  (GNN.py:196-199)."""
+    per_row = loss_fn(gb.targets, out_rows, **loss_args)
+    sel = gb.sel_mask.astype(per_row.dtype)
+    return jnp.sum(per_row * gb.sample_weights * sel)
+
+
+def regularization(spec: GNNSpec, params) -> jnp.ndarray:
+    return (mlp_regularization(spec.state_spec, params["state"])
+            + mlp_regularization(spec.output_spec, params["output"]))
+
+
+def evaluate_single(spec: GNNSpec, params, bn, gb: GraphBatch, rng,
+                    loss_name, loss_args: dict, training: bool = False):
+    """(iters, loss, targets, out_rows, sel_mask, new_bn) for one graph batch —
+    reference evaluate_single_graph (GNN.py:180-199)."""
+    res = gnn_forward(spec, params, bn, gb, rng, training)
+    loss = weighted_loss(get_loss(loss_name), loss_args, gb, res["out"])
+    return res["iters"], loss, res
+
+
+# ---------------------------------------------------------------- train step
+@partial(jax.jit, static_argnames=("spec", "loss_name", "optimizer", "mean",
+                                   "loss_args_t"))
+def _train_step_impl(spec: GNNSpec, params, bn, opt_state, gb: GraphBatch,
+                     rng, *, loss_name, loss_args_t, optimizer, mean: bool):
+    loss_args = dict(loss_args_t)
+
+    def loss_fn(p):
+        iters, loss, res = evaluate_single(spec, p, bn, gb, rng, loss_name,
+                                           loss_args, training=True)
+        total = loss + regularization(spec, p)
+        return total, (iters, res["bn"])
+
+    grads, (iters, new_bn) = jax.grad(loss_fn, has_aux=True)(params)
+    if mean:
+        # average state-net grads over realised iterations (GNN_BaseClass.py:239-241)
+        denom = jnp.maximum(iters, 1.0)
+        grads = {**grads,
+                 "state": jax.tree_util.tree_map(lambda g: g / denom, grads["state"])}
+    from gnn_tpu.training.optimizers import make_optimizer
+    opt = make_optimizer({"name": optimizer[0], "kwargs": dict(optimizer[1])})
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    return params, new_bn, opt_state, iters
+
+
+def make_train_step(spec: GNNSpec, loss_name: str, loss_args: Optional[dict],
+                    optimizer_cfg: dict, mean: bool = True):
+    """Build the jitted single-batch training step. The optimizer config is
+    passed as a hashable tuple so the optax transform lives inside the jit."""
+    loss_args_t = tuple(sorted((loss_args or {}).items()))
+    opt_t = (optimizer_cfg["name"], tuple(sorted(optimizer_cfg["kwargs"].items())))
+
+    def step(params, bn, opt_state, gb, rng):
+        return _train_step_impl(spec, params, bn, opt_state, gb, rng,
+                                loss_name=loss_name, loss_args_t=loss_args_t,
+                                optimizer=opt_t, mean=mean)
+    return step
+
+
+@partial(jax.jit, static_argnames=("spec", "loss_name", "loss_args_t", "training"))
+def _eval_impl(spec, params, bn, gb, rng, *, loss_name, loss_args_t, training):
+    iters, loss, res = evaluate_single(spec, params, bn, gb, rng, loss_name,
+                                       dict(loss_args_t), training=training)
+    return iters, loss, res["out"], res["state"], res["out_entity"]
+
+
+def make_eval_step(spec: GNNSpec, loss_name: str, loss_args: Optional[dict]):
+    loss_args_t = tuple(sorted((loss_args or {}).items()))
+
+    def step(params, bn, gb, rng, training=False):
+        return _eval_impl(spec, params, bn, gb, rng, loss_name=loss_name,
+                          loss_args_t=loss_args_t, training=training)
+    return step

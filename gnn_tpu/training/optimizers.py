@@ -1,0 +1,45 @@
+"""Optimizer factory over optax, with safe JSON (de)serialisation.
+
+Replaces the reference's Keras optimizer handling — including its unsafe
+`eval()` of the stored optimizer config on load (GNN.py:140, LGNN.py:136) —
+with a plain name+kwargs dict. Defaults match Keras (Adam eps=1e-7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+_DEFAULTS = {
+    "adam": dict(learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-7),
+    "adamw": dict(learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-7, weight_decay=4e-3),
+    "sgd": dict(learning_rate=1e-2),
+    "rmsprop": dict(learning_rate=1e-3, decay=0.9, eps=1e-7),
+    "adagrad": dict(learning_rate=1e-3),
+    "lamb": dict(learning_rate=1e-3),
+    "lion": dict(learning_rate=1e-4),
+}
+
+_ALIASES = {  # accept Keras-style kwarg names
+    "lr": "learning_rate", "beta_1": "b1", "beta_2": "b2", "epsilon": "eps",
+}
+
+
+def optimizer_config(name: str = "adam", **kwargs) -> dict:
+    """Build a serialisable optimizer config dict."""
+    name = name.lower()
+    if name not in _DEFAULTS:
+        raise ValueError(f"unknown optimizer {name!r}; known: {sorted(_DEFAULTS)}")
+    clean = {_ALIASES.get(k, k): v for k, v in kwargs.items()}
+    cfg = dict(_DEFAULTS[name])
+    cfg.update(clean)
+    return {"name": name, "kwargs": cfg}
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """Instantiate optax optimizer from a config dict (or name string)."""
+    if isinstance(config, str):
+        config = optimizer_config(config)
+    name, kwargs = config["name"], dict(config.get("kwargs", {}))
+    return getattr(optax, name)(**kwargs)

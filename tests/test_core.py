@@ -1,0 +1,273 @@
+"""Core model tests: the masked-scan fixed-point loop must match a plain numpy
+implementation of the reference semantics (GNN.py:202-280) step for step —
+state trajectory, dynamic iteration count, readouts, and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tpu.graphs.graph import Graph
+from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.ops.mlp import MLPSpec
+from gnn_tpu.models.core import (GNNSpec, gnn_init, gnn_forward, evaluate_single,
+                                 make_train_step, make_eval_step)
+from gnn_tpu.training.optimizers import optimizer_config, make_optimizer
+
+
+def make_graph(rng, n=25, e=100, nl=3, al=2, dt=2, focus="n", agg="average"):
+    nodes = rng.standard_normal((n, nl)).astype(np.float32)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    arcs = np.concatenate([src[:, None], dst[:, None],
+                           rng.standard_normal((e, al)).astype(np.float32)], axis=1)
+    tn = {"n": n, "a": e, "g": 1}[focus]
+    targets = np.eye(dt, dtype=np.float32)[rng.integers(0, dt, tn)]
+    return Graph(arcs=arcs, nodes=nodes, targets=targets, focus=focus, aggregation_mode=agg)
+
+
+def plain_spec(nl, al, dt, focus, ds=0, hidden=()):
+    """Deterministic MLPs: no dropout, no batchnorm — for numpy parity."""
+    in_s = al + 2 * (nl + ds)
+    state = MLPSpec(input_dim=in_s, units=tuple(hidden) + (ds if ds else nl,),
+                    activations="tanh", kernel_initializer="glorot_normal",
+                    bias_initializer="glorot_normal", batch_normalization=False)
+    in_o = {"n": nl + ds, "g": nl + ds, "a": 2 * (nl + ds) + al}[focus]
+    out = MLPSpec(input_dim=in_o, units=(dt,), activations="softmax",
+                  kernel_initializer="glorot_normal", bias_initializer="glorot_normal",
+                  batch_normalization=False)
+    return state, out
+
+
+def numpy_forward(params, g: Graph, spec: GNNSpec):
+    """Reference semantics in numpy: dynamic while loop (GNN.py:202-280),
+    state_dim == 0 (state = labels)."""
+    n = g.n_nodes
+    w = g.edge_weights().astype(np.float64)
+    src, dst = g.src, g.dst
+
+    def agg_edges(vals_per_edge):
+        out = np.zeros((n, vals_per_edge.shape[1]))
+        np.add.at(out, dst, w[:, None] * vals_per_edge)
+        return out
+
+    def agg(vals_per_node):
+        return agg_edges(vals_per_node[src])
+
+    def mlp(p, x, acts):
+        h = x
+        for i, a in enumerate(acts):
+            d = p[f"dense_{i}"]
+            h = h @ np.asarray(d["w"], np.float64) + np.asarray(d["b"], np.float64)
+            if a == "tanh":
+                h = np.tanh(h)
+            elif a == "softmax":
+                h = np.exp(h - h.max(1, keepdims=True))
+                h = h / h.sum(1, keepdims=True)
+        return h
+
+    agg_arcs = agg_edges(g.arc_labels.astype(np.float64))
+    state = g.nodes.astype(np.float64)
+    state_old = np.ones_like(state)
+    k = 0
+    while True:
+        dist = np.sqrt(((state - state_old) ** 2).sum(1))
+        norm = np.sqrt((state_old ** 2).sum(1))
+        if not ((dist > spec.threshold * norm).any() and k < spec.max_iteration):
+            break
+        inp = np.concatenate([state, agg(state), agg_arcs], axis=1)
+        state_old, state = state, mlp(params["state"], inp, spec.state_spec.activations)
+        k += 1
+    out = mlp(params["output"], state, spec.output_spec.activations)
+    return k, state, out
+
+
+class TestLoopParity:
+    @pytest.mark.parametrize("agg", ["average", "normalized", "sum"])
+    @pytest.mark.parametrize("max_iter", [1, 3, 5])
+    def test_state_trajectory_matches_numpy(self, rng, agg, max_iter):
+        g = make_graph(rng, agg=agg)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=max_iter, threshold=0.01, aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        res = gnn_forward(spec, params, bn, GraphBatch.from_graph(g),
+                          jax.random.key(1), training=False)
+        k_ref, state_ref, out_ref = numpy_forward(
+            jax.tree_util.tree_map(np.asarray, params), g, spec)
+        n = g.n_nodes
+        assert float(res["iters"]) == k_ref
+        assert np.allclose(np.asarray(res["state"])[:n], state_ref, atol=1e-4)
+        assert np.allclose(np.asarray(res["out_entity"])[:n], out_ref, atol=1e-4)
+
+    def test_dynamic_stop_freezes_state(self, rng):
+        """With a huge threshold the loop must stop immediately (k == 0) and
+        the state must remain the initial labels — identity tail steps."""
+        g = make_graph(rng)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=5, threshold=1e6)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        res = gnn_forward(spec, params, bn, GraphBatch.from_graph(g),
+                          jax.random.key(1))
+        assert float(res["iters"]) == 0.0
+        assert np.allclose(np.asarray(res["state"])[:g.n_nodes], g.nodes, atol=1e-6)
+
+    def test_gradients_match_unrolled_loop(self, rng):
+        """Reverse-mode grads through the masked scan == grads through a python
+        loop unrolled exactly k times (what tf.GradientTape saw)."""
+        g = make_graph(rng, n=12, e=40)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01, aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        gb = GraphBatch.from_graph(g)
+
+        def loss_scan(p):
+            res = gnn_forward(spec, p, bn, gb, jax.random.key(1))
+            return jnp.sum(res["out"] * gb.sel_mask[:, None]), res["iters"]
+
+        (l1, iters), g1 = jax.value_and_grad(loss_scan, has_aux=True)(params)
+        k = int(iters)
+        assert k >= 1
+
+        from gnn_tpu.ops.mlp import mlp_apply
+        from gnn_tpu.ops.aggregate import aggregate_to_nodes
+
+        def loss_unrolled(p):
+            Np = gb.n_node_pad
+            agg_arcs = aggregate_to_nodes(gb.arc_labels, gb.edge_w, gb.dst, Np)
+            state = gb.nodes
+            for _ in range(k):
+                inp = jnp.concatenate(
+                    [state, aggregate_to_nodes(jnp.take(state, gb.src, axis=0),
+                                               gb.edge_w, gb.dst, Np), agg_arcs], axis=1)
+                state, _ = mlp_apply(spec.state_spec, p["state"], bn["state"], inp)
+            out, _ = mlp_apply(spec.output_spec, p["output"], bn["output"], state)
+            rows = jnp.take(out, gb.out_index, axis=0)
+            return jnp.sum(rows * gb.sel_mask[:, None])
+
+        l2, g2 = jax.value_and_grad(loss_unrolled)(params)
+        assert np.allclose(float(l1), float(l2), atol=1e-5)
+        for (p1, a), (p2, b) in zip(jax.tree_util.tree_leaves_with_path(g1),
+                                    jax.tree_util.tree_leaves_with_path(g2)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4), p1
+
+
+class TestFocuses:
+    def test_edge_focus_readout(self, rng):
+        g = make_graph(rng, focus="a")
+        ss, os_ = plain_spec(3, 2, 2, "a")
+        spec = GNNSpec(focus="a", state_spec=ss, output_spec=os_,
+                       max_iteration=3, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        gb = GraphBatch.from_graph(g)
+        res = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        # edge readout rows: mlp([state_src, state_dst, arc_label])
+        state = np.asarray(res["state"])
+        e0 = 5
+        inp = np.concatenate([state[g.src[e0]], state[g.dst[e0]], g.arc_labels[e0]])
+        from gnn_tpu.ops.mlp import mlp_apply
+        expect, _ = mlp_apply(spec.output_spec, params["output"], bn["output"],
+                              jnp.asarray(inp[None]))
+        assert np.allclose(np.asarray(res["out_entity"])[e0], np.asarray(expect)[0], atol=1e-5)
+        assert res["out"].shape[0] == gb.n_target_pad
+
+    def test_graph_focus_pooled_readout(self, rng):
+        gs = [make_graph(rng, n=8, e=24, focus="g") for _ in range(3)]
+        m = Graph.merge(gs, focus="g", aggregation_mode="average")
+        ss, os_ = plain_spec(3, 2, 2, "g")
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_,
+                       max_iteration=3, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        gb = GraphBatch.from_graph(m)
+        res = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        # pooled row g == mean of that graph's node outputs (GNN.py:318-333)
+        oe = np.asarray(res["out_entity"])
+        gid = m.graph_ids()
+        for gi in range(3):
+            expect = oe[:m.n_nodes][gid == gi].mean(0)
+            assert np.allclose(np.asarray(res["out"])[gi], expect, atol=1e-5)
+
+    def test_state_dim_nonzero(self, rng):
+        g = make_graph(rng)
+        ds = 4
+        in_s = 2 + 2 * (3 + ds)
+        ss = MLPSpec(input_dim=in_s, units=(ds,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=3 + ds, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_, state_dim=ds,
+                       max_iteration=3, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        res = gnn_forward(spec, params, bn, GraphBatch.from_graph(g), jax.random.key(1))
+        assert res["state"].shape[1] == ds
+        assert np.isfinite(np.asarray(res["out"])).all()
+
+
+class TestTraining:
+    def test_loss_decreases(self, rng):
+        g = make_graph(rng, n=60, e=300)
+        # learnable targets: class = sign of first node feature
+        t = np.zeros((60, 2), np.float32)
+        t[np.arange(60), (g.nodes[:, 0] > 0).astype(int)] = 1
+        g.targets = t
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=5, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        gb = GraphBatch.from_graph(g)
+        opt_cfg = optimizer_config("adam", learning_rate=1e-2)
+        opt = make_optimizer(opt_cfg)
+        o = opt.init(params)
+        step = make_train_step(spec, "categorical_crossentropy", {"from_logits": False},
+                               opt_cfg, mean=True)
+        ev = make_eval_step(spec, "categorical_crossentropy", {"from_logits": False})
+        _, l0, *_ = ev(params, bn, gb, jax.random.key(9))
+        p, b = params, bn
+        for i in range(60):
+            p, b, o, _ = step(p, b, o, gb, jax.random.key(100 + i))
+        _, l1, *_ = ev(p, b, gb, jax.random.key(9))
+        assert float(l1) < 0.7 * float(l0)
+
+    def test_mean_flag_divides_state_grads(self, rng):
+        """mean=True divides state-net updates by iteration count
+        (GNN_BaseClass.py:239-241) — verify via SGD single step."""
+        g = make_graph(rng, n=20, e=80)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=5, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        gb = GraphBatch.from_graph(g)
+        cfg = optimizer_config("sgd", learning_rate=1.0)
+        opt = make_optimizer(cfg)
+        o = opt.init(params)
+        rngk = jax.random.key(5)
+        s_mean = make_train_step(spec, "mse", None, cfg, mean=True)
+        s_sum = make_train_step(spec, "mse", None, cfg, mean=False)
+        pm, _, _, it = s_mean(params, bn, o, gb, rngk)
+        ps, _, _, _ = s_sum(params, bn, o, gb, rngk)
+        k = float(it)
+        assert k > 1
+        dw_mean = np.asarray(pm["state"]["dense_0"]["w"] - params["state"]["dense_0"]["w"])
+        dw_sum = np.asarray(ps["state"]["dense_0"]["w"] - params["state"]["dense_0"]["w"])
+        assert np.allclose(dw_sum, dw_mean * k, rtol=1e-4, atol=1e-6)
+        # output-net grads are NOT divided
+        do_mean = np.asarray(pm["output"]["dense_0"]["w"] - params["output"]["dense_0"]["w"])
+        do_sum = np.asarray(ps["output"]["dense_0"]["w"] - params["output"]["dense_0"]["w"])
+        assert np.allclose(do_sum, do_mean, rtol=1e-5, atol=1e-7)
+
+    def test_padding_invariance(self, rng):
+        """Same graph, different pad sizes -> identical outputs."""
+        g = make_graph(rng, n=20, e=80)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=5, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        r1 = gnn_forward(spec, params, bn, GraphBatch.from_graph(g, node_pad=128, edge_pad=128, target_pad=128),
+                         jax.random.key(1))
+        r2 = gnn_forward(spec, params, bn, GraphBatch.from_graph(g, node_pad=256, edge_pad=512, target_pad=256),
+                         jax.random.key(1))
+        assert float(r1["iters"]) == float(r2["iters"])
+        assert np.allclose(np.asarray(r1["state"])[:20], np.asarray(r2["state"])[:20], atol=1e-5)
+        assert np.allclose(np.asarray(r1["out"])[:20], np.asarray(r2["out"])[:20], atol=1e-5)

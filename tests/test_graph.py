@@ -1,0 +1,142 @@
+"""Graph container tests: aggregation weights, merge batching, save/load.
+
+Validates against hand-computed values on the reference's debugging fixture
+(simple_graph, GNN_utils.py:88-105) and property-checks merge ≡ block-diagonal
+batching (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from gnn_tpu.graphs.graph import Graph
+
+
+def simple_graph(focus="n", aggregation_mode="average"):
+    """The reference 4-node/8-arc fixture (GNN_utils.py:88-105), deterministic
+    targets (no sklearn clustering — fixed here for reproducibility)."""
+    nodes = np.array([[11, 21], [12, 22], [13, 23], [14, 24]], dtype=float)
+    arcs = np.array([[0, 1, 10], [0, 2, 40], [1, 0, 10], [1, 2, 20],
+                     [2, 0, 40], [2, 1, 20], [2, 3, 30], [3, 2, 30]], dtype=float)
+    tn = {"n": 4, "a": 8, "g": 1}[focus]
+    targets = np.zeros((tn, 2))
+    targets[np.arange(tn) % 2 == 0, 0] = 1
+    targets[np.arange(tn) % 2 == 1, 1] = 1
+    return Graph(arcs=arcs, nodes=nodes, targets=targets, focus=focus,
+                 aggregation_mode=aggregation_mode)
+
+
+def random_graph(rng, n=30, e=120, nl=3, al=2, dt=2, focus="n", agg="average"):
+    nodes = rng.standard_normal((n, nl))
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    arcs = np.concatenate([src[:, None], dst[:, None], rng.standard_normal((e, al))], axis=1)
+    tn = {"n": n, "a": e, "g": 1}[focus]
+    targets = np.eye(dt)[rng.integers(0, dt, tn)]
+    return Graph(arcs=arcs, nodes=nodes, targets=targets, focus=focus, aggregation_mode=agg)
+
+
+class TestAggregationWeights:
+    def test_sum(self):
+        g = simple_graph(aggregation_mode="sum")
+        assert np.allclose(g.edge_weights(), np.ones(8))
+
+    def test_normalized(self):
+        g = simple_graph(aggregation_mode="normalized")
+        assert np.allclose(g.edge_weights(), np.full(8, 1.0 / 8.0))
+
+    def test_average_is_one_over_indegree(self):
+        g = simple_graph(aggregation_mode="average")
+        # dst column: [1,2,0,2,0,1,3,2] -> indegree: node0:2 node1:2 node2:3 node3:1
+        expect = np.array([1/2, 1/3, 1/2, 1/3, 1/2, 1/2, 1, 1/3])
+        assert np.allclose(g.edge_weights(), expect, atol=1e-6)
+
+    def test_average_weights_sum_to_one_per_reached_node(self, rng):
+        g = random_graph(rng)
+        w = g.edge_weights()
+        per_node = np.zeros(g.n_nodes)
+        np.add.at(per_node, g.dst, w)
+        reached = np.unique(g.dst)
+        assert np.allclose(per_node[reached], 1.0, atol=1e-5)
+
+
+class TestMerge:
+    def test_merge_offsets_and_concat(self, rng):
+        gs = [random_graph(rng, n=10 + i, e=30 + i) for i in range(3)]
+        m = Graph.merge(gs, focus="n", aggregation_mode="average")
+        assert m.n_nodes == sum(g.n_nodes for g in gs)
+        assert m.n_arcs == sum(g.n_arcs for g in gs)
+        # node ids of graph 1 arcs offset by graph 0 node count
+        block = m.arcs[gs[0].n_arcs: gs[0].n_arcs + gs[1].n_arcs, :2]
+        assert block.min() >= gs[0].n_nodes
+        assert np.allclose(m.nodes, np.concatenate([g.nodes for g in gs]))
+        assert np.allclose(m.targets, np.concatenate([g.targets for g in gs]))
+
+    def test_merge_average_equals_per_graph(self, rng):
+        """Aggregation in a merged graph == per-graph aggregation (disjoint
+        union leaves in-degrees untouched)."""
+        gs = [random_graph(rng, n=12, e=40) for _ in range(2)]
+        m = Graph.merge(gs, focus="n", aggregation_mode="average")
+        w_merged = m.edge_weights()
+        w_each = np.concatenate([g.edge_weights() for g in gs])
+        assert np.allclose(w_merged, w_each, atol=1e-6)
+
+    def test_merge_graph_focus_nodegraph_blockdiag(self, rng):
+        gs = [random_graph(rng, n=5, e=12, focus="g"), random_graph(rng, n=7, e=20, focus="g")]
+        m = Graph.merge(gs, focus="g", aggregation_mode="sum")
+        assert m.NodeGraph.shape == (12, 2)
+        assert np.allclose(m.NodeGraph[:5, 0], 1 / 5)
+        assert np.allclose(m.NodeGraph[5:, 1], 1 / 7)
+        assert np.allclose(m.NodeGraph[:5, 1], 0)
+        gid = m.graph_ids()
+        assert (gid[:5] == 0).all() and (gid[5:] == 1).all()
+        assert np.allclose(m.pool_weights()[:5], 1 / 5)
+
+
+class TestIO:
+    def test_save_load_npy_roundtrip(self, rng, tmp_path):
+        g = random_graph(rng, focus="n")
+        g.set_mask[:5] = False
+        g.sample_weights[0] = 3.0
+        g.save(str(tmp_path / "g"))
+        g2 = Graph.load(str(tmp_path / "g"), focus="n", aggregation_mode="average")
+        assert np.allclose(g.arcs, g2.arcs)
+        assert np.allclose(g.nodes, g2.nodes)
+        assert np.allclose(g.targets, g2.targets)
+        assert (g.set_mask == g2.set_mask).all()
+        assert np.allclose(g.sample_weights, g2.sample_weights)
+
+    def test_save_load_txt_roundtrip(self, rng, tmp_path):
+        g = random_graph(rng, focus="g")
+        g.savetxt(str(tmp_path / "g"))
+        g2 = Graph.load_txt(str(tmp_path / "g"), focus="g", aggregation_mode="sum")
+        assert np.allclose(g.arcs, g2.arcs, atol=1e-6)
+        assert np.allclose(g.nodes, g2.nodes, atol=1e-6)
+
+    def test_copy_independent(self, rng):
+        g = random_graph(rng)
+        c = g.copy()
+        c.nodes[0, 0] = 123.0
+        assert g.nodes[0, 0] != 123.0
+
+
+class TestBatch:
+    def test_padding_and_masks(self, rng):
+        from gnn_tpu.graphs.batch import GraphBatch
+        g = random_graph(rng, n=30, e=120)
+        gb = GraphBatch.from_graph(g)
+        Np, Ep, Tp = gb.pad_shapes()
+        assert Np >= 30 and Ep >= 120
+        assert int(np.sum(np.asarray(gb.node_mask))) == 30
+        assert int(np.sum(np.asarray(gb.edge_mask))) == 120
+        assert np.allclose(np.asarray(gb.edge_w)[120:], 0)
+        assert int(np.sum(np.asarray(gb.sel_mask))) == 30  # all nodes targeted
+
+    def test_target_alignment_with_output_mask(self, rng):
+        from gnn_tpu.graphs.batch import GraphBatch
+        g = random_graph(rng, n=20, e=60)
+        om = np.zeros(20, dtype=bool)
+        om[[2, 5, 7, 11]] = True
+        g2 = Graph(arcs=g.arcs, nodes=g.nodes, targets=g.targets[:4],
+                   focus="n", output_mask=om)
+        gb = GraphBatch.from_graph(g2)
+        assert list(np.asarray(gb.out_index)[:4]) == [2, 5, 7, 11]
+        assert int(np.sum(np.asarray(gb.sel_mask))) == 4

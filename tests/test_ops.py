@@ -1,0 +1,151 @@
+"""Ops tests: aggregation strategies agree with each other and with a dense
+scipy-style reference; MLP matches hand-computed dense math; BN/dropout
+semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tpu.ops.aggregate import aggregate_to_nodes, pool_graphs
+from gnn_tpu.ops.mlp import MLPSpec, mlp_init, mlp_apply, mlp_regularization
+
+
+def dense_reference(values, weights, dst, num_nodes):
+    """agg[n] = Σ_{e: dst_e==n} w_e * values[e] — plain numpy."""
+    out = np.zeros((num_nodes, values.shape[1]), dtype=np.float64)
+    for e in range(values.shape[0]):
+        out[dst[e]] += weights[e] * values[e]
+    return out
+
+
+class TestAggregate:
+    @pytest.mark.parametrize("strategy", ["segment", "onehot"])
+    def test_matches_dense_reference(self, rng, strategy):
+        E, N, D = 200, 50, 7
+        vals = rng.standard_normal((E, D)).astype(np.float32)
+        w = rng.random(E).astype(np.float32)
+        dst = rng.integers(0, N, E).astype(np.int32)
+        got = aggregate_to_nodes(jnp.asarray(vals), jnp.asarray(w), jnp.asarray(dst),
+                                 N, strategy=strategy)
+        ref = dense_reference(vals, w, dst, N)
+        assert np.allclose(np.asarray(got), ref, atol=1e-4)
+
+    def test_strategies_agree(self, rng):
+        E, N, D = 333, 41, 5
+        vals = rng.standard_normal((E, D)).astype(np.float32)
+        w = rng.random(E).astype(np.float32)
+        dst = rng.integers(0, N, E).astype(np.int32)
+        a = aggregate_to_nodes(jnp.asarray(vals), jnp.asarray(w), jnp.asarray(dst), N, strategy="segment")
+        b = aggregate_to_nodes(jnp.asarray(vals), jnp.asarray(w), jnp.asarray(dst), N, strategy="onehot")
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_duplicate_edges_accumulate(self):
+        # duplicated (src,dst) pairs must sum — scipy coo_matrix semantics
+        vals = jnp.asarray([[1.0], [2.0], [4.0]])
+        w = jnp.asarray([1.0, 1.0, 0.5])
+        dst = jnp.asarray([3, 3, 3], dtype=jnp.int32)
+        out = aggregate_to_nodes(vals, w, dst, 5, strategy="segment")
+        assert np.allclose(np.asarray(out)[3], [5.0])
+
+    def test_pool_graphs(self, rng):
+        N, G, D = 12, 3, 4
+        vals = rng.standard_normal((N, D)).astype(np.float32)
+        gid = np.repeat(np.arange(G), 4).astype(np.int32)
+        pw = np.full(N, 0.25, dtype=np.float32)
+        out = pool_graphs(jnp.asarray(vals), jnp.asarray(gid), jnp.asarray(pw), G)
+        for g in range(G):
+            assert np.allclose(np.asarray(out)[g], vals[gid == g].mean(0), atol=1e-5)
+
+    def test_grad_flows(self, rng):
+        E, N, D = 64, 16, 3
+        vals = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32))
+        w = jnp.asarray(rng.random(E).astype(np.float32))
+        dst = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
+        for s in ("segment", "onehot"):
+            g = jax.grad(lambda v: jnp.sum(aggregate_to_nodes(v, w, dst, N, strategy=s) ** 2))(vals)
+            assert np.isfinite(np.asarray(g)).all()
+
+
+class TestMLP:
+    def test_dense_math(self):
+        spec = MLPSpec(input_dim=3, units=(4, 2), activations=("relu", "linear"),
+                       kernel_initializer="glorot_normal", bias_initializer="zeros",
+                       batch_normalization=False)
+        params, bn = mlp_init(spec, jax.random.key(0))
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((5, 3)).astype(np.float32))
+        y, _ = mlp_apply(spec, params, bn, x)
+        w0, b0 = params["dense_0"]["w"], params["dense_0"]["b"]
+        w1, b1 = params["dense_1"]["w"], params["dense_1"]["b"]
+        ref = np.maximum(np.asarray(x) @ np.asarray(w0) + np.asarray(b0), 0) @ np.asarray(w1) + np.asarray(b1)
+        assert np.allclose(np.asarray(y), ref, atol=1e-5)
+
+    def test_batchnorm_train_vs_eval(self, rng):
+        spec = MLPSpec(input_dim=3, units=(4,), activations="linear",
+                       batch_normalization=True)
+        params, bn = mlp_init(spec, jax.random.key(0))
+        x = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+        y_tr, bn2 = mlp_apply(spec, params, bn, x, training=True)
+        # train-mode output is standardised (gamma=1, beta=0 at init)
+        assert np.allclose(np.asarray(y_tr).mean(0), 0, atol=1e-4)
+        assert np.allclose(np.asarray(y_tr).std(0), 1, atol=1e-2)
+        # moving stats moved toward batch stats (momentum 0.99)
+        assert not np.allclose(np.asarray(bn2["mean"]), np.asarray(bn["mean"]))
+        # eval mode uses moving stats (unchanged by apply)
+        y_ev, bn3 = mlp_apply(spec, params, bn2, x, training=False)
+        assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.all(a == b)), bn2, bn3))
+
+    def test_batchnorm_stat_mask_ignores_padding(self, rng):
+        spec = MLPSpec(input_dim=2, units=(2,), activations="linear",
+                       batch_normalization=True)
+        params, bn = mlp_init(spec, jax.random.key(0))
+        x_real = rng.standard_normal((10, 2)).astype(np.float32)
+        x_pad = np.concatenate([x_real, np.zeros((22, 2), np.float32)])
+        mask = np.zeros(32, bool)
+        mask[:10] = True
+        y_full, _ = mlp_apply(spec, params, bn, jnp.asarray(x_real), training=True)
+        y_mask, _ = mlp_apply(spec, params, bn, jnp.asarray(x_pad), training=True,
+                              stat_mask=jnp.asarray(mask))
+        assert np.allclose(np.asarray(y_full), np.asarray(y_mask)[:10], atol=1e-5)
+
+    def test_dropout_scaling_and_determinism(self, rng):
+        spec = MLPSpec(input_dim=8, units=(8,), activations="linear",
+                       kernel_initializer="glorot_normal", bias_initializer="zeros",
+                       dropout_rate=(0.5,), dropout_pos=(0,), batch_normalization=False)
+        params, bn = mlp_init(spec, jax.random.key(0))
+        x = jnp.ones((1000, 8))
+        y1, _ = mlp_apply(spec, params, bn, x, training=True, rng=jax.random.key(1))
+        y2, _ = mlp_apply(spec, params, bn, x, training=True, rng=jax.random.key(1))
+        assert np.allclose(np.asarray(y1), np.asarray(y2))  # same rng -> same mask
+        y_ev, _ = mlp_apply(spec, params, bn, x, training=False)
+        # E[dropout(x)] == x: compare column means loosely
+        assert np.allclose(np.asarray(y1).mean(0), np.asarray(y_ev).mean(0), atol=0.25)
+
+    def test_regularization_terms(self):
+        spec = MLPSpec(input_dim=3, units=(2,), activations="linear",
+                       kernel_regularizer=("l2", 0.1), bias_regularizer=("l1", 0.5),
+                       batch_normalization=False)
+        params, _ = mlp_init(spec, jax.random.key(0))
+        w = np.asarray(params["dense_0"]["w"])
+        b = np.asarray(params["dense_0"]["b"])
+        expect = 0.1 * np.sum(w ** 2) + 0.5 * np.sum(np.abs(b))
+        assert np.allclose(float(mlp_regularization(spec, params)), expect, rtol=1e-5)
+
+    def test_get_inout_dims_matches_reference_arithmetic(self):
+        from gnn_tpu.ops.mlp import get_inout_dims
+        # DS=0, node focus, layer 0 (MLP.py:103-110)
+        i, layers = get_inout_dims("state", 3, 1, 2, "n", 0, None)
+        assert i == 1 + 2 * 3 and layers == [3]
+        i, layers = get_inout_dims("output", 3, 1, 2, "n", 0, None)
+        assert i == 3 and layers == [2]
+        # edge focus output: 2*NL + AL (+2*DS)
+        i, _ = get_inout_dims("output", 3, 1, 2, "a", 0, None)
+        assert i == 2 * 3 + 1
+        # LGNN layer growth, DS=0, get_output only (MLP.py:93-100)
+        i, layers = get_inout_dims("state", 3, 1, 2, "n", 0, None,
+                                   layer=2, get_state=False, get_output=True)
+        assert i == 1 + 2 * (3 + 2) and layers == [5]
+        # DS>0
+        i, layers = get_inout_dims("state", 3, 1, 2, "n", 4, [8])
+        assert i == 1 + 2 * (3 + 4) and layers == [8, 4]
