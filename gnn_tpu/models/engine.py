@@ -1,0 +1,347 @@
+"""Host-side training engine: epoch loop, early stopping, history, metrics,
+test reporting, LKO cross-validation, scalar/event logging.
+
+Mirrors the reference BaseClass (GNN/GNN_BaseClass.py:17-459):
+* train (:192-335): per-epoch batch loop, update_freq-gated Tr/Va evaluation,
+  early stopping on any observed metric with min/max policy + best-weights
+  snapshot/restore, history bookkeeping with 'Fail' / 'Best <metric> Va'.
+* evaluate (:165-189): concatenated targets/outputs across batches, sklearn
+  extra-metrics, mean iteration count and loss.
+* test (:338-359): metrics + optional ROC / PRISOFS artifact export.
+* LKO (:362-402): fresh copy per fold, train+test, metric collection.
+* printHistory/saveHistory_csv/txt (:140-157).
+* Scalar logging: reference TensorBoard writers (:428-459) become JSONL event
+  files (host-side, dependency-free) with the same pretty metric names and
+  namescope grouping; weight histograms become per-layer
+  mean/std/min/max summaries.
+
+Device work (forward/backward) lives in models/core.py; everything here is
+orchestration and never enters jit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from abc import ABC, abstractmethod
+from typing import Optional, Union
+
+import jax
+import numpy as np
+
+from gnn_tpu import metrics as mt
+from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.graphs.graph import Graph
+
+_PRETTY = {"Acc": "Accuracy", "Bacc": "Balanced Accuracy", "Ck": "Cohen's Kappa",
+           "Js": "Jaccard Score", "Fs": "F1-Score", "Prec": "Precision Score",
+           "Rec": "Recall Score", "Tpr": "TPR", "Tnr": "TNR", "Fpr": "FPR",
+           "Fnr": "FNR", "Loss": "Loss", "It": "Iteration @ Convergence"}
+
+_NAMESCOPES = {**{i: "Accuracy & Loss" for i in ["Acc", "Bacc", "It", "Loss"]},
+               **{i: "F-Score, Precision and Recall" for i in ["Fs", "Prec", "Rec"]},
+               **{i: "Positive and Negative Rates" for i in ["Tpr", "Tnr", "Fpr", "Fnr"]},
+               **{i: "Other Scores" for i in ["Ck", "Js"]}}
+
+
+class ScalarWriter:
+    """JSONL scalar event writer (TensorBoard-writer stand-in,
+    GNN_BaseClass.py:428-445). One file per writer, one JSON object per event."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+
+    def write_scalars(self, metrics: dict, step: int) -> None:
+        if not isinstance(metrics, dict):
+            raise TypeError("type of param <metrics> must be dict")
+        with open(self.path, "a") as f:
+            for k, v in metrics.items():
+                f.write(json.dumps({"step": step, "scope": _NAMESCOPES.get(k, "Other Scores"),
+                                    "name": _PRETTY.get(k, k), "value": float(v)}) + "\n")
+
+    def write_weights(self, namespace: str, net_name: str, leaves: list, step: int) -> None:
+        """Per-layer weight summary (histogram stand-in, GNN_BaseClass.py:448-459)."""
+        with open(self.path, "a") as f:
+            for name, arr in leaves:
+                a = np.asarray(arr)
+                f.write(json.dumps({
+                    "step": step, "scope": f"{namespace}: {net_name}", "name": name,
+                    "mean": float(a.mean()), "std": float(a.std()),
+                    "min": float(a.min()), "max": float(a.max())}) + "\n")
+
+
+class BaseModel(ABC):
+    """Abstract engine; concrete models define the device computation."""
+
+    def __init__(self, optimizer, loss_function, loss_arguments: Optional[dict],
+                 addressed_problem: str, extra_metrics: Optional[dict] = None,
+                 extra_metrics_arguments: Optional[dict] = None,
+                 path_writer: str = "writer/", namespace: str = "GNN") -> None:
+        from gnn_tpu.training.optimizers import optimizer_config
+        if addressed_problem not in ("c", "r"):
+            raise ValueError("param <addressed_problem> not in ['c','r']")
+        if not isinstance(extra_metrics, (dict, type(None))):
+            raise TypeError("type of param <extra_metrics> must be None or dict")
+
+        if isinstance(optimizer, str):
+            optimizer = optimizer_config(optimizer)
+        self.optimizer_config = optimizer
+        self.loss_function = loss_function
+        self.loss_args = dict() if loss_arguments is None else dict(loss_arguments)
+        self.addressed_problem = addressed_problem
+        self.extra_metrics = dict() if extra_metrics is None else extra_metrics
+        self.mt_args = dict() if extra_metrics_arguments is None else extra_metrics_arguments
+
+        if path_writer[-1] != "/":
+            path_writer += "/"
+        if not isinstance(namespace, list):
+            namespace = [namespace]
+        if os.path.exists(path_writer):
+            shutil.rmtree(path_writer)
+        self.path_writer = path_writer
+        self.namespace = namespace
+        self.history = dict()
+
+    # ------------------------------------------------------------- abstract
+    @abstractmethod
+    def copy(self, *, path_writer: str = "", namespace: str = "", copy_weights: bool = True):
+        ...
+
+    @abstractmethod
+    def save(self, path: str) -> None:
+        ...
+
+    @classmethod
+    @abstractmethod
+    def load(cls, path: str, path_writer: Optional[str] = None,
+             namespace: Optional[str] = None, extra_metrics: Optional[dict] = None,
+             extra_metrics_arguments: Optional[dict] = None):
+        ...
+
+    @abstractmethod
+    def get_weights(self):
+        """(weights_state, weights_output) — lists with one entry per layer."""
+        ...
+
+    @abstractmethod
+    def set_weights(self, weights_state, weights_output) -> None:
+        ...
+
+    @abstractmethod
+    def evaluate_single_graph(self, gb: GraphBatch, training: bool) -> tuple:
+        """Returns (iters, loss, targets_sel, out_sel) with host numpy rows
+        already filtered to selected (real) targets."""
+        ...
+
+    @abstractmethod
+    def training_step(self, gb: GraphBatch, mean: bool) -> None:
+        ...
+
+    @abstractmethod
+    def _weight_summaries(self):
+        """[(namespace, net_name, [(leaf_name, array), ...]) ...] for logging."""
+        ...
+
+    # ------------------------------------------------------------- history
+    def printHistory(self) -> None:
+        from pandas import DataFrame
+        print("\n", DataFrame(self.history), end="\n\n")
+
+    def saveHistory_csv(self, path: str) -> None:
+        from pandas import DataFrame
+        if path[-4:] != ".csv":
+            path += ".csv"
+        DataFrame(self.history).to_csv(path, index=False)
+
+    def saveHistory_txt(self, path: str) -> None:
+        from pandas import DataFrame
+        if path[-4:] != ".txt":
+            path += ".txt"
+        with open(path, "w") as txt:
+            txt.write(DataFrame(self.history).to_string(index=False))
+
+    # ------------------------------------------------------------ checktype
+    def checktype(self, elem) -> Optional[list]:
+        """Coerce Graph/GraphBatch or list thereof to list[GraphBatch]
+        (reference GNN_BaseClass.py:413-425)."""
+        if elem is None:
+            return None
+        if isinstance(elem, GraphBatch):
+            return [elem]
+        if isinstance(elem, Graph):
+            return [self.to_batch(elem)]
+        if isinstance(elem, (list, tuple)) and all(isinstance(g, (Graph, GraphBatch)) for g in elem):
+            return [self.to_batch(g) if isinstance(g, Graph) else g for g in elem]
+        raise TypeError("Error - <gTr> and/or <gVa> are not Graph/GraphBatch or "
+                        "LIST/TUPLE of Graphs/GraphBatches")
+
+    def to_batch(self, g: Graph) -> GraphBatch:
+        return GraphBatch.from_graph(g)
+
+    # ------------------------------------------------------------- evaluate
+    def evaluate(self, g) -> tuple:
+        """Metrics over a graph list (GNN_BaseClass.py:165-189)."""
+        g = self.checktype(g)
+        iters, losses, targets, outs = zip(
+            *[self.evaluate_single_graph(b, training=False) for b in g])
+        # flatten per-layer iteration lists (LGNN) before averaging
+        flat_iters = []
+        for it in iters:
+            flat_iters.extend(it if isinstance(it, (list, tuple)) else [it])
+        targets = np.concatenate(targets, axis=0)
+        y_score = np.concatenate(outs, axis=0)
+        if self.addressed_problem == "c":
+            y_true = np.argmax(targets, axis=1)
+            y_pred = np.argmax(y_score, axis=1)
+        else:
+            y_true, y_pred = targets, y_score
+        metrics = {k: self.extra_metrics[k](y_true, y_pred, **self.mt_args.get(k, dict()))
+                   for k in self.extra_metrics}
+        metrics = {k: float(np.mean(metrics[k])) for k in metrics}
+        metrics["It"] = int(np.mean(flat_iters))
+        metrics["Loss"] = float(np.mean(losses))
+        return metrics, y_true, y_pred, targets, y_score
+
+    # ---------------------------------------------------------------- train
+    def train(self, gTr, epochs: int, gVa=None, update_freq: int = 10,
+              max_fails: int = 10, observed_metric: str = "Loss", policy: str = "min",
+              *, mean: bool = True, verbose: int = 3) -> None:
+        if verbose not in range(4):
+            raise ValueError("param <verbose> not in [0,1,2,3]")
+
+        def update_history(name, val):
+            if name not in ("Tr", "Va"):
+                raise TypeError("param <name> must be 'Tr' or 'Va'")
+            for key in val:
+                self.history[f"{key} {name}"].append(val[key])
+
+        def reset_validation(new_best):
+            wst, wout = self.get_weights()
+            return new_best, 0, wst, wout
+
+        gTr = self.checktype(gTr)
+        gVa = self.checktype(gVa)
+
+        if not self.history:
+            keys = ["Epoch"] + [i + j for i in ["It", "Loss"] + list(self.extra_metrics)
+                                for j in ([" Tr", " Va"] if gVa else [" Tr"])]
+            if gVa:
+                keys += ["Fail", f"Best {observed_metric} Va"]
+            self.history.update({i: list() for i in keys})
+            os.makedirs(self.path_writer, exist_ok=True)
+
+        netS_writer = ScalarWriter(f"{self.path_writer}Net - State.jsonl")
+        netO_writer = ScalarWriter(f"{self.path_writer}Net - Output.jsonl")
+        training_writer = ScalarWriter(f"{self.path_writer}Training.jsonl")
+        if gVa:
+            assert policy in ("min", "max")
+            best_valid_key = f"Best {observed_metric} Va"
+            policy_function, valid_new = (np.less, 1e30) if policy == "min" else (np.greater, -1e30)
+            if self.history.get(best_valid_key):
+                valid_new = self.history[best_valid_key][-1]
+            valid_best, valid_fails, ws, wo = reset_validation(valid_new)
+            validation_writer = ScalarWriter(f"{self.path_writer}Validation.jsonl")
+
+        initial_epoch = self.history["Epoch"][-1] + 1 if self.history["Epoch"] else 0
+        epochs += initial_epoch
+
+        e = initial_epoch
+        for e in range(initial_epoch, epochs):
+            for i, elem in enumerate(gTr):
+                self.training_step(elem, mean=mean)
+                if verbose > 2:
+                    print(f" > Epoch {e:4d}/{epochs} \t\t> Batch {i + 1:4d}/{len(gTr)}", end="\r")
+
+            if e % update_freq == 0:
+                metricsTr, *_ = self.evaluate(gTr)
+                self.history["Epoch"].append(e)
+                update_history("Tr", metricsTr)
+                training_writer.write_scalars(metricsTr, e)
+                for ns, net, leaves in self._weight_summaries():
+                    (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
+
+            if (e % update_freq == 0) and gVa:
+                metricsVa, *_ = self.evaluate(gVa)
+                valid_new = metricsVa[observed_metric]
+                if policy_function(valid_new, valid_best):
+                    valid_best, valid_fails, ws, wo = reset_validation(valid_new)
+                else:
+                    valid_fails += 1
+                self.history[best_valid_key].append(valid_best)
+                self.history["Fail"].append(valid_fails)
+                update_history("Va", metricsVa)
+                validation_writer.write_scalars(metricsVa, e)
+                if valid_fails >= max_fails:
+                    if verbose in (1, 3):
+                        self.printHistory()
+                    print("\r Validation Stop")
+                    break
+
+            if (e % update_freq == 0) and verbose in (1, 3):
+                self.printHistory()
+        else:
+            if verbose > 0:
+                print("\r End of Epochs Stop")
+
+        if gVa:
+            self.set_weights(ws, wo)
+
+        for ns, net, leaves in self._weight_summaries():
+            (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
+
+    # ----------------------------------------------------------------- test
+    def test(self, gTe, *, rocdir: str = "", micro_and_macro: bool = False,
+             prisofsdir: str = "", pos_label=0) -> dict:
+        gTe = self.checktype(gTe)
+        metricsTe, y_true, y_pred, targets, y_score = self.evaluate(gTe)
+        if rocdir:
+            mt.ROC(targets, y_score, rocdir, micro_and_macro, pos_label=pos_label)
+        if prisofsdir:
+            mt.PRISOFS(targets, y_score, prisofsdir, pos_label=pos_label)
+        return metricsTe
+
+    # ------------------------------------------------------------------ LKO
+    def LKO(self, batches, epochs: int = 500, training_mode=None, update_freq: int = 10,
+            max_fails: int = 10, observed_metric: str = "Loss", policy: str = "min",
+            mean: bool = True, verbose: int = 3) -> dict:
+        metrics = {i: list() for i in list(self.extra_metrics) + ["It", "Loss"]}
+        kwargs = dict()
+        if training_mode:
+            kwargs["training_mode"] = training_mode
+
+        number_of_batches = len(batches[0])
+        for i, (gTr, gTe, gVa) in enumerate(zip(*batches)):
+            print(f"\nBATCH K-OUT {i + 1}/{number_of_batches}")
+            temp = self.copy(copy_weights=False, path_writer=f"{self.path_writer}{i}",
+                             namespace=f"Batch {i + 1}-{number_of_batches}")
+            temp.train(gTr, epochs, gVa, update_freq, max_fails, observed_metric,
+                       policy, mean=mean, verbose=verbose, **kwargs)
+            res = temp.test(gTe)
+            for m in res:
+                metrics[m].append(res[m])
+            if verbose > 1:
+                from pandas import DataFrame
+                print(f"\nRESULTS BATCH {i + 1}/{number_of_batches}\n",
+                      DataFrame(res, index=["res"]).transpose())
+        return metrics
+
+
+# -------------------------------------------------------------- param (de)ser
+def tree_to_npz(path: str, tree) -> None:
+    """Save a pytree of arrays as one .npz (keys = tree paths)."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        flat[jax.tree_util.keystr(kp)] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def tree_from_npz(path: str, like):
+    """Load a pytree saved with tree_to_npz, shaped like `like`."""
+    data = np.load(path)
+    leaves_kp = jax.tree_util.tree_leaves_with_path(like)
+    new_leaves = [data[jax.tree_util.keystr(kp)] for kp, _ in leaves_kp]
+    treedef = jax.tree_util.tree_structure(like)
+    import jax.numpy as jnp
+    return jax.tree_util.tree_unflatten(treedef, [jnp.asarray(x) for x in new_leaves])
