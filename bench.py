@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark: edges/s/chip through the state-propagation loop on the MUTAG
+workload (BASELINE.md north star).
+
+Workload: all 4337 Mutagenicity graphs merged into ONE disjoint-union graph
+(131,488 nodes / 266,894 directed edges — load_MUTAG.py scale), flagship
+starter config (graph focus, selu state net, 5 max iterations, threshold 0.01,
+Adam). Two timings:
+
+  * train:   full jitted training step (fwd propagation + backward + Adam)
+  * forward: jitted inference forward
+
+Primary metric: edges/s through the propagation loop during the full training
+step = E_real * iters / step_time.
+
+vs_baseline: ratio against a single-thread-ish CPU reference implementation of
+the same propagation loop (scipy CSR SpMM + BLAS MLP — the same kernels the
+TF2 reference rides on CPU; the reference publishes no numbers, BASELINE.md).
+The CPU number is measured once and cached in BENCH_BASELINE.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+MUTAG_PATH = os.environ.get("MUTAG_PATH", "/root/reference/MUTAG_raw/")
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_BASELINE.json")
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+
+
+def build_workload():
+    from gnn_tpu.graphs.batch import GraphBatch
+    from gnn_tpu.graphs.datasets import load_mutag
+    from gnn_tpu.graphs.graph import Graph
+
+    graphs = load_mutag(MUTAG_PATH)
+    merged = Graph.merge(graphs, focus="g", aggregation_mode="average")
+
+    def pad128(n):
+        return -(-n // 128) * 128
+
+    gb = GraphBatch.from_graph(merged, node_pad=pad128(merged.n_nodes),
+                               edge_pad=pad128(merged.n_arcs),
+                               target_pad=pad128(merged.targets.shape[0]))
+    return merged, gb
+
+
+def build_model(nl, al, dt):
+    import jax
+    from gnn_tpu.models.core import GNNSpec, gnn_init
+    from gnn_tpu.ops.mlp import MLPSpec, get_inout_dims
+
+    in_s, layers_s = get_inout_dims("state", nl, al, dt, "g", 0, None)
+    in_o, layers_o = get_inout_dims("output", nl, al, dt, "g", 0, None)
+    state_spec = MLPSpec(input_dim=in_s, units=tuple(layers_s), activations="selu",
+                         kernel_initializer="lecun_normal",
+                         bias_initializer="lecun_normal",
+                         dropout_rate=(0.1,), dropout_pos=(0,), alphadropout=True)
+    out_spec = MLPSpec(input_dim=in_o, units=tuple(layers_o), activations="softmax",
+                       kernel_initializer="glorot_normal",
+                       bias_initializer="glorot_normal",
+                       dropout_rate=(0.1,), dropout_pos=(0,),
+                       batch_normalization=False)
+    spec = GNNSpec(focus="g", state_spec=state_spec, output_spec=out_spec,
+                   state_dim=0, max_iteration=5, threshold=0.01,
+                   aggregation=os.environ.get("BENCH_AGG", "auto"))
+    params, bn = gnn_init(spec, jax.random.key(0))
+    return spec, params, bn
+
+
+def cpu_reference_edges_per_s(merged, iters=5):
+    """Reference-equivalent CPU propagation loop: scipy CSR SpMM (A^T @ S) +
+    BLAS dense MLP — what tf.sparse.sparse_dense_matmul + Keras Dense do on
+    CPU under the TF2 reference (GNN.py:223-242)."""
+    import scipy.sparse as sp
+
+    n, e = merged.n_nodes, merged.n_arcs
+    nl = merged.DIM_NODE_LABEL
+    al = merged.DIM_ARC_LABEL
+    w = merged.edge_weights().astype(np.float32)
+    A = sp.coo_matrix((w, (merged.dst, merged.src)), shape=(n, n)).tocsr()
+    AN = sp.coo_matrix((w, (merged.dst, np.arange(e))), shape=(n, e)).tocsr()
+    arc_labels = merged.arc_labels.astype(np.float32)
+    in_dim = al + 2 * nl
+    W1 = np.random.default_rng(0).standard_normal((in_dim, nl)).astype(np.float32)
+    b1 = np.zeros(nl, np.float32)
+
+    agg_arcs = AN @ arc_labels
+    state = merged.nodes.astype(np.float32)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        s = state
+        for _ in range(iters):
+            agg = A @ s
+            inp = np.concatenate([s, agg, agg_arcs], axis=1)
+            h = inp @ W1 + b1
+            s = 1.0507009873554805 * np.where(h > 0, h, 1.6732632423543772 * (np.exp(h) - 1))
+    dt = (time.perf_counter() - t0) / reps
+    return e * iters / dt
+
+
+def main():
+    import jax
+
+    merged, gb = build_workload()
+    E = merged.n_arcs
+    spec, params, bn = build_model(merged.DIM_NODE_LABEL, merged.DIM_ARC_LABEL,
+                                   merged.DIM_TARGET)
+
+    # CPU reference baseline (cached)
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            base = json.load(f)
+    else:
+        base = {"cpu_ref_edges_per_s": cpu_reference_edges_per_s(merged),
+                "note": "scipy CSR SpMM + BLAS MLP propagation loop on host CPU, "
+                        "stand-in for the TF2 reference (no published numbers)"}
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(base, f)
+    cpu_ref = base["cpu_ref_edges_per_s"]
+
+    from gnn_tpu.models.core import make_eval_step, make_train_step
+    from gnn_tpu.training.optimizers import make_optimizer, optimizer_config
+
+    cfg = optimizer_config("adam", learning_rate=1e-3)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    train = make_train_step(spec, "categorical_crossentropy", {"from_logits": False},
+                            cfg, mean=True)
+    ev = make_eval_step(spec, "categorical_crossentropy", {"from_logits": False})
+
+    # warmup / compile
+    p, b, o = params, bn, opt_state
+    p, b, o, iters = train(p, b, o, gb, jax.random.key(0))
+    jax.block_until_ready(p)
+    it_f = float(iters)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        p, b, o, iters = train(p, b, o, gb, jax.random.key(i + 1))
+    jax.block_until_ready(p)
+    train_dt = (time.perf_counter() - t0) / STEPS
+    iters_mean = float(iters)
+
+    out = ev(p, b, gb, jax.random.key(99))
+    jax.block_until_ready(out[1])
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        out = ev(p, b, gb, jax.random.key(i))
+    jax.block_until_ready(out[1])
+    fwd_dt = (time.perf_counter() - t0) / STEPS
+
+    train_eps = E * iters_mean / train_dt
+    fwd_eps = E * iters_mean / fwd_dt
+
+    result = {
+        "metric": "edges_per_s_per_chip_train_step",
+        "value": round(train_eps),
+        "unit": "edges/s",
+        "vs_baseline": round(train_eps / cpu_ref, 3),
+        "forward_edges_per_s": round(fwd_eps),
+        "train_step_ms": round(train_dt * 1e3, 2),
+        "forward_ms": round(fwd_dt * 1e3, 2),
+        "iters": iters_mean,
+        "edges": E,
+        "nodes": merged.n_nodes,
+        "cpu_ref_edges_per_s": round(cpu_ref),
+        "device": str(jax.devices()[0]),
+        "aggregation": spec.aggregation,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,7 +91,7 @@ def load_mutag(path: str = "MUTAG_raw/", aggregation_mode: str = "average") -> L
     (reference load_MUTAG.py:1-52 — vectorised instead of the per-graph python
     relabelling loop)."""
     j = os.path.join
-    edges_ids = np.loadtxt(j(path, "Mutagenicity_edges.txt"), dtype=int, delimiter=", ")
+    edges_ids = np.loadtxt(j(path, "Mutagenicity_edges.txt"), dtype=int, delimiter=",")
     edges_l = np.loadtxt(j(path, "Mutagenicity_edge_labels.txt"), dtype=int)
     nodes_l = np.loadtxt(j(path, "Mutagenicity_node_labels.txt"), dtype=int)
     gids_nodes = np.loadtxt(j(path, "Mutagenicity_graph_indicator.txt"), dtype=int)

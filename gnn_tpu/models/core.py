@@ -52,6 +52,9 @@ class GNNSpec:
     :param max_iteration: max propagation steps (GNN.py:62).
     :param threshold: convergence threshold (GNN.py:63).
     :param aggregation: kernel strategy 'auto' | 'segment' | 'onehot' | 'pallas'.
+    :param shard_axis: mesh axis name when running inside shard_map with
+        edge-sharded batches — partial per-shard aggregations are psum-ed over
+        this axis every iteration (parallel/edge_shard.py).
     """
     focus: str
     state_spec: MLPSpec
@@ -60,6 +63,7 @@ class GNNSpec:
     max_iteration: int = 5
     threshold: float = 0.01
     aggregation: str = "auto"
+    shard_axis: Optional[str] = None
 
     def __post_init__(self):
         if self.focus not in ("n", "a", "g"):
@@ -98,8 +102,12 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     nm = gb.node_mask
 
     def agg(values_per_edge):
-        return aggregate_to_nodes(values_per_edge, gb.edge_w, gb.dst, Np,
-                                  strategy=spec.aggregation)
+        r = aggregate_to_nodes(values_per_edge, gb.edge_w, gb.dst, Np,
+                               strategy=spec.aggregation)
+        if spec.shard_axis is not None:
+            # edge-sharded SPMD: combine the per-shard partial aggregations
+            r = jax.lax.psum(r, spec.shard_axis)
+        return r
 
     # precomputed aggregations (GNN.py:259-263)
     agg_arcs = agg(gb.arc_labels)

@@ -1,0 +1,121 @@
+"""Edge-partitioned propagation: graph scaling across chips.
+
+The big-graph analogue of sequence parallelism (SURVEY.md §5): the merged
+graph's EDGES are sharded over mesh axis 'graph'; node state is replicated.
+Each device computes the weighted segment-sum of its edge shard's messages and
+the partial aggregations are `psum`-ed over ICI every propagation iteration
+(models/core.py threads `spec.shard_axis` into the aggregation closure).
+Gradients are obtained by differentiating *through* the shard_map — JAX
+transposes the psum collectives, so the edge-path gradient contributions are
+combined exactly.
+
+This halo-free pattern is exact and communication-light when state_dim is
+small (one [N, D] psum per iteration); a node-sharded all_gather/
+reduce_scatter variant for HBM-exceeding graphs is the planned next step.
+
+Supported focuses: 'n' and 'g' (node-level supervision structures are
+replicated). Edge-focused models scale via data parallelism instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.models.core import GNNSpec, evaluate_single, regularization
+from gnn_tpu.training.optimizers import make_optimizer
+
+_EDGE_FIELDS = ("src", "dst", "arc_labels", "edge_w", "edge_mask")
+
+
+def _gb_pspecs(axis: str, focus: str) -> GraphBatch:
+    """GraphBatch-shaped tree of PartitionSpecs: edge fields sharded, rest
+    replicated. `focus` must match the real batch (pytree static metadata)."""
+    kw = {}
+    for f in dataclasses.fields(GraphBatch):
+        if f.name == "focus":
+            continue
+        kw[f.name] = P(axis) if f.name in _EDGE_FIELDS else P()
+    return GraphBatch(focus=focus, **kw)
+
+
+def shard_edges(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> GraphBatch:
+    """Place a GraphBatch with edge arrays sharded over mesh[axis] and
+    node/target arrays replicated."""
+    if gb.focus == "a":
+        raise NotImplementedError("edge-focused models scale via data parallelism")
+    n = mesh.shape[axis]
+    if gb.n_edge_pad % n:
+        raise ValueError(f"edge pad {gb.n_edge_pad} not divisible by axis size {n}")
+    out = {}
+    for f in dataclasses.fields(GraphBatch):
+        if f.name == "focus":
+            continue
+        leaf = getattr(gb, f.name)
+        spec = P(axis) if f.name in _EDGE_FIELDS else P()
+        out[f.name] = jax.device_put(leaf, NamedSharding(mesh, spec))
+    return GraphBatch(focus=gb.focus, **out)
+
+
+def make_edge_sharded_train_step(spec: GNNSpec, loss_name: str,
+                                 loss_args: Optional[dict], optimizer_cfg: dict,
+                                 mesh: Mesh, axis: str = "graph", mean: bool = True):
+    """Jitted training step over an edge-sharded single graph batch.
+
+    step(params, bn, opt_state, gb_sharded, rng) -> (params, bn, opt_state, iters)
+    """
+    if spec.focus == "a":
+        raise NotImplementedError("edge-focused models scale via data parallelism")
+    loss_args = dict(loss_args or {})
+    sspec = dataclasses.replace(spec, shard_axis=axis)
+    opt = make_optimizer(optimizer_cfg)
+
+    def shard_loss(params, bn, gb, rng):
+        iters, loss, res = evaluate_single(sspec, params, bn, gb, rng, loss_name,
+                                           loss_args, training=True)
+        return loss, (iters, res["bn"])
+
+    mapped = jax.shard_map(
+        shard_loss, mesh=mesh,
+        in_specs=(P(), P(), _gb_pspecs(axis, spec.focus), P()),
+        out_specs=(P(), (P(), P())),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, bn, opt_state, gb, rng):
+        def loss_fn(p):
+            loss, aux = mapped(p, bn, gb, rng)
+            return loss + regularization(sspec, p), aux
+
+        grads, (iters, new_bn) = jax.grad(loss_fn, has_aux=True)(params)
+        if mean:
+            denom = jnp.maximum(iters, 1.0)
+            grads = {**grads, "state": jax.tree_util.tree_map(
+                lambda g: g / denom, grads["state"])}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, new_bn, opt_state, iters
+
+    return step
+
+
+def make_edge_sharded_forward(spec: GNNSpec, mesh: Mesh, axis: str = "graph"):
+    """Jitted sharded inference: forward(params, bn, gb_sharded, rng) ->
+    (iters, out_rows)."""
+    from gnn_tpu.models.core import gnn_forward
+    sspec = dataclasses.replace(spec, shard_axis=axis)
+
+    def fwd(params, bn, gb, rng):
+        res = gnn_forward(sspec, params, bn, gb, rng, training=False)
+        return res["iters"], res["out"]
+
+    mapped = jax.shard_map(fwd, mesh=mesh,
+                           in_specs=(P(), P(), _gb_pspecs(axis, spec.focus), P()),
+                           out_specs=(P(), P()),
+                           check_vma=False)
+    return jax.jit(mapped)

@@ -1,0 +1,166 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data parallelism, edge-sharded
+propagation, hybrid 2-D mesh — all checked for exact numerical agreement with
+the single-device step (SURVEY.md §4 multi-device strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.graphs.datasets import random_graph
+from gnn_tpu.models.core import (GNNSpec, evaluate_single, gnn_init,
+                                 make_train_step, regularization)
+from gnn_tpu.ops.mlp import MLPSpec
+from gnn_tpu.parallel import (make_dp_train_step, make_edge_sharded_train_step,
+                              make_mesh, shard_batches, shard_edges)
+from gnn_tpu.parallel.hybrid import make_hybrid_train_step, shard_batches_2d
+from gnn_tpu.training.optimizers import make_optimizer, optimizer_config
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    ss = MLPSpec(input_dim=1 + 2 * 3, units=(3,), activations="tanh",
+                 batch_normalization=False)
+    os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                  batch_normalization=False)
+    spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_, max_iteration=5,
+                   threshold=0.01, aggregation="segment")
+    params, bn = gnn_init(spec, jax.random.key(0))
+    return rng, spec, params, bn
+
+
+def leaves_close(a, b, atol=1e-4):
+    return all(np.allclose(np.asarray(x), np.asarray(y), atol=atol)
+               for x, y in zip(jax.tree_util.tree_leaves(a),
+                               jax.tree_util.tree_leaves(b)))
+
+
+class TestDataParallel:
+    def test_dp_equals_mean_of_per_batch_grads(self, setup):
+        rng, spec, params, bn = setup
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        mesh = make_mesh({"data": 8})
+        gs = [random_graph(20, 3, 1, 2, 0.5, focus="n", rng=rng) for _ in range(8)]
+        batches = [GraphBatch.from_graph(g, node_pad=128, edge_pad=256, target_pad=128)
+                   for g in gs]
+        stacked = shard_batches(batches, mesh)
+        rngs = jax.random.split(jax.random.key(1), 8)
+        dp = make_dp_train_step(spec, "mse", None, sgd, mesh, mean=False)
+        p_dp, _, _, _ = dp(params, bn, make_optimizer(sgd).init(params), stacked, rngs)
+
+        gsum = None
+        for gb, rk in zip(batches, rngs):
+            def f(p, gb=gb, rk=rk):
+                _, loss, _ = evaluate_single(spec, p, bn, gb, rk, "mse", {},
+                                             training=True)
+                return loss + regularization(spec, p)
+            g1 = jax.grad(f)(params)
+            gsum = g1 if gsum is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, gsum, g1)
+        expect = jax.tree_util.tree_map(lambda p, g: p - g / 8, params, gsum)
+        assert leaves_close(p_dp, expect, atol=1e-5)
+
+    def test_shard_batches_validates_count(self, setup):
+        rng, spec, params, bn = setup
+        mesh = make_mesh({"data": 8})
+        g = random_graph(10, 3, 1, 2, 0.5, focus="n", rng=rng)
+        b = GraphBatch.from_graph(g)
+        with pytest.raises(ValueError):
+            shard_batches([b] * 3, mesh)
+
+
+class TestEdgeSharded:
+    def test_matches_single_device_step(self, setup):
+        rng, spec, params, bn = setup
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        mesh = make_mesh({"graph": 8})
+        g = random_graph(100, 3, 1, 2, 0.3, focus="n", rng=rng)
+        gb = GraphBatch.from_graph(g, node_pad=128, edge_pad=2048, target_pad=128)
+        gb_sh = shard_edges(gb, mesh, "graph")
+        es = make_edge_sharded_train_step(spec, "mse", None, sgd, mesh, mean=False)
+        ref = make_train_step(spec, "mse", None, sgd, mean=False)
+        rk = jax.random.key(2)
+        p_es, _, _, it_es = es(params, bn, make_optimizer(sgd).init(params), gb_sh, rk)
+        p_ref, _, _, it_ref = ref(params, bn, make_optimizer(sgd).init(params), gb, rk)
+        assert float(it_es) == float(it_ref)
+        assert leaves_close(p_es, p_ref)
+
+    def test_graph_focus_sharded(self, setup):
+        rng, spec, params, bn = setup
+        from gnn_tpu.graphs.graph import Graph
+        gs = [random_graph(12, 3, 1, 2, 0.5, focus="g", rng=rng) for _ in range(4)]
+        merged = Graph.merge(gs, focus="g", aggregation_mode="average")
+        gb = GraphBatch.from_graph(merged, node_pad=128, edge_pad=512, target_pad=128)
+        gspec = GNNSpec(focus="g", state_spec=spec.state_spec,
+                        output_spec=spec.output_spec, max_iteration=3,
+                        threshold=0.01, aggregation="segment")
+        params_g, bn_g = gnn_init(gspec, jax.random.key(1))
+        mesh = make_mesh({"graph": 8})
+        gb_sh = shard_edges(gb, mesh, "graph")
+        sgd = optimizer_config("sgd", learning_rate=0.5)
+        es = make_edge_sharded_train_step(gspec, "categorical_crossentropy",
+                                          {"from_logits": False}, sgd, mesh)
+        ref = make_train_step(gspec, "categorical_crossentropy",
+                              {"from_logits": False}, sgd)
+        rk = jax.random.key(3)
+        p_es, _, _, _ = es(params_g, bn_g, make_optimizer(sgd).init(params_g), gb_sh, rk)
+        p_ref, _, _, _ = ref(params_g, bn_g, make_optimizer(sgd).init(params_g), gb, rk)
+        assert leaves_close(p_es, p_ref)
+
+    def test_edge_focus_rejected(self, setup):
+        rng, spec, params, bn = setup
+        import dataclasses
+        aspec = dataclasses.replace(spec, focus="a")
+        mesh = make_mesh({"graph": 8})
+        with pytest.raises(NotImplementedError):
+            make_edge_sharded_train_step(aspec, "mse", None,
+                                         optimizer_config("sgd"), mesh)
+
+
+class TestHybrid:
+    def test_hybrid_2d_runs_and_is_finite(self, setup):
+        rng, spec, params, bn = setup
+        mesh = make_mesh({"data": 2, "graph": 4})
+        gs = [random_graph(30, 3, 1, 2, 0.4, focus="n", rng=rng) for _ in range(2)]
+        batches = [GraphBatch.from_graph(g, node_pad=64, edge_pad=512, target_pad=64)
+                   for g in gs]
+        gb2d = shard_batches_2d(batches, mesh)
+        cfg = optimizer_config("adam", learning_rate=1e-3)
+        step = make_hybrid_train_step(spec, "mse", None, cfg, mesh)
+        rngs = jax.random.split(jax.random.key(0), 2)
+        p2, b2, o2, iters = step(params, bn, make_optimizer(cfg).init(params),
+                                 gb2d, rngs)
+        assert float(iters) > 0
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(p2))
+
+    def test_hybrid_single_data_replica_matches_edge_sharded(self, setup):
+        rng, spec, params, bn = setup
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        g = random_graph(40, 3, 1, 2, 0.4, focus="n", rng=rng)
+        gb = GraphBatch.from_graph(g, node_pad=64, edge_pad=1024, target_pad=64)
+        mesh = make_mesh({"data": 1, "graph": 8})
+        gb2d = shard_batches_2d([gb], mesh)
+        hyb = make_hybrid_train_step(spec, "mse", None, sgd, mesh, mean=False)
+        ref = make_train_step(spec, "mse", None, sgd, mean=False)
+        rngs = jax.random.split(jax.random.key(5), 1)
+        p_h, _, _, _ = hyb(params, bn, make_optimizer(sgd).init(params), gb2d, rngs)
+        p_r, _, _, _ = ref(params, bn, make_optimizer(sgd).init(params), gb, rngs[0])
+        assert leaves_close(p_h, p_r)
+
+
+class TestGraftEntry:
+    def test_entry_and_dryrun(self):
+        import importlib.util
+        s = importlib.util.spec_from_file_location("ge", "/root/repo/__graft_entry__.py")
+        ge = importlib.util.module_from_spec(s)
+        s.loader.exec_module(ge)
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.ndim == 2 and np.isfinite(np.asarray(out)).all()
+        ge.dryrun_multichip(8)
