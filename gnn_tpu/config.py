@@ -7,9 +7,29 @@ throughput — MXU matmuls then run in bf16 with f32 accumulation.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 _FLOATX = np.float32
+
+
+def enable_compilation_cache(path: str = "~/.cache/gnn_tpu_xla") -> None:
+    """Enable JAX's persistent compilation cache. Large-scatter TPU compiles
+    run minutes through remote-compile tunnels; caching makes them one-time."""
+    import jax
+
+    p = os.path.expanduser(path)
+    os.makedirs(p, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", p)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+if not os.environ.get("GNN_TPU_NO_CACHE"):
+    try:
+        enable_compilation_cache()
+    except Exception:
+        pass
 
 
 def floatx():

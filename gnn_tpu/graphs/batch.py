@@ -63,8 +63,16 @@ class GraphBatch:
     # --- bookkeeping (device scalars, not used in compute) ---
     n_real: jnp.ndarray          # [3] int32 = (n_nodes, n_arcs, n_targets)
 
+    # --- optional Pallas block-sparse aggregation plan (ops/pallas_segment) ---
+    agg_plan: Optional[object] = None  # AggPlanPair or None
+
     # --- static ---
     focus: str = struct.field(pytree_node=False, default="n")
+    # edges stored sorted by dst (enables sorted segment reductions and the
+    # Pallas tiled kernel; semantically transparent — aggregation is
+    # order-invariant and arc-order-dependent structures are permuted
+    # consistently at build time)
+    edges_sorted: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------ sizes
     @property
@@ -95,8 +103,18 @@ class GraphBatch:
     @classmethod
     def from_graph(cls, g: Graph, *, node_pad: Optional[int] = None,
                    edge_pad: Optional[int] = None, target_pad: Optional[int] = None,
-                   dtype=None) -> "GraphBatch":
-        """Pad + upload a host Graph. Pads are bucketed unless given explicitly."""
+                   dtype=None, sort_edges: bool = True,
+                   build_plan: bool = False) -> "GraphBatch":
+        """Pad + upload a host Graph. Pads are bucketed unless given explicitly.
+
+        sort_edges=True stores edges sorted by destination node (stable), with
+        every arc-order-dependent structure (labels, edge-level masks,
+        out_index) permuted consistently — results are identical, and sorted
+        destinations unlock faster TPU segment reductions.
+
+        build_plan=True additionally precomputes the block-sparse Pallas
+        aggregation plan (ops/pallas_segment.build_agg_plan) used by the
+        'pallas' aggregation strategy."""
         dt = dtype or floatx()
         N, E, T = g.n_nodes, g.n_arcs, g.targets.shape[0]
         Np = node_pad or pad_size(N)
@@ -116,15 +134,30 @@ class GraphBatch:
         graph_ids = padf(g.graph_ids(), Np)
         pool_w = padf(g.pool_weights().astype(dt), Np)
 
-        src = padf(g.src, Ep)
-        dst = padf(g.dst, Ep)
-        arc_labels = padf(g.arc_labels.astype(dt), Ep)
-        edge_w = padf(g.edge_weights().astype(dt), Ep)
+        # optional stable sort of edges by destination; perm maps
+        # new position -> original arc index, inv maps original -> new
+        if sort_edges:
+            perm = np.argsort(g.dst, kind="stable")
+        else:
+            perm = np.arange(E)
+        inv = np.empty(E, dtype=np.int64)
+        inv[perm] = np.arange(E)
+
+        src = padf(g.src[perm], Ep)
+        # padded edges keep dst = Np-1 fill? no: weight-0 edges at dst 0 are
+        # harmless but would break sortedness; point them at the LAST node so
+        # the dst sequence stays non-decreasing
+        dst = padf(g.dst[perm], Ep, fill=(N - 1) if sort_edges else 0)
+        arc_labels = padf(g.arc_labels[perm].astype(dt), Ep)
+        edge_w = padf(g.edge_weights()[perm].astype(dt), Ep)
         edge_mask = padf(np.ones(E, dtype=bool), Ep, False)
 
-        ent_pad = Ep if g.focus == "a" else Np
-        set_mask = padf(g.set_mask, ent_pad, False)
-        output_mask = padf(g.output_mask, ent_pad, False)
+        if g.focus == "a":
+            set_mask = padf(g.set_mask[perm], Ep, False)
+            output_mask = padf(g.output_mask[perm], Ep, False)
+        else:
+            set_mask = padf(g.set_mask, Np, False)
+            output_mask = padf(g.output_mask, Np, False)
 
         targets = padf(g.targets.astype(dt), Tp)
         sample_weights = padf(g.sample_weights.astype(dt), Tp)
@@ -140,8 +173,11 @@ class GraphBatch:
             if len(ent_idx) != T:
                 raise ValueError(
                     f"targets rows ({T}) != output-masked entities ({len(ent_idx)})")
+            if g.focus == "a":
+                # arcs were permuted: map original arc indices to new positions
+                ent_idx = inv[ent_idx].astype(np.int32)
             out_index = padf(ent_idx, Tp)
-            sel = padf(g.set_mask[ent_idx], Tp, False)
+            sel = padf(g.set_mask[np.nonzero(g.output_mask)[0]], Tp, False)
 
         return cls(
             nodes=jnp.asarray(nodes), node_mask=jnp.asarray(node_mask),
@@ -153,7 +189,8 @@ class GraphBatch:
             targets=jnp.asarray(targets), sample_weights=jnp.asarray(sample_weights),
             out_index=jnp.asarray(out_index), sel_mask=jnp.asarray(sel),
             n_real=jnp.asarray([N, E, T], dtype=np.int32),
-            focus=g.focus,
+            agg_plan=(_build_plan(src, dst, edge_w, Np) if build_plan else None),
+            focus=g.focus, edges_sorted=bool(sort_edges),
         )
 
     # ------------------------------------------------------------- utilities
@@ -172,6 +209,11 @@ class GraphBatch:
 
     def pad_shapes(self) -> Tuple[int, int, int]:
         return (self.n_node_pad, self.n_edge_pad, self.n_target_pad)
+
+
+def _build_plan(src, dst, edge_w, num_nodes):
+    from gnn_tpu.ops.pallas_segment import build_agg_plan_v2
+    return build_agg_plan_v2(src, dst, edge_w, num_nodes)
 
 
 def batch_key(gb: GraphBatch) -> tuple:

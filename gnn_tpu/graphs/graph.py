@@ -142,8 +142,16 @@ class Graph:
     def edge_weights(self) -> np.ndarray:
         """Per-edge aggregation weights w_e (reference ArcNode values,
         graph_class.py:108-118). Aggregation of any per-edge quantity q_e into
-        node n is sum_{e: dst_e == n} w_e * q_e."""
+        node n is sum_{e: dst_e == n} w_e * q_e. Uses the native C++ runtime
+        when available (gnn_tpu/native)."""
         E = self.n_arcs
+        try:
+            from gnn_tpu import native
+            w = native.edge_weights(self.dst, self.n_nodes, self.aggregation_mode)
+            if w is not None:
+                return w.astype(floatx())
+        except Exception:
+            pass
         w = np.ones(E, dtype=floatx())
         if self.aggregation_mode == "normalized":
             w *= np.float64(1.0 / E) if E else 0.0

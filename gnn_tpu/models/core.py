@@ -101,13 +101,33 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     dt = gb.nodes.dtype
     nm = gb.node_mask
 
-    def agg(values_per_edge):
-        r = aggregate_to_nodes(values_per_edge, gb.edge_w, gb.dst, Np,
-                               strategy=spec.aggregation)
+    use_plan = spec.aggregation == "pallas" and gb.agg_plan is not None
+
+    def _psum(r):
         if spec.shard_axis is not None:
             # edge-sharded SPMD: combine the per-shard partial aggregations
             r = jax.lax.psum(r, spec.shard_axis)
         return r
+
+    def agg(values_per_edge):
+        # per-edge values (arc labels / once-off precomputes): XLA segment sum
+        strat = "segment" if spec.aggregation == "pallas" else spec.aggregation
+        return _psum(aggregate_to_nodes(values_per_edge, gb.edge_w, gb.dst, Np,
+                                        strategy=strat,
+                                        indices_sorted=gb.edges_sorted))
+
+    if use_plan:
+        from gnn_tpu.ops.pallas_segment import (AggPlanV2Pair, block_aggregate,
+                                                block_aggregate_v2)
+        _agg_fn = (block_aggregate_v2 if isinstance(gb.agg_plan, AggPlanV2Pair)
+                   else block_aggregate)
+
+        def agg_state(s):
+            # fused gather + weighted segment sum on the MXU (the hot op)
+            return _psum(_agg_fn(s, gb.agg_plan))
+    else:
+        def agg_state(s):
+            return agg(jnp.take(s, gb.src, axis=0))
 
     # precomputed aggregations (GNN.py:259-263)
     agg_arcs = agg(gb.arc_labels)
@@ -115,18 +135,18 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     if spec.state_dim > 0:
         state0 = 0.1 * jax.random.normal(rng_init, (Np, spec.state_dim), dtype=dt)
         state0 = state0 * nm[:, None].astype(dt)
-        agg_nodes = agg(jnp.take(gb.nodes, gb.src, axis=0))
+        agg_nodes = agg_state(gb.nodes)
         const_feats = jnp.concatenate([agg_nodes, agg_arcs], axis=1)
 
         def step_input(state):
             return jnp.concatenate(
-                [state, gb.nodes, agg(jnp.take(state, gb.src, axis=0)), const_feats], axis=1)
+                [state, gb.nodes, agg_state(state), const_feats], axis=1)
     else:
         state0 = gb.nodes
 
         def step_input(state):
             return jnp.concatenate(
-                [state, agg(jnp.take(state, gb.src, axis=0)), agg_arcs], axis=1)
+                [state, agg_state(state), agg_arcs], axis=1)
 
     state_old0 = jnp.ones_like(state0)
     step_rngs = jax.random.split(rng_loop, spec.max_iteration)

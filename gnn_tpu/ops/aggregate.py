@@ -52,8 +52,11 @@ def scatter_src(node_values: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
 
 
 def _segment_weighted_sum(values: jnp.ndarray, weights: jnp.ndarray,
-                          dst: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
-    return jax.ops.segment_sum(values * weights[:, None], dst, num_segments=num_nodes)
+                          dst: jnp.ndarray, num_nodes: int,
+                          indices_sorted: bool = False) -> jnp.ndarray:
+    return jax.ops.segment_sum(values * weights[:, None], dst,
+                               num_segments=num_nodes,
+                               indices_are_sorted=indices_sorted)
 
 
 def _onehot_weighted_sum(values: jnp.ndarray, weights: jnp.ndarray,
@@ -66,23 +69,28 @@ def _onehot_weighted_sum(values: jnp.ndarray, weights: jnp.ndarray,
 
 
 def aggregate_to_nodes(values: jnp.ndarray, weights: jnp.ndarray, dst: jnp.ndarray,
-                       num_nodes: int, *, strategy: Strategy = "auto") -> jnp.ndarray:
+                       num_nodes: int, *, strategy: Strategy = "auto",
+                       indices_sorted: bool = False) -> jnp.ndarray:
     """agg[n] = Σ_{e: dst_e = n} w_e * values[e].
 
     :param values: [E, D] per-edge values (already gathered if node-sourced).
     :param weights: [E] aggregation weights (0 on padded edges).
-    :param dst: [E] int32 destination node ids (0 on padded edges — weight 0
-        makes them no-ops).
+    :param dst: [E] int32 destination node ids (padded edges carry weight 0
+        and point at the last node when sorted).
     :param num_nodes: static node count (padded).
     :param strategy: 'auto' | 'segment' | 'onehot' | 'pallas'.
+    :param indices_sorted: dst is non-decreasing (GraphBatch.edges_sorted).
     """
     s = _pick(strategy, num_nodes, values.shape[0])
     if s == "segment":
-        return _segment_weighted_sum(values, weights, dst, num_nodes)
+        return _segment_weighted_sum(values, weights, dst, num_nodes, indices_sorted)
     if s == "onehot":
         return _onehot_weighted_sum(values, weights, dst, num_nodes)
     if s == "pallas":
         from gnn_tpu.ops.pallas_segment import segment_matmul_sum
+        if not indices_sorted:
+            raise ValueError("pallas aggregation requires dst-sorted edges "
+                             "(GraphBatch.from_graph(sort_edges=True))")
         return segment_matmul_sum(values, weights, dst, num_nodes)
     raise ValueError(f"unknown aggregation strategy {s!r}")
 

@@ -33,15 +33,24 @@ from gnn_tpu.training.optimizers import make_optimizer
 _EDGE_FIELDS = ("src", "dst", "arc_labels", "edge_w", "edge_mask")
 
 
-def _gb_pspecs(axis: str, focus: str) -> GraphBatch:
+def _array_fields():
+    """GraphBatch dataclass fields that are pytree leaves (arrays)."""
+    return [f for f in dataclasses.fields(GraphBatch)
+            if f.metadata.get("pytree_node", True)]
+
+
+def _static_kw(gb_or_focus, edges_sorted=None) -> dict:
+    if isinstance(gb_or_focus, GraphBatch):
+        return {"focus": gb_or_focus.focus, "edges_sorted": gb_or_focus.edges_sorted}
+    return {"focus": gb_or_focus, "edges_sorted": bool(edges_sorted)}
+
+
+def _gb_pspecs(axis: str, focus: str, edges_sorted: bool) -> GraphBatch:
     """GraphBatch-shaped tree of PartitionSpecs: edge fields sharded, rest
-    replicated. `focus` must match the real batch (pytree static metadata)."""
-    kw = {}
-    for f in dataclasses.fields(GraphBatch):
-        if f.name == "focus":
-            continue
-        kw[f.name] = P(axis) if f.name in _EDGE_FIELDS else P()
-    return GraphBatch(focus=focus, **kw)
+    replicated. Static metadata (focus, edges_sorted) must match the batch."""
+    kw = {f.name: (P(axis) if f.name in _EDGE_FIELDS else P())
+          for f in _array_fields()}
+    return GraphBatch(**_static_kw(focus, edges_sorted), **kw)
 
 
 def shard_edges(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> GraphBatch:
@@ -53,18 +62,17 @@ def shard_edges(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> GraphBatch:
     if gb.n_edge_pad % n:
         raise ValueError(f"edge pad {gb.n_edge_pad} not divisible by axis size {n}")
     out = {}
-    for f in dataclasses.fields(GraphBatch):
-        if f.name == "focus":
-            continue
+    for f in _array_fields():
         leaf = getattr(gb, f.name)
         spec = P(axis) if f.name in _EDGE_FIELDS else P()
         out[f.name] = jax.device_put(leaf, NamedSharding(mesh, spec))
-    return GraphBatch(focus=gb.focus, **out)
+    return GraphBatch(**_static_kw(gb), **out)
 
 
 def make_edge_sharded_train_step(spec: GNNSpec, loss_name: str,
                                  loss_args: Optional[dict], optimizer_cfg: dict,
-                                 mesh: Mesh, axis: str = "graph", mean: bool = True):
+                                 mesh: Mesh, axis: str = "graph", mean: bool = True,
+                                 edges_sorted: bool = True):
     """Jitted training step over an edge-sharded single graph batch.
 
     step(params, bn, opt_state, gb_sharded, rng) -> (params, bn, opt_state, iters)
@@ -82,7 +90,7 @@ def make_edge_sharded_train_step(spec: GNNSpec, loss_name: str,
 
     mapped = jax.shard_map(
         shard_loss, mesh=mesh,
-        in_specs=(P(), P(), _gb_pspecs(axis, spec.focus), P()),
+        in_specs=(P(), P(), _gb_pspecs(axis, spec.focus, edges_sorted), P()),
         out_specs=(P(), (P(), P())),
         check_vma=False)
 
@@ -104,7 +112,8 @@ def make_edge_sharded_train_step(spec: GNNSpec, loss_name: str,
     return step
 
 
-def make_edge_sharded_forward(spec: GNNSpec, mesh: Mesh, axis: str = "graph"):
+def make_edge_sharded_forward(spec: GNNSpec, mesh: Mesh, axis: str = "graph",
+                              edges_sorted: bool = True):
     """Jitted sharded inference: forward(params, bn, gb_sharded, rng) ->
     (iters, out_rows)."""
     from gnn_tpu.models.core import gnn_forward
@@ -115,7 +124,7 @@ def make_edge_sharded_forward(spec: GNNSpec, mesh: Mesh, axis: str = "graph"):
         return res["iters"], res["out"]
 
     mapped = jax.shard_map(fwd, mesh=mesh,
-                           in_specs=(P(), P(), _gb_pspecs(axis, spec.focus), P()),
+                           in_specs=(P(), P(), _gb_pspecs(axis, spec.focus, edges_sorted), P()),
                            out_specs=(P(), P()),
                            check_vma=False)
     return jax.jit(mapped)

@@ -25,18 +25,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gnn_tpu.graphs.batch import GraphBatch, stack_batches
 from gnn_tpu.models.core import GNNSpec, evaluate_single, regularization
-from gnn_tpu.parallel.edge_shard import _EDGE_FIELDS
+from gnn_tpu.parallel.edge_shard import _EDGE_FIELDS, _array_fields
 from gnn_tpu.training.optimizers import make_optimizer
 
 
-def _gb_pspecs_2d(data_axis: str, graph_axis: str, focus: str) -> GraphBatch:
-    kw = {}
-    for f in dataclasses.fields(GraphBatch):
-        if f.name == "focus":
-            continue
-        kw[f.name] = (P(data_axis, graph_axis) if f.name in _EDGE_FIELDS
-                      else P(data_axis))
-    return GraphBatch(focus=focus, **kw)
+def _gb_pspecs_2d(data_axis: str, graph_axis: str, focus: str,
+                  edges_sorted: bool) -> GraphBatch:
+    kw = {f.name: (P(data_axis, graph_axis) if f.name in _EDGE_FIELDS
+                   else P(data_axis))
+          for f in _array_fields()}
+    return GraphBatch(focus=focus, edges_sorted=edges_sorted, **kw)
 
 
 def shard_batches_2d(batches, mesh: Mesh, data_axis: str = "data",
@@ -46,18 +44,17 @@ def shard_batches_2d(batches, mesh: Mesh, data_axis: str = "data",
         raise ValueError(f"need {mesh.shape[data_axis]} batches, got {len(batches)}")
     stacked = stack_batches(batches)
     out = {}
-    for f in dataclasses.fields(GraphBatch):
-        if f.name == "focus":
-            continue
+    for f in _array_fields():
         leaf = getattr(stacked, f.name)
         spec = (P(data_axis, graph_axis) if f.name in _EDGE_FIELDS else P(data_axis))
         out[f.name] = jax.device_put(leaf, NamedSharding(mesh, spec))
-    return GraphBatch(focus=stacked.focus, **out)
+    return GraphBatch(focus=stacked.focus, edges_sorted=stacked.edges_sorted, **out)
 
 
 def make_hybrid_train_step(spec: GNNSpec, loss_name: str, loss_args: Optional[dict],
                            optimizer_cfg: dict, mesh: Mesh, data_axis: str = "data",
-                           graph_axis: str = "graph", mean: bool = True):
+                           graph_axis: str = "graph", mean: bool = True,
+                           edges_sorted: bool = True):
     """Jitted hybrid train step: step(params, bn, opt_state, gb2d, rngs) with
     rngs = jax.random.split(key, mesh.shape[data_axis])."""
     if spec.focus == "a":
@@ -75,7 +72,7 @@ def make_hybrid_train_step(spec: GNNSpec, loss_name: str, loss_args: Optional[di
 
     mapped = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(), P(), _gb_pspecs_2d(data_axis, graph_axis, spec.focus), P(data_axis)),
+        in_specs=(P(), P(), _gb_pspecs_2d(data_axis, graph_axis, spec.focus, edges_sorted), P(data_axis)),
         out_specs=(P(data_axis), P(data_axis), P(data_axis)),
         check_vma=False)
 

@@ -161,7 +161,7 @@ class TestFocuses:
         spec = GNNSpec(focus="a", state_spec=ss, output_spec=os_,
                        max_iteration=3, threshold=0.01)
         params, bn = gnn_init(spec, jax.random.key(0))
-        gb = GraphBatch.from_graph(g)
+        gb = GraphBatch.from_graph(g, sort_edges=False)
         res = gnn_forward(spec, params, bn, gb, jax.random.key(1))
         # edge readout rows: mlp([state_src, state_dst, arc_label])
         state = np.asarray(res["state"])
@@ -271,3 +271,30 @@ class TestTraining:
         assert float(r1["iters"]) == float(r2["iters"])
         assert np.allclose(np.asarray(r1["state"])[:20], np.asarray(r2["state"])[:20], atol=1e-5)
         assert np.allclose(np.asarray(r1["out"])[:20], np.asarray(r2["out"])[:20], atol=1e-5)
+
+
+class TestEdgeSorting:
+    """sort_edges=True must be semantically transparent (target-aligned rows
+    identical) for every focus."""
+
+    @pytest.mark.parametrize("focus", ["n", "a", "g"])
+    def test_sorted_vs_unsorted_identical(self, rng, focus):
+        g = make_graph(rng, n=20, e=70, focus=focus)
+        ss, os_ = plain_spec(3, 2, 2, focus)
+        spec = GNNSpec(focus=focus, state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        r_u = gnn_forward(spec, params, bn,
+                          GraphBatch.from_graph(g, sort_edges=False), jax.random.key(1))
+        r_s = gnn_forward(spec, params, bn,
+                          GraphBatch.from_graph(g, sort_edges=True), jax.random.key(1))
+        assert float(r_u["iters"]) == float(r_s["iters"])
+        t = g.targets.shape[0]  # padding rows are sel_mask-ed out of the loss
+        assert np.allclose(np.asarray(r_u["out"])[:t], np.asarray(r_s["out"])[:t],
+                           atol=1e-5)
+
+    def test_sorted_dst_nondecreasing(self, rng):
+        g = make_graph(rng, n=20, e=70)
+        gb = GraphBatch.from_graph(g, sort_edges=True)
+        d = np.asarray(gb.dst)
+        assert (np.diff(d) >= 0).all()
