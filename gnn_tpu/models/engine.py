@@ -207,7 +207,10 @@ class BaseModel(ABC):
     # ---------------------------------------------------------------- train
     def train(self, gTr, epochs: int, gVa=None, update_freq: int = 10,
               max_fails: int = 10, observed_metric: str = "Loss", policy: str = "min",
-              *, mean: bool = True, verbose: int = 3) -> None:
+              *, mean: bool = True, verbose: int = 3,
+              profile_dir: Optional[str] = None) -> None:
+        """:param profile_dir: when set, capture a jax.profiler trace of the
+        first epoch's batch loop into this directory (SURVEY.md §5 tracing)."""
         if verbose not in range(4):
             raise ValueError("param <verbose> not in [0,1,2,3]")
 
@@ -249,10 +252,17 @@ class BaseModel(ABC):
 
         e = initial_epoch
         for e in range(initial_epoch, epochs):
+            profiling = profile_dir and e == initial_epoch
+            if profiling:
+                import jax.profiler
+                jax.profiler.start_trace(profile_dir)
             for i, elem in enumerate(gTr):
                 self.training_step(elem, mean=mean)
                 if verbose > 2:
                     print(f" > Epoch {e:4d}/{epochs} \t\t> Batch {i + 1:4d}/{len(gTr)}", end="\r")
+            if profiling:
+                import jax.profiler
+                jax.profiler.stop_trace()
 
             if e % update_freq == 0:
                 metricsTr, *_ = self.evaluate(gTr)
@@ -301,6 +311,37 @@ class BaseModel(ABC):
         if prisofsdir:
             mt.PRISOFS(targets, y_score, prisofsdir, pos_label=pos_label)
         return metricsTe
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, path: str) -> None:
+        """Full training-state checkpoint: params + BN + optimizer slots +
+        history + rng (training/checkpoint.py). Unlike save(), training resumes
+        bit-exactly (optimizer momentum preserved)."""
+        from gnn_tpu.training.checkpoint import save_checkpoint
+        save_checkpoint(path, params=self._ckpt_params(), bn=self._ckpt_bn(),
+                        opt_state=self.opt_state, history=self.history,
+                        rng=self._rng)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a save_checkpoint folder into this model in place."""
+        from gnn_tpu.training.checkpoint import load_checkpoint
+        params, bn, opt_state, history, rng, _ = load_checkpoint(
+            path, params_like=self._ckpt_params(), bn_like=self._ckpt_bn(),
+            opt_state_like=self.opt_state)
+        self._ckpt_restore(params, bn)
+        self.opt_state = opt_state
+        self.history = history
+        if rng is not None:
+            self._rng = rng
+
+    def _ckpt_params(self):
+        return self.params
+
+    def _ckpt_bn(self):
+        return self.bn
+
+    def _ckpt_restore(self, params, bn) -> None:
+        self.params, self.bn = params, bn
 
     # ------------------------------------------------------------------ LKO
     def LKO(self, batches, epochs: int = 500, training_mode=None, update_freq: int = 10,

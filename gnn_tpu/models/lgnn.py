@@ -302,6 +302,16 @@ class LGNN(BaseModel):
         out = self.Loop(g, training=False)[-1]
         return out[idx] if isinstance(idx, int) else [out[i] for i in idx]
 
+    # ------------------------------------------------------------ checkpoint
+    def _ckpt_params(self):
+        return self._params()
+
+    def _ckpt_bn(self):
+        return self._bns()
+
+    def _ckpt_restore(self, params, bn) -> None:
+        self._set_params(params, bn)
+
     # ------------------------------------------------------------- evaluate
     def evaluate_single_graph(self, gb, training: bool) -> tuple:
         gb = gb if isinstance(gb, GraphBatch) else self.to_batch(gb)
