@@ -210,6 +210,48 @@ class GraphBatch:
     def pad_shapes(self) -> Tuple[int, int, int]:
         return (self.n_node_pad, self.n_edge_pad, self.n_target_pad)
 
+    def repad(self, node_pad: int, edge_pad: int, target_pad: int) -> "GraphBatch":
+        """Grow padding to the given sizes (shrinking is rejected). Used to
+        harmonise a batch list onto one shape bucket so jit compiles once.
+        Any precomputed aggregation plan is rebuilt for the new node count."""
+        Np0, Ep0, Tp0 = self.pad_shapes()
+        if node_pad < Np0 or edge_pad < Ep0 or target_pad < Tp0:
+            raise ValueError("repad cannot shrink padded shapes")
+        if (node_pad, edge_pad, target_pad) == (Np0, Ep0, Tp0):
+            return self
+
+        def grow(x, size, fill=0):
+            x = np.asarray(x)
+            out = np.full((size,) + x.shape[1:], fill, dtype=x.dtype)
+            out[: x.shape[0]] = x
+            return jnp.asarray(out)
+
+        n_nodes = int(self.n_real[0])
+        dst_fill = (n_nodes - 1) if self.edges_sorted else 0
+        ent_pad = edge_pad if self.focus == "a" else node_pad
+        new = self.replace(
+            nodes=grow(self.nodes, node_pad),
+            node_mask=grow(self.node_mask, node_pad, False),
+            graph_ids=grow(self.graph_ids, node_pad),
+            pool_w=grow(self.pool_w, node_pad),
+            src=grow(self.src, edge_pad),
+            dst=grow(self.dst, edge_pad, dst_fill),
+            arc_labels=grow(self.arc_labels, edge_pad),
+            edge_w=grow(self.edge_w, edge_pad),
+            edge_mask=grow(self.edge_mask, edge_pad, False),
+            set_mask=grow(self.set_mask, ent_pad, False),
+            output_mask=grow(self.output_mask, ent_pad, False),
+            targets=grow(self.targets, target_pad),
+            sample_weights=grow(self.sample_weights, target_pad),
+            out_index=grow(self.out_index, target_pad),
+            sel_mask=grow(self.sel_mask, target_pad, False),
+        )
+        if self.agg_plan is not None:
+            new = new.replace(agg_plan=_build_plan(
+                np.asarray(new.src), np.asarray(new.dst),
+                np.asarray(new.edge_w), node_pad))
+        return new
+
 
 def _build_plan(src, dst, edge_w, num_nodes):
     from gnn_tpu.ops.pallas_segment import build_agg_plan_v2

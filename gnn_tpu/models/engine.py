@@ -165,7 +165,8 @@ class BaseModel(ABC):
     # ------------------------------------------------------------ checktype
     def checktype(self, elem) -> Optional[list]:
         """Coerce Graph/GraphBatch or list thereof to list[GraphBatch]
-        (reference GNN_BaseClass.py:413-425)."""
+        (reference GNN_BaseClass.py:413-425). Batch lists are re-padded onto a
+        common shape bucket so the training step compiles once."""
         if elem is None:
             return None
         if isinstance(elem, GraphBatch):
@@ -173,7 +174,11 @@ class BaseModel(ABC):
         if isinstance(elem, Graph):
             return [self.to_batch(elem)]
         if isinstance(elem, (list, tuple)) and all(isinstance(g, (Graph, GraphBatch)) for g in elem):
-            return [self.to_batch(g) if isinstance(g, Graph) else g for g in elem]
+            out = [self.to_batch(g) if isinstance(g, Graph) else g for g in elem]
+            if len(out) > 1 and len({b.pad_shapes() for b in out}) > 1:
+                np_, ep_, tp_ = (max(s) for s in zip(*(b.pad_shapes() for b in out)))
+                out = [b.repad(np_, ep_, tp_) for b in out]
+            return out
         raise TypeError("Error - <gTr> and/or <gVa> are not Graph/GraphBatch or "
                         "LIST/TUPLE of Graphs/GraphBatches")
 

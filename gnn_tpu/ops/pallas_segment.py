@@ -420,28 +420,33 @@ def _agg_kernel_v2(blk_ptr_ref, csb_ref, state_hbm, edges_hbm, out_ref,
 def _run_plan_v2(state: jnp.ndarray, plan: AggPlanV2, interpret: bool) -> jnp.ndarray:
     N, D = state.shape
     W, C, B = plan.block_w, plan.chunk_c, plan.n_blocks
-    kernel = functools.partial(_agg_kernel_v2, C=C, W=W, D=D)
+    D8 = -(-D // 8) * 8  # sublane-align the feature axis for manual DMA
+    kernel = functools.partial(_agg_kernel_v2, C=C, W=W, D=D8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # blk_ptr, chunk_src_blk
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # state [D, N] (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # state [D8, N] (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),   # edges (manual DMA)
         ],
-        out_specs=pl.BlockSpec((D, W), lambda b, ptr, csb: (0, b)),
+        out_specs=pl.BlockSpec((D8, W), lambda b, ptr, csb: (0, b)),
         scratch_shapes=[
-            pltpu.VMEM((2, D, W), state.dtype),
+            pltpu.VMEM((2, D8, W), state.dtype),
             pltpu.VMEM((2, 8, C), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    state_t = state.T
+    if D8 != D:
+        state_t = jnp.concatenate(
+            [state_t, jnp.zeros((D8 - D, N), state.dtype)], axis=0)
     out_t = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D, N), state.dtype),
+        out_shape=jax.ShapeDtypeStruct((D8, N), state.dtype),
         interpret=interpret,
-    )(plan.blk_ptr, plan.chunk_src_blk, state.T, plan.edges)
-    return out_t.T
+    )(plan.blk_ptr, plan.chunk_src_blk, state_t, plan.edges)
+    return out_t[:D].T
 
 
 def _v2_leaves(plan: AggPlanV2):
