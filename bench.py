@@ -34,19 +34,15 @@ STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 
 
 def build_workload():
-    from gnn_tpu.graphs.batch import GraphBatch
+    from gnn_tpu.graphs.batch import from_graphs_blocked
     from gnn_tpu.graphs.datasets import load_mutag
     from gnn_tpu.graphs.graph import Graph
 
     graphs = load_mutag(MUTAG_PATH)
     merged = Graph.merge(graphs, focus="g", aggregation_mode="average")
-
-    def pad128(n):
-        return -(-n // 128) * 128
-
-    gb = GraphBatch.from_graph(merged, node_pad=pad128(merged.n_nodes),
-                               edge_pad=pad128(merged.n_arcs),
-                               target_pad=pad128(merged.targets.shape[0]))
+    # block-dense batch: graph-aligned node packing turns the aggregation into
+    # one batched MXU matmul (graphs/batch.py::from_graphs_blocked)
+    gb = from_graphs_blocked(graphs, block_w=int(os.environ.get("BENCH_BLOCK_W", "128")))
     return merged, gb
 
 

@@ -22,13 +22,15 @@ Layer map (mirrors reference layers, see SURVEY.md §1):
 __version__ = "0.1.0"
 
 from gnn_tpu.config import floatx, set_floatx
-from gnn_tpu.graphs.graph import Graph
+from gnn_tpu.graphs.graph import Graph, GraphObject
 from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.graphs.generator import GraphDataGenerator, SingleGraphDataGenerator
 from gnn_tpu.models.gnn import GNNnodeBased, GNNedgeBased, GNNgraphBased
 from gnn_tpu.models.lgnn import LGNN
 from gnn_tpu.ops.mlp import MLPSpec, get_inout_dims
 
 __all__ = [
-    "Graph", "GraphBatch", "GNNnodeBased", "GNNedgeBased", "GNNgraphBased",
+    "Graph", "GraphObject", "GraphBatch", "GraphDataGenerator",
+    "SingleGraphDataGenerator", "GNNnodeBased", "GNNedgeBased", "GNNgraphBased",
     "LGNN", "MLPSpec", "get_inout_dims", "floatx", "set_floatx",
 ]

@@ -66,6 +66,23 @@ class GraphBatch:
     # --- optional Pallas block-sparse aggregation plan (ops/pallas_segment) ---
     agg_plan: Optional[object] = None  # AggPlanPair or None
 
+    # --- precomputed constant aggregations -------------------------------
+    # ArcNode^T @ arc_labels and A^T @ nodes are loop- and step-invariant
+    # (GNN.py:259,263 recompute them every call); caching them at build time
+    # removes all per-edge scatters from the node/graph-focus forward.
+    agg_arcs_cache: Optional[jnp.ndarray] = None    # [Np, AL]
+    agg_nodes_cache: Optional[jnp.ndarray] = None   # [Np, NL]
+
+    # --- optional block-dense adjacency (graph-aligned node packing) ---
+    # When batches are built with from_graphs_blocked, the adjacency is block
+    # diagonal: adj_blocks[b, i, j] = w of edge (block b node j -> node i), and
+    # the state aggregation becomes ONE batched MXU matmul. Edges crossing
+    # blocks (graphs larger than the block) live in the residual arrays.
+    adj_blocks: Optional[jnp.ndarray] = None   # [B, W, W]
+    res_src: Optional[jnp.ndarray] = None      # [Er] int32
+    res_dst: Optional[jnp.ndarray] = None      # [Er] int32
+    res_w: Optional[jnp.ndarray] = None        # [Er] float
+
     # --- static ---
     focus: str = struct.field(pytree_node=False, default="n")
     # edges stored sorted by dst (enables sorted segment reductions and the
@@ -179,6 +196,8 @@ class GraphBatch:
             out_index = padf(ent_idx, Tp)
             sel = padf(g.set_mask[np.nonzero(g.output_mask)[0]], Tp, False)
 
+        agg_arcs_c = _host_agg(arc_labels, edge_w, dst, Np)
+        agg_nodes_c = _host_agg(nodes[np.minimum(src, Np - 1)], edge_w, dst, Np)
         return cls(
             nodes=jnp.asarray(nodes), node_mask=jnp.asarray(node_mask),
             graph_ids=jnp.asarray(graph_ids), pool_w=jnp.asarray(pool_w),
@@ -190,6 +209,8 @@ class GraphBatch:
             out_index=jnp.asarray(out_index), sel_mask=jnp.asarray(sel),
             n_real=jnp.asarray([N, E, T], dtype=np.int32),
             agg_plan=(_build_plan(src, dst, edge_w, Np) if build_plan else None),
+            agg_arcs_cache=jnp.asarray(agg_arcs_c),
+            agg_nodes_cache=jnp.asarray(agg_nodes_c),
             focus=g.focus, edges_sorted=bool(sort_edges),
         )
 
@@ -214,6 +235,9 @@ class GraphBatch:
         """Grow padding to the given sizes (shrinking is rejected). Used to
         harmonise a batch list onto one shape bucket so jit compiles once.
         Any precomputed aggregation plan is rebuilt for the new node count."""
+        if self.adj_blocks is not None:
+            raise ValueError("blocked batches are built at their final shape — "
+                             "pass target/edge pads to from_graphs_blocked")
         Np0, Ep0, Tp0 = self.pad_shapes()
         if node_pad < Np0 or edge_pad < Ep0 or target_pad < Tp0:
             raise ValueError("repad cannot shrink padded shapes")
@@ -245,6 +269,10 @@ class GraphBatch:
             sample_weights=grow(self.sample_weights, target_pad),
             out_index=grow(self.out_index, target_pad),
             sel_mask=grow(self.sel_mask, target_pad, False),
+            agg_arcs_cache=(None if self.agg_arcs_cache is None
+                            else grow(self.agg_arcs_cache, node_pad)),
+            agg_nodes_cache=(None if self.agg_nodes_cache is None
+                             else grow(self.agg_nodes_cache, node_pad)),
         )
         if self.agg_plan is not None:
             new = new.replace(agg_plan=_build_plan(
@@ -253,9 +281,159 @@ class GraphBatch:
         return new
 
 
+def _host_agg(values, weights, dst, num_nodes):
+    out = np.zeros((num_nodes, values.shape[1]), dtype=values.dtype)
+    np.add.at(out, dst, values * weights[:, None])
+    return out
+
+
 def _build_plan(src, dst, edge_w, num_nodes):
-    from gnn_tpu.ops.pallas_segment import build_agg_plan_v2
-    return build_agg_plan_v2(src, dst, edge_w, num_nodes)
+    # v1 chunk-grid kernel: correct on hardware and compiles in seconds.
+    # (The v2 manual-DMA kernel is exact in interpret mode but its Mosaic
+    # compile is currently pathological through the remote-compile path —
+    # kept experimental via build_agg_plan_v2.)
+    from gnn_tpu.ops.pallas_segment import build_agg_plan
+    return build_agg_plan(src, dst, edge_w, num_nodes)
+
+
+def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = None,
+                        aggregation_mode: Optional[str] = None,
+                        target_pad: Optional[int] = None, edge_pad: Optional[int] = None,
+                        dtype=None) -> GraphBatch:
+    """Build a GraphBatch with graph-aligned node packing and a block-dense
+    adjacency.
+
+    Graphs are greedily packed into W-node blocks so no graph straddles a
+    block boundary (graphs larger than W span consecutive dedicated blocks;
+    their cross-block edges go to a sparse residual). The state aggregation
+    then runs as one batched [B, W, W] x [B, W, D] MXU matmul — the TPU-native
+    shape of the reference's block-diagonal merged-batch adjacency
+    (graph_class.py:285-319) — instead of a scatter.
+
+    Supervision semantics are identical to Graph.merge + from_graph: padding
+    slots are mask-excluded everywhere (node_mask interleaves).
+    """
+    dt = dtype or floatx()
+    W = int(block_w)
+    if focus is None:
+        focus = glist[0].focus
+    if aggregation_mode is None:
+        aggregation_mode = glist[0].aggregation_mode
+
+    # --- pack graphs into blocks -----------------------------------------
+    offsets, cursor = [], 0
+    for g in glist:
+        s = g.n_nodes
+        if s > W:  # dedicated span of ceil(s/W) blocks
+            if cursor % W:
+                cursor += W - cursor % W
+            offsets.append(cursor)
+            cursor += -(-s // W) * W
+        else:
+            if cursor % W and (cursor % W) + s > W:
+                cursor += W - cursor % W
+            offsets.append(cursor)
+            cursor += s
+    Np = -(-cursor // W) * W
+    B = Np // W
+
+    # --- node-level arrays ------------------------------------------------
+    NL = glist[0].DIM_NODE_LABEL
+    nodes = np.zeros((Np, NL), dtype=dt)
+    node_mask = np.zeros(Np, dtype=bool)
+    graph_ids = np.zeros(Np, dtype=np.int32)
+    pool_w = np.zeros(Np, dtype=dt)
+    for gi, (g, off) in enumerate(zip(glist, offsets)):
+        s = g.n_nodes
+        nodes[off:off + s] = g.nodes.astype(dt)
+        node_mask[off:off + s] = True
+        graph_ids[off:off + s] = gi
+        pool_w[off:off + s] = g.pool_weights().astype(dt) if focus == "g" else 0.0
+
+    # --- edges -------------------------------------------------------------
+    AL = glist[0].DIM_ARC_LABEL
+    src_all, dst_all, w_all, lab_all = [], [], [], []
+    for g, off in zip(glist, offsets):
+        src_all.append(g.src.astype(np.int64) + off)
+        dst_all.append(g.dst.astype(np.int64) + off)
+        w_all.append(g.edge_weights())
+        lab_all.append(g.arc_labels.astype(dt))
+    src = np.concatenate(src_all)
+    dst = np.concatenate(dst_all)
+    w = np.concatenate(w_all).astype(dt)
+    labs = np.concatenate(lab_all) if AL else np.zeros((len(src), 0), dt)
+    E = len(src)
+
+    # block-dense adjacency for intra-block edges, residual for the rest
+    intra = (src // W) == (dst // W)
+    adj = np.zeros((B, W, W), dtype=dt)
+    np.add.at(adj, (dst[intra] // W, dst[intra] % W, src[intra] % W), w[intra])
+    r_src = src[~intra].astype(np.int32)
+    r_dst = dst[~intra].astype(np.int32)
+    r_w = w[~intra]
+    Er = max(-(-len(r_src) // 128) * 128, 128)
+    res_src = np.zeros(Er, np.int32)
+    res_dst = np.zeros(Er, np.int32)
+    res_w = np.zeros(Er, dt)
+    res_src[:len(r_src)] = r_src
+    res_dst[:len(r_dst)] = r_dst
+    res_w[:len(r_w)] = r_w
+
+    # full edge arrays (arc-label aggregation + edge readout), dst-sorted
+    order = np.argsort(dst, kind="stable")
+    Ep = edge_pad or pad_size(E)
+    def padf(x, size, fill=0):
+        out = np.full((size,) + x.shape[1:], fill, dtype=x.dtype)
+        out[: x.shape[0]] = x
+        return out
+    src_p = padf(src[order].astype(np.int32), Ep)
+    dst_p = padf(dst[order].astype(np.int32), Ep, fill=Np - 1)
+    labs_p = padf(labs[order], Ep)
+    w_p = padf(w[order], Ep)
+    edge_mask = padf(np.ones(E, bool), Ep, False)
+
+    # --- supervision -------------------------------------------------------
+    targets = np.concatenate([g.targets for g in glist]).astype(dt)
+    sample_weights = np.concatenate([g.sample_weights for g in glist]).astype(dt)
+    T = targets.shape[0]
+    Tp = target_pad or pad_size(T)
+    if focus == "a":
+        raise NotImplementedError("blocked batches support node/graph focus; "
+                                  "edge focus uses from_graph")
+    set_mask = np.zeros(Np, bool)
+    output_mask = np.zeros(Np, bool)
+    for g, off in zip(glist, offsets):
+        set_mask[off:off + g.n_nodes] = g.set_mask
+        output_mask[off:off + g.n_nodes] = g.output_mask
+    if focus == "g":
+        out_index = np.arange(Tp, dtype=np.int32)
+        sel = padf(np.ones(T, bool), Tp, False)
+    else:
+        ent_idx = np.nonzero(output_mask)[0].astype(np.int32)
+        if len(ent_idx) != T:
+            raise ValueError(f"targets rows ({T}) != output-masked entities ({len(ent_idx)})")
+        out_index = padf(ent_idx, Tp)
+        sel = padf(set_mask[ent_idx], Tp, False)
+
+    agg_arcs_c = _host_agg(labs_p, w_p, dst_p, Np)
+    agg_nodes_c = _host_agg(nodes[np.minimum(src_p, Np - 1)], w_p, dst_p, Np)
+    return GraphBatch(
+        nodes=jnp.asarray(nodes), node_mask=jnp.asarray(node_mask),
+        graph_ids=jnp.asarray(graph_ids), pool_w=jnp.asarray(pool_w),
+        src=jnp.asarray(src_p), dst=jnp.asarray(dst_p),
+        arc_labels=jnp.asarray(labs_p), edge_w=jnp.asarray(w_p),
+        edge_mask=jnp.asarray(edge_mask),
+        set_mask=jnp.asarray(set_mask), output_mask=jnp.asarray(output_mask),
+        targets=jnp.asarray(padf(targets, Tp)),
+        sample_weights=jnp.asarray(padf(sample_weights, Tp)),
+        out_index=jnp.asarray(out_index), sel_mask=jnp.asarray(sel),
+        n_real=jnp.asarray([int(node_mask.sum()), E, T], np.int32),
+        agg_arcs_cache=jnp.asarray(agg_arcs_c),
+        agg_nodes_cache=jnp.asarray(agg_nodes_c),
+        adj_blocks=jnp.asarray(adj), res_src=jnp.asarray(res_src),
+        res_dst=jnp.asarray(res_dst), res_w=jnp.asarray(res_w),
+        focus=focus, edges_sorted=True,
+    )
 
 
 def batch_key(gb: GraphBatch) -> tuple:

@@ -116,7 +116,25 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                                         strategy=strat,
                                         indices_sorted=gb.edges_sorted))
 
-    if use_plan:
+    if gb.adj_blocks is not None:
+        # block-dense path: adjacency is block diagonal (graph-aligned node
+        # packing, graphs/batch.py::from_graphs_blocked) — ONE batched MXU
+        # matmul + sparse residual for block-crossing edges
+        Bb, Wb, _ = gb.adj_blocks.shape
+        has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
+
+        def agg_state(s):
+            r = jax.lax.dot_general(
+                gb.adj_blocks, s.reshape(Bb, Wb, -1),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).reshape(Np, -1).astype(s.dtype)
+            if has_res:
+                r = r + jax.ops.segment_sum(
+                    jnp.take(s, gb.res_src, axis=0) * gb.res_w[:, None],
+                    gb.res_dst, num_segments=Np)
+            return _psum(r)
+    elif use_plan:
         from gnn_tpu.ops.pallas_segment import (AggPlanV2Pair, block_aggregate,
                                                 block_aggregate_v2)
         _agg_fn = (block_aggregate_v2 if isinstance(gb.agg_plan, AggPlanV2Pair)
@@ -129,13 +147,16 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         def agg_state(s):
             return agg(jnp.take(s, gb.src, axis=0))
 
-    # precomputed aggregations (GNN.py:259-263)
-    agg_arcs = agg(gb.arc_labels)
+    # precomputed aggregations (GNN.py:259-263) — loop/step-invariant, so
+    # batch-build-time caches are used when present
+    agg_arcs = (gb.agg_arcs_cache if gb.agg_arcs_cache is not None
+                else agg(gb.arc_labels))
     rng, rng_init, rng_loop = jax.random.split(rng, 3)
     if spec.state_dim > 0:
         state0 = 0.1 * jax.random.normal(rng_init, (Np, spec.state_dim), dtype=dt)
         state0 = state0 * nm[:, None].astype(dt)
-        agg_nodes = agg_state(gb.nodes)
+        agg_nodes = (gb.agg_nodes_cache if gb.agg_nodes_cache is not None
+                     else agg_state(gb.nodes))
         const_feats = jnp.concatenate([agg_nodes, agg_arcs], axis=1)
 
         def step_input(state):

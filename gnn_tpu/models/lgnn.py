@@ -52,7 +52,9 @@ def update_graph_batch(gb: GraphBatch, state, out_entity, *, get_state: bool,
             nodeplus.append(scattered)
     nodes = jnp.concatenate([gb.nodes] + nodeplus, axis=1) if nodeplus else gb.nodes
     arcs = jnp.concatenate([gb.arc_labels] + arcplus, axis=1) if arcplus else gb.arc_labels
-    return gb.replace(nodes=nodes, arc_labels=arcs)
+    # label dims changed -> the constant-aggregation caches no longer apply
+    return gb.replace(nodes=nodes, arc_labels=arcs,
+                      agg_arcs_cache=None, agg_nodes_cache=None)
 
 
 def lgnn_forward(specs, params, bns, gb: GraphBatch, rng, training: bool,

@@ -31,6 +31,8 @@ from gnn_tpu.models.core import GNNSpec, evaluate_single, regularization
 from gnn_tpu.training.optimizers import make_optimizer
 
 _EDGE_FIELDS = ("src", "dst", "arc_labels", "edge_w", "edge_mask")
+# optional structures absent from from_graph batches used in sharded paths
+_OPTIONAL_NONE = ("agg_plan", "adj_blocks", "res_src", "res_dst", "res_w")
 
 
 def _array_fields():
@@ -47,9 +49,15 @@ def _static_kw(gb_or_focus, edges_sorted=None) -> dict:
 
 def _gb_pspecs(axis: str, focus: str, edges_sorted: bool) -> GraphBatch:
     """GraphBatch-shaped tree of PartitionSpecs: edge fields sharded, rest
-    replicated. Static metadata (focus, edges_sorted) must match the batch."""
-    kw = {f.name: (P(axis) if f.name in _EDGE_FIELDS else P())
-          for f in _array_fields()}
+    replicated. Static metadata (focus, edges_sorted) must match the batch.
+    Optional structures (pallas plans, block-dense adjacency) are None —
+    sharded paths consume plain from_graph batches."""
+    kw = {}
+    for f in _array_fields():
+        if f.name in _OPTIONAL_NONE:
+            kw[f.name] = None
+        else:
+            kw[f.name] = P(axis) if f.name in _EDGE_FIELDS else P()
     return GraphBatch(**_static_kw(focus, edges_sorted), **kw)
 
 
@@ -61,9 +69,15 @@ def shard_edges(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> GraphBatch:
     n = mesh.shape[axis]
     if gb.n_edge_pad % n:
         raise ValueError(f"edge pad {gb.n_edge_pad} not divisible by axis size {n}")
+    if gb.adj_blocks is not None or gb.agg_plan is not None:
+        raise ValueError("edge sharding takes plain from_graph batches "
+                         "(no block-dense adjacency / pallas plan)")
     out = {}
     for f in _array_fields():
         leaf = getattr(gb, f.name)
+        if leaf is None:
+            out[f.name] = None
+            continue
         spec = P(axis) if f.name in _EDGE_FIELDS else P()
         out[f.name] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return GraphBatch(**_static_kw(gb), **out)

@@ -31,9 +31,14 @@ from gnn_tpu.training.optimizers import make_optimizer
 
 def _gb_pspecs_2d(data_axis: str, graph_axis: str, focus: str,
                   edges_sorted: bool) -> GraphBatch:
-    kw = {f.name: (P(data_axis, graph_axis) if f.name in _EDGE_FIELDS
-                   else P(data_axis))
-          for f in _array_fields()}
+    from gnn_tpu.parallel.edge_shard import _OPTIONAL_NONE
+    kw = {}
+    for f in _array_fields():
+        if f.name in _OPTIONAL_NONE:
+            kw[f.name] = None
+        else:
+            kw[f.name] = (P(data_axis, graph_axis) if f.name in _EDGE_FIELDS
+                          else P(data_axis))
     return GraphBatch(focus=focus, edges_sorted=edges_sorted, **kw)
 
 
@@ -46,6 +51,9 @@ def shard_batches_2d(batches, mesh: Mesh, data_axis: str = "data",
     out = {}
     for f in _array_fields():
         leaf = getattr(stacked, f.name)
+        if leaf is None:
+            out[f.name] = None
+            continue
         spec = (P(data_axis, graph_axis) if f.name in _EDGE_FIELDS else P(data_axis))
         out[f.name] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return GraphBatch(focus=stacked.focus, edges_sorted=stacked.edges_sorted, **out)

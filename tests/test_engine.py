@@ -165,3 +165,33 @@ class TestEdgeFocusEndToEnd:
         assert gnn.history["Loss Tr"][-1] < gnn.history["Loss Tr"][0]
         out = gnn(batch)
         assert out.shape == (batch.n_arcs, 2)
+
+
+class TestLKOStratified:
+    def test_stratified_class_lists(self, rng, tmp_path):
+        """Multi-graph LKO with class-stratified list-of-lists input
+        (GNN_utils.py:314-348): each fold batch mixes both classes."""
+        c0 = [random_graph(int(rng.integers(10, 18)), 3, 1, 2, 0.5, focus="g", rng=rng)
+              for _ in range(8)]
+        c1 = [random_graph(int(rng.integers(10, 18)), 3, 1, 2, 0.5, focus="g", rng=rng)
+              for _ in range(8)]
+        for g in c0:
+            g.targets = np.array([[1.0, 0.0]], dtype=np.float32)
+        for g in c1:
+            g.targets = np.array([[0.0, 1.0]], dtype=np.float32)
+        batches = prepare_LKO_data([c0, c1], focus="g", number_of_batches=3,
+                                   useVa=False, seed=5, normalize_method="")
+        gTRs, gTEs, gVAs = batches
+        assert len(gTRs) == 3
+        for gte in gTEs:
+            # both classes present in each merged fold
+            counts = gte.targets.sum(axis=0)
+            assert counts[0] > 0 and counts[1] > 0
+
+    def test_lko_with_validation(self, rng, tmp_path):
+        gs = dataset(rng, n_graphs=16)
+        batches = prepare_LKO_data(gs, focus="n", number_of_batches=4, useVa=True,
+                                   seed=2, normalize_method="")
+        gnn = build_gnn(tmp=str(tmp_path / "w") + "/")
+        metrics = gnn.LKO(batches, epochs=3, update_freq=3, max_fails=2, verbose=0)
+        assert len(metrics["Loss"]) == 4

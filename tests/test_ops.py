@@ -209,3 +209,69 @@ class TestPallasBlockAggregate:
         assert float(r1["iters"]) == float(r2["iters"])
         assert np.allclose(np.asarray(r1["state"])[:n], np.asarray(r2["state"])[:n],
                            atol=1e-3)
+
+
+class TestBlockDense:
+    """Block-dense adjacency batches (graph-aligned packing)."""
+
+    def test_matches_standard_path(self, rng):
+        from gnn_tpu.graphs.graph import Graph
+        from gnn_tpu.graphs.batch import GraphBatch, from_graphs_blocked
+        from gnn_tpu.graphs.datasets import random_graph
+        from gnn_tpu.models.core import GNNSpec, gnn_init, gnn_forward
+        gs = [random_graph(int(rng.integers(10, 40)), 3, 1, 2, 0.5, focus="g", rng=rng)
+              for _ in range(15)]
+        gs.insert(2, random_graph(200, 3, 1, 2, 0.2, focus="g", rng=rng))  # spans blocks
+        merged = Graph.merge(gs, focus="g", aggregation_mode="average")
+        gb_std = GraphBatch.from_graph(merged)
+        gb_blk = from_graphs_blocked(gs, block_w=128)
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh", batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax", batch_normalization=False)
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_, max_iteration=4,
+                       threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        r1 = gnn_forward(spec, params, bn, gb_std, jax.random.key(1))
+        r2 = gnn_forward(spec, params, bn, gb_blk, jax.random.key(1))
+        G = len(gs)
+        assert float(r1["iters"]) == float(r2["iters"])
+        assert np.allclose(np.asarray(r1["out"])[:G], np.asarray(r2["out"])[:G], atol=1e-4)
+
+    def test_training_through_blocked(self, rng):
+        from gnn_tpu.graphs.batch import from_graphs_blocked
+        from gnn_tpu.graphs.datasets import random_graph
+        from gnn_tpu.models.core import GNNSpec, gnn_init, make_train_step
+        from gnn_tpu.training.optimizers import make_optimizer, optimizer_config
+        gs = [random_graph(15, 3, 1, 2, 0.5, focus="n", rng=rng) for _ in range(8)]
+        gb = from_graphs_blocked(gs, block_w=128)
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh", batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax", batch_normalization=False)
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_, max_iteration=4,
+                       threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        cfg = optimizer_config("adam", learning_rate=1e-2)
+        step = make_train_step(spec, "mse", None, cfg)
+        o = make_optimizer(cfg).init(params)
+        p, b = params, bn
+        for i in range(10):
+            p, b, o, _ = step(p, b, o, gb, jax.random.key(i))
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(p))
+
+    def test_agg_caches_match_recompute(self, rng):
+        """Batches built with caches equal batches with caches stripped."""
+        from gnn_tpu.graphs.datasets import random_graph
+        from gnn_tpu.graphs.batch import GraphBatch
+        from gnn_tpu.models.core import GNNSpec, gnn_init, gnn_forward
+        g = random_graph(40, 3, 2, 2, 0.4, focus="n", rng=rng)
+        gb = GraphBatch.from_graph(g)
+        gb_nocache = gb.replace(agg_arcs_cache=None, agg_nodes_cache=None)
+        ss = MLPSpec(input_dim=2 + 2 * 3, units=(3,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_, max_iteration=3,
+                       threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        r1 = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        r2 = gnn_forward(spec, params, bn, gb_nocache, jax.random.key(1))
+        assert np.allclose(np.asarray(r1["state"]), np.asarray(r2["state"]), atol=1e-5)
