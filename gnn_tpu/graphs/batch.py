@@ -66,6 +66,13 @@ class GraphBatch:
     # --- optional Pallas block-sparse aggregation plan (ops/pallas_segment) ---
     agg_plan: Optional[object] = None  # AggPlanPair or None
 
+    # --- contiguous-pooling ranges (graph focus) -------------------------
+    # Merged graphs occupy contiguous node ranges, so the NodeGraph pooling
+    # matmul (GNN.py:332) can run as a cumulative-sum difference instead of a
+    # scatter: pool[g] = cumsum[end_g] - cumsum[start_g].
+    pool_starts: Optional[jnp.ndarray] = None   # [Tp] int32
+    pool_ends: Optional[jnp.ndarray] = None     # [Tp] int32
+
     # --- precomputed constant aggregations -------------------------------
     # ArcNode^T @ arc_labels and A^T @ nodes are loop- and step-invariant
     # (GNN.py:259,263 recompute them every call); caching them at build time
@@ -198,6 +205,8 @@ class GraphBatch:
 
         agg_arcs_c = _host_agg(arc_labels, edge_w, dst, Np)
         agg_nodes_c = _host_agg(nodes[np.minimum(src, Np - 1)], edge_w, dst, Np)
+        ps, pe = (_pool_ranges(g.graph_ids(), N, Tp) if g.focus == "g"
+                  else (None, None))
         return cls(
             nodes=jnp.asarray(nodes), node_mask=jnp.asarray(node_mask),
             graph_ids=jnp.asarray(graph_ids), pool_w=jnp.asarray(pool_w),
@@ -211,6 +220,7 @@ class GraphBatch:
             agg_plan=(_build_plan(src, dst, edge_w, Np) if build_plan else None),
             agg_arcs_cache=jnp.asarray(agg_arcs_c),
             agg_nodes_cache=jnp.asarray(agg_nodes_c),
+            pool_starts=ps, pool_ends=pe,
             focus=g.focus, edges_sorted=bool(sort_edges),
         )
 
@@ -273,12 +283,33 @@ class GraphBatch:
                             else grow(self.agg_arcs_cache, node_pad)),
             agg_nodes_cache=(None if self.agg_nodes_cache is None
                              else grow(self.agg_nodes_cache, node_pad)),
+            pool_starts=(None if self.pool_starts is None
+                         else grow(self.pool_starts, target_pad)),
+            pool_ends=(None if self.pool_ends is None
+                       else grow(self.pool_ends, target_pad)),
         )
         if self.agg_plan is not None:
             new = new.replace(agg_plan=_build_plan(
                 np.asarray(new.src), np.asarray(new.dst),
                 np.asarray(new.edge_w), node_pad))
         return new
+
+
+def _pool_ranges(graph_ids, n_nodes, target_pad):
+    """Contiguous [start, end) node range per graph (graph ids must be
+    non-decreasing — true for merged graphs). Padding rows get empty ranges."""
+    gid = np.asarray(graph_ids)[:n_nodes]
+    if len(gid) and (np.diff(gid) < 0).any():
+        return None, None  # non-contiguous: fall back to segment pooling
+    import jax.numpy as _jnp
+    n_graphs = int(gid[-1]) + 1 if len(gid) else 0
+    starts = np.searchsorted(gid, np.arange(n_graphs), side="left")
+    ends = np.searchsorted(gid, np.arange(n_graphs), side="right")
+    ps = np.zeros(target_pad, np.int32)
+    pe = np.zeros(target_pad, np.int32)
+    ps[:n_graphs] = starts
+    pe[:n_graphs] = ends
+    return _jnp.asarray(ps), _jnp.asarray(pe)
 
 
 def _host_agg(values, weights, dst, num_nodes):
@@ -417,6 +448,15 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
 
     agg_arcs_c = _host_agg(labs_p, w_p, dst_p, Np)
     agg_nodes_c = _host_agg(nodes[np.minimum(src_p, Np - 1)], w_p, dst_p, Np)
+    if focus == "g":
+        ps = np.zeros(Tp, np.int32)
+        pe = np.zeros(Tp, np.int32)
+        for gi, (g, off) in enumerate(zip(glist, offsets)):
+            ps[gi] = off
+            pe[gi] = off + g.n_nodes
+        ps, pe = jnp.asarray(ps), jnp.asarray(pe)
+    else:
+        ps = pe = None
     return GraphBatch(
         nodes=jnp.asarray(nodes), node_mask=jnp.asarray(node_mask),
         graph_ids=jnp.asarray(graph_ids), pool_w=jnp.asarray(pool_w),
@@ -430,6 +470,7 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
         n_real=jnp.asarray([int(node_mask.sum()), E, T], np.int32),
         agg_arcs_cache=jnp.asarray(agg_arcs_c),
         agg_nodes_cache=jnp.asarray(agg_nodes_c),
+        pool_starts=ps, pool_ends=pe,
         adj_blocks=jnp.asarray(adj), res_src=jnp.asarray(res_src),
         res_dst=jnp.asarray(res_dst), res_w=jnp.asarray(res_w),
         focus=focus, edges_sorted=True,

@@ -58,9 +58,12 @@ def getSet(glist: Sequence[str], set_indices: Sequence[int], focus: str,
 def getbatches(glist: List[Graph], focus: Optional[str] = None,
                aggregation_mode: Optional[str] = None, batch_size: int = 32,
                number_of_batches: Optional[int] = None, one_graph_per_batch: bool = True,
-               problem_based: Optional[str] = None):
+               problem_based: Optional[str] = None, block_w: Optional[int] = None):
     """Chunk a graph list into batches; each batch is merged into ONE big
-    disjoint-union graph when one_graph_per_batch (GNN_utils.py:177-194)."""
+    disjoint-union graph when one_graph_per_batch (GNN_utils.py:177-194).
+
+    block_w: when set (node/graph focus), batches are built as block-dense
+    GraphBatches (graphs/batch.py::from_graphs_blocked) — the fast TPU path."""
     if focus is None:
         focus = problem_based if problem_based is not None else glist[0].focus
     if aggregation_mode is None:
@@ -70,6 +73,14 @@ def getbatches(glist: List[Graph], focus: Optional[str] = None,
     else:
         splits = np.array_split(np.arange(len(glist)), number_of_batches)
         batches = [[glist[j] for j in s] for s in splits]
+    if block_w is not None:
+        from gnn_tpu.graphs.batch import from_graphs_blocked
+        for b in batches:
+            for g in b:
+                g.aggregation_mode = aggregation_mode
+        return [from_graphs_blocked(b, block_w=block_w, focus=focus,
+                                    aggregation_mode=aggregation_mode)
+                for b in batches]
     if one_graph_per_batch:
         batches = [Graph.merge(b, focus=focus, aggregation_mode=aggregation_mode)
                    for b in batches]

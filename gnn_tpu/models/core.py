@@ -234,9 +234,19 @@ def gnn_forward(spec: GNNSpec, params, bn, gb: GraphBatch, rng: jax.Array,
                                      stat_mask=emask)
         if gb.focus == "g":
             # average readout over each graph's nodes (GNN.py:318-333);
-            # graph axis padded to Tp so rows align with targets directly
-            pooled = pool_graphs(out_entity * gb.node_mask[:, None].astype(out_entity.dtype),
-                                 gb.graph_ids, gb.pool_w, gb.n_target_pad)
+            # graph axis padded to Tp so rows align with targets directly.
+            weighted = out_entity * (gb.pool_w * gb.node_mask.astype(out_entity.dtype))[:, None]
+            if gb.pool_starts is not None:
+                # contiguous node ranges: pool as a cumsum difference — no
+                # scatter (pool[g] = csum[end_g] - csum[start_g])
+                csum = jnp.concatenate(
+                    [jnp.zeros((1, weighted.shape[1]), weighted.dtype),
+                     jnp.cumsum(weighted, axis=0)], axis=0)
+                pooled = (jnp.take(csum, gb.pool_ends, axis=0)
+                          - jnp.take(csum, gb.pool_starts, axis=0))
+            else:
+                pooled = pool_graphs(out_entity * gb.node_mask[:, None].astype(out_entity.dtype),
+                                     gb.graph_ids, gb.pool_w, gb.n_target_pad)
             out_rows = pooled
         else:
             out_rows = jnp.take(out_entity, gb.out_index, axis=0)

@@ -341,7 +341,7 @@ class LGNN(BaseModel):
     def train(self, gTr, epochs: int, gVa=None, update_freq: int = 10,
               max_fails: int = 10, observed_metric: str = "Loss", policy: str = "min",
               *, mean: bool = True, training_mode: str = "parallel",
-              verbose: int = 3) -> None:
+              verbose: int = 3, profile_dir=None) -> None:
         assert training_mode in ("parallel", "serial", "residual")
         if self.training_mode is not None and self.training_mode != training_mode:
             raise ValueError("LGNN training_mode is sticky once set (reference LGNN.py:313-316)")
@@ -363,7 +363,7 @@ class LGNN(BaseModel):
                     gVa1 = [self._augment(gnn, base, cur) for base, cur in zip(gVa, gVa1)]
         else:
             super().train(gTr, epochs, gVa, update_freq, max_fails, observed_metric,
-                          policy, mean=mean, verbose=verbose)
+                          policy, mean=mean, verbose=verbose, profile_dir=profile_dir)
 
     def _augment(self, gnn: GNNnodeBased, base: GraphBatch, cur: GraphBatch) -> GraphBatch:
         """Run one layer on its (already augmented) input graph and augment the
