@@ -32,6 +32,21 @@ if not os.environ.get("GNN_TPU_NO_CACHE"):
         pass
 
 
+# Default PRNG: the TPU hardware RNG ('rbg'). Threefry mask generation costs
+# ~14 ms per MUTAG-scale training step (dropout masks for 150k nodes x 5
+# iterations); rbg removes it entirely (22.4 -> 8.3 ms measured). Streams
+# differ from threefry but remain deterministic per key; set
+# GNN_TPU_PRNG=threefry for the JAX default.
+if os.environ.get("GNN_TPU_PRNG", "rbg") != "threefry":
+    try:
+        import jax
+
+        jax.config.update("jax_default_prng_impl",
+                          os.environ.get("GNN_TPU_PRNG", "rbg"))
+    except Exception:
+        pass
+
+
 def floatx():
     """Current default floating dtype (numpy dtype object)."""
     return _FLOATX

@@ -330,7 +330,7 @@ def _build_plan(src, dst, edge_w, num_nodes):
 def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = None,
                         aggregation_mode: Optional[str] = None,
                         target_pad: Optional[int] = None, edge_pad: Optional[int] = None,
-                        dtype=None) -> GraphBatch:
+                        min_blocks: Optional[int] = None, dtype=None) -> GraphBatch:
     """Build a GraphBatch with graph-aligned node packing and a block-dense
     adjacency.
 
@@ -366,6 +366,8 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
             offsets.append(cursor)
             cursor += s
     Np = -(-cursor // W) * W
+    if min_blocks is not None:
+        Np = max(Np, int(min_blocks) * W)  # harmonise block counts across batches
     B = Np // W
 
     # --- node-level arrays ------------------------------------------------

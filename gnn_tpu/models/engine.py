@@ -175,7 +175,10 @@ class BaseModel(ABC):
             return [self.to_batch(elem)]
         if isinstance(elem, (list, tuple)) and all(isinstance(g, (Graph, GraphBatch)) for g in elem):
             out = [self.to_batch(g) if isinstance(g, Graph) else g for g in elem]
-            if len(out) > 1 and len({b.pad_shapes() for b in out}) > 1:
+            if (len(out) > 1 and len({b.pad_shapes() for b in out}) > 1
+                    and all(b.adj_blocks is None for b in out)):
+                # blocked batches are fixed-shape (harmonise at build time via
+                # from_graphs_blocked(min_blocks=..., edge_pad=..., target_pad=...))
                 np_, ep_, tp_ = (max(s) for s in zip(*(b.pad_shapes() for b in out)))
                 out = [b.repad(np_, ep_, tp_) for b in out]
             return out
@@ -255,16 +258,24 @@ class BaseModel(ABC):
         initial_epoch = self.history["Epoch"][-1] + 1 if self.history["Epoch"] else 0
         epochs += initial_epoch
 
+        import time as _time
+        edges_per_epoch = sum(int(b.n_real[1]) for b in gTr)
+
         e = initial_epoch
         for e in range(initial_epoch, epochs):
             profiling = profile_dir and e == initial_epoch
             if profiling:
                 import jax.profiler
                 jax.profiler.start_trace(profile_dir)
+            _t0 = _time.perf_counter()
             for i, elem in enumerate(gTr):
                 self.training_step(elem, mean=mean)
                 if verbose > 2:
                     print(f" > Epoch {e:4d}/{epochs} \t\t> Batch {i + 1:4d}/{len(gTr)}", end="\r")
+            _dt = _time.perf_counter() - _t0
+            # per-epoch throughput counter (BASELINE.md north-star metric)
+            training_writer.write_scalars(
+                {"EpochSeconds": _dt, "EdgesPerSecond": edges_per_epoch / max(_dt, 1e-9)}, e)
             if profiling:
                 import jax.profiler
                 jax.profiler.stop_trace()

@@ -39,6 +39,7 @@ def save_checkpoint(path: str, *, params, bn, opt_state, history: Optional[dict]
     manifest = {"history": history or {}, "extra": extra or {}}
     if rng is not None:
         manifest["rng_key_data"] = np.asarray(jax.random.key_data(rng)).tolist()
+        manifest["rng_impl"] = str(jax.random.key_impl(rng))
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f)
 

@@ -298,3 +298,26 @@ class TestEdgeSorting:
         gb = GraphBatch.from_graph(g, sort_edges=True)
         d = np.asarray(gb.dst)
         assert (np.diff(d) >= 0).all()
+
+
+class TestBfloat16:
+    def test_bf16_forward_and_train(self, rng):
+        """bfloat16 batches + params run end-to-end and stay finite."""
+        import jax.numpy as jnp
+        from gnn_tpu.models.core import make_train_step
+        from gnn_tpu.training.optimizers import make_optimizer, optimizer_config
+        g = make_graph(rng, n=30, e=120)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=3, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0), dtype=jnp.bfloat16)
+        gb = GraphBatch.from_graph(g, dtype=jnp.bfloat16)
+        res = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        assert res["state"].dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(res["out"], dtype=np.float32)).all()
+        cfg = optimizer_config("sgd", learning_rate=1e-2)
+        step = make_train_step(spec, "mse", None, cfg)
+        o = make_optimizer(cfg).init(params)
+        p, b, o, _ = step(params, bn, o, gb, jax.random.key(2))
+        assert all(np.isfinite(np.asarray(x, dtype=np.float32)).all()
+                   for x in jax.tree_util.tree_leaves(p))
