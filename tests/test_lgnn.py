@@ -145,3 +145,16 @@ class TestLifecycle:
             LGNN(gnns=[a[0], b[0]], get_state=False, get_output=True,
                  optimizer="adam", loss_function="mse", loss_arguments=None,
                  addressed_problem="c", path_writer=str(tmp_path / "c") + "/")
+
+
+class TestBlockedLGNN:
+    def test_lgnn_blocked_equals_standard_and_trains(self, rng, tmp_path):
+        from gnn_tpu.graphs.batch import GraphBatch, from_graphs_blocked
+        gs = node_dataset(rng, 10)
+        merged = Graph.merge(gs, focus="n", aggregation_mode="average")
+        gb_std = GraphBatch.from_graph(merged)
+        gb_blk = from_graphs_blocked(gs, block_w=128)
+        lgnn = build_lgnn(tmp=str(tmp_path / "w") + "/")
+        assert np.allclose(lgnn(gb_std), lgnn(gb_blk), atol=1e-4)
+        lgnn.train([gb_blk], epochs=2, update_freq=2, training_mode="parallel", verbose=0)
+        assert np.isfinite(lgnn.history["Loss Tr"][-1])
