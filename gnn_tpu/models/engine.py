@@ -232,7 +232,14 @@ class BaseModel(ABC):
             wst, wout = self.get_weights()
             return new_best, 0, wst, wout
 
-        gTr = self.checktype(gTr)
+        from gnn_tpu.graphs.generator import (GraphDataGenerator,
+                                              SingleGraphDataGenerator)
+        generator = None
+        if isinstance(gTr, (GraphDataGenerator, SingleGraphDataGenerator)):
+            generator = gTr          # re-iterated each epoch (fresh shuffle)
+            gTr = self.checktype(list(generator))
+        else:
+            gTr = self.checktype(gTr)
         gVa = self.checktype(gVa)
 
         if not self.history:
@@ -267,6 +274,8 @@ class BaseModel(ABC):
             if profiling:
                 import jax.profiler
                 jax.profiler.start_trace(profile_dir)
+            if generator is not None and e > initial_epoch:
+                gTr = self.checktype(list(generator))
             _t0 = _time.perf_counter()
             for i, elem in enumerate(gTr):
                 self.training_step(elem, mean=mean)

@@ -107,3 +107,14 @@ class TestProfiler:
                   profile_dir=str(tmp_path / "trace"))
         import os
         assert any(os.scandir(str(tmp_path / "trace")))
+
+
+class TestGeneratorTraining:
+    def test_engine_accepts_generator_directly(self, rng, tmp_path):
+        """train() re-iterates a GraphDataGenerator each epoch (fresh shuffle)."""
+        gs = [random_graph(12, 3, 1, 2, 0.5, focus="n", rng=rng) for _ in range(8)]
+        gen = GraphDataGenerator(gs, batch_size=4, shuffle=True, rng=0)
+        gnn = build_gnn(tmp_path / "w")
+        gnn.train(gen, epochs=4, update_freq=2, verbose=0)
+        assert len(gnn.history["Epoch"]) == 2
+        assert np.isfinite(gnn.history["Loss Tr"][-1])
