@@ -64,12 +64,22 @@ class GNNSpec:
     threshold: float = 0.01
     aggregation: str = "auto"
     shard_axis: Optional[str] = None
+    # gradient mode: 'unroll' differentiates the masked scan (exact reference
+    # semantics); 'ift' uses the implicit-function-theorem adjoint (O(1)
+    # memory, exact at convergence — models/ift.py)
+    grad_mode: str = "unroll"
+    ift_backward_iters: int = 20
 
     def __post_init__(self):
         if self.focus not in ("n", "a", "g"):
             raise ValueError("focus must be 'n', 'a' or 'g'")
         if self.state_dim < 0 or not isinstance(self.state_dim, int):
             raise TypeError("param <state_dim> must be int>=0")
+        if self.grad_mode not in ("unroll", "ift"):
+            raise ValueError("grad_mode must be 'unroll' or 'ift'")
+        if self.grad_mode == "ift" and self.state_spec.dropout_rate:
+            raise ValueError("grad_mode='ift' requires a dropout-free state net "
+                             "(per-iteration masks make the step non-stationary)")
 
 
 def gnn_init(spec: GNNSpec, rng: jax.Array, dtype=jnp.float32):
@@ -194,7 +204,51 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
 
     carry0 = (jnp.float32(0.0), state0, state_old0, jnp.bool_(True), bn_state)
     (k, state, _, _, bn_out), _ = jax.lax.scan(body, carry0, step_rngs)
+
+    if spec.grad_mode == "ift":
+        # Replace the unrolled gradient path with the implicit adjoint: the
+        # scanned state is gradient-stopped and fixed_point_ift installs
+        # dL/dθ = λᵀ ∂f/∂θ with λ from a Neumann solve (models/ift.py).
+        from functools import partial as _partial
+        from gnn_tpu.models.ift import fixed_point_ift
+        consts = {"gb": gb, "bn": bn_out, "agg_arcs": agg_arcs,
+                  "extra": (const_feats if spec.state_dim > 0 else None)}
+        f = _partial(_ift_state_step, spec, training)
+        state = fixed_point_ift(f, spec.ift_backward_iters, params_state,
+                                jax.lax.stop_gradient(state), consts)
     return k, state, bn_out
+
+
+def _ift_state_step(spec: GNNSpec, training: bool, params_state, s, consts):
+    """One stationary application of the state network (used by the IFT
+    adjoint). Mirrors propagate's step_input + mlp_apply for the gb paths."""
+    gb = consts["gb"]
+    Np = gb.n_node_pad
+
+    def agg_state(x):
+        if gb.adj_blocks is not None:
+            Bb, Wb, _ = gb.adj_blocks.shape
+            r = jax.lax.dot_general(
+                gb.adj_blocks, x.reshape(Bb, Wb, -1),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).reshape(Np, -1).astype(x.dtype)
+            if gb.res_src is not None and gb.res_src.shape[0]:
+                r = r + jax.ops.segment_sum(
+                    jnp.take(x, gb.res_src, axis=0) * gb.res_w[:, None],
+                    gb.res_dst, num_segments=Np)
+            return r
+        return aggregate_to_nodes(jnp.take(x, gb.src, axis=0), gb.edge_w, gb.dst,
+                                  Np, strategy="segment",
+                                  indices_sorted=gb.edges_sorted)
+
+    if spec.state_dim > 0:
+        inp = jnp.concatenate([s, gb.nodes, agg_state(s), consts["extra"]], axis=1)
+    else:
+        inp = jnp.concatenate([s, agg_state(s), consts["agg_arcs"]], axis=1)
+    out, _ = mlp_apply(spec.state_spec, params_state, consts["bn"], inp,
+                       training=training, rng=None, stat_mask=gb.node_mask)
+    return out
 
 
 def gnn_forward(spec: GNNSpec, params, bn, gb: GraphBatch, rng: jax.Array,

@@ -38,7 +38,8 @@ class GNNnodeBased(BaseModel):
                  addressed_problem: str = "c", extra_metrics: Optional[dict] = None,
                  extra_metrics_arguments: Optional[dict] = None,
                  path_writer: str = "writer/", namespace: str = "GNN",
-                 aggregation: str = "auto", seed: Optional[int] = None,
+                 aggregation: str = "auto", grad_mode: str = "unroll",
+                 ift_backward_iters: int = 20, seed: Optional[int] = None,
                  dtype=jnp.float32) -> None:
         super().__init__(optimizer, loss_function, loss_arguments, addressed_problem,
                          extra_metrics, extra_metrics_arguments, path_writer, namespace)
@@ -49,7 +50,8 @@ class GNNnodeBased(BaseModel):
         self.spec = GNNSpec(focus=self._focus, state_spec=net_state,
                             output_spec=net_output, state_dim=int(state_vect_dim),
                             max_iteration=int(max_iteration), threshold=float(threshold),
-                            aggregation=aggregation)
+                            aggregation=aggregation, grad_mode=grad_mode,
+                            ift_backward_iters=int(ift_backward_iters))
         self.seed = seed
         self.dtype = dtype
         self._rng = jax.random.key(np.random.randint(2 ** 31) if seed is None else seed)
@@ -96,7 +98,9 @@ class GNNnodeBased(BaseModel):
             max_iteration=self.spec.max_iteration, threshold=self.spec.threshold,
             addressed_problem=self.addressed_problem, extra_metrics=self.extra_metrics,
             extra_metrics_arguments=self.mt_args, path_writer=path_writer,
-            namespace=namespace, aggregation=self.spec.aggregation, dtype=self.dtype)
+            namespace=namespace, aggregation=self.spec.aggregation,
+            grad_mode=self.spec.grad_mode,
+            ift_backward_iters=self.spec.ift_backward_iters, dtype=self.dtype)
         if copy_weights:
             new.params = jax.tree_util.tree_map(jnp.array, self.params)
             new.bn = jax.tree_util.tree_map(jnp.array, self.bn)
@@ -118,7 +122,9 @@ class GNNnodeBased(BaseModel):
                   "threshold": self.spec.threshold,
                   "addressed_problem": self.addressed_problem,
                   "state_vect_dim": self.spec.state_dim,
-                  "aggregation": self.spec.aggregation}
+                  "aggregation": self.spec.aggregation,
+                  "grad_mode": self.spec.grad_mode,
+                  "ift_backward_iters": self.spec.ift_backward_iters}
         with open(f"{path}config.json", "w") as f:
             json.dump(config, f)
         tree_to_npz(f"{path}params.npz", self.params)
@@ -148,6 +154,8 @@ class GNNnodeBased(BaseModel):
                       threshold=config.pop("threshold"),
                       addressed_problem=config.pop("addressed_problem"),
                       aggregation=config.pop("aggregation", "auto"),
+                      grad_mode=config.pop("grad_mode", "unroll"),
+                      ift_backward_iters=config.pop("ift_backward_iters", 20),
                       extra_metrics=extra_metrics,
                       extra_metrics_arguments=extra_metrics_arguments,
                       path_writer=path_writer, namespace=namespace)

@@ -321,3 +321,51 @@ class TestBfloat16:
         p, b, o, _ = step(params, bn, o, gb, jax.random.key(2))
         assert all(np.isfinite(np.asarray(x, dtype=np.float32)).all()
                    for x in jax.tree_util.tree_leaves(p))
+
+
+class TestIFTGradients:
+    """Implicit-function-theorem grad mode (models/ift.py): O(1)-memory
+    adjoint equals the unrolled gradient at a converged fixed point."""
+
+    def test_ift_matches_unrolled_at_convergence(self, rng):
+        import dataclasses
+        n, e = 30, 120
+        nodes = 0.3 * rng.standard_normal((n, 3)).astype(np.float32)
+        arcs = np.concatenate([rng.integers(0, n, (e, 1)), rng.integers(0, n, (e, 1)),
+                               0.3 * rng.standard_normal((e, 1)).astype(np.float32)], axis=1)
+        t = np.eye(2, dtype=np.float32)[rng.integers(0, 2, n)]
+        g = Graph(arcs=arcs, nodes=nodes, targets=t, focus="n",
+                  aggregation_mode="average")
+        gb = GraphBatch.from_graph(g)
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     kernel_initializer="random_normal", bias_initializer="zeros",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec_u = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                         max_iteration=60, threshold=1e-7, aggregation="segment")
+        spec_i = dataclasses.replace(spec_u, grad_mode="ift", ift_backward_iters=60)
+        params, bn = gnn_init(spec_u, jax.random.key(0))
+        params = jax.tree_util.tree_map(lambda x: 0.3 * x, params)  # contractive
+
+        from gnn_tpu.models.core import evaluate_single
+
+        def grads(spec):
+            def f(p):
+                it, loss, _ = evaluate_single(spec, p, bn, gb, jax.random.key(1),
+                                              "mse", {}, training=False)
+                return loss
+            return jax.grad(f)(params)
+
+        g_u, g_i = grads(spec_u), grads(spec_i)
+        for a, b in zip(jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_i)):
+            denom = float(jnp.max(jnp.abs(a))) + 1e-8
+            assert float(jnp.max(jnp.abs(a - b))) / denom < 5e-3
+
+    def test_ift_rejects_state_dropout(self):
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     dropout_rate=(0.1,), dropout_pos=(0,), batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        with pytest.raises(ValueError):
+            GNNSpec(focus="n", state_spec=ss, output_spec=os_, grad_mode="ift")
