@@ -195,3 +195,45 @@ class TestLKOStratified:
         gnn = build_gnn(tmp=str(tmp_path / "w") + "/")
         metrics = gnn.LKO(batches, epochs=3, update_freq=3, max_fails=2, verbose=0)
         assert len(metrics["Loss"]) == 4
+
+
+class TestMetricsParity:
+    def test_per_class_and_rates_metrics(self, rng, tmp_path):
+        """Full 13-metric registry incl. per-class accuracy hooks."""
+        gs = dataset(rng, n_graphs=8)
+        batch = Graph.merge(gs, focus="n", aggregation_mode="average")
+        extra = {k: Metrics[k] for k in ["Acc", "Bacc", "Tpr", "Tnr", "Fpr", "Fnr",
+                                         "Ck", "Js", "Prec", "Rec", "Fs", "Cl0", "Cl1"]}
+        margs = {**{k: {"average": "weighted", "zero_division": 0}
+                    for k in ["Fs", "Prec", "Rec", "Js"]},
+                 "Cl0": {"class_label": 0}, "Cl1": {"class_label": 1}}
+        in_s, l_s = get_inout_dims("state", 3, 1, 2, "n", 0, None)
+        in_o, l_o = get_inout_dims("output", 3, 1, 2, "n", 0, None)
+        gnn = GNNnodeBased(
+            net_state=MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
+                              batch_normalization=False),
+            net_output=MLPSpec(input_dim=in_o, units=tuple(l_o), activations="softmax",
+                               batch_normalization=False),
+            optimizer="adam", loss_function="categorical_crossentropy",
+            loss_arguments={"from_logits": False}, extra_metrics=extra,
+            extra_metrics_arguments=margs, path_writer=str(tmp_path / "w") + "/", seed=0)
+        res = gnn.test(batch, rocdir=str(tmp_path / "roc.png"), micro_and_macro=True)
+        for k in extra:
+            assert k in res and np.isfinite(res[k])
+
+    def test_set_aggregation_switch(self, rng):
+        g = dataset(rng, n_graphs=1)[0]
+        w_avg = g.edge_weights()
+        g.set_aggregation("sum")
+        assert np.allclose(g.edge_weights(), 1.0)
+        g.setAggregation("normalized")  # reference-compatible alias
+        assert np.allclose(g.edge_weights(), 1.0 / g.n_arcs)
+        assert not np.allclose(g.edge_weights(), w_avg)
+
+    def test_savetxt_nodegraph_roundtrip(self, rng, tmp_path):
+        gs = dataset(rng, focus="g", n_graphs=3)
+        m = Graph.merge(gs, focus="g", aggregation_mode="average")
+        m.savetxt(str(tmp_path / "g"))
+        m2 = Graph.load_txt(str(tmp_path / "g"), focus="g", aggregation_mode="average")
+        assert m2.NodeGraph is not None
+        assert np.allclose(m.NodeGraph, m2.NodeGraph, atol=1e-6)
