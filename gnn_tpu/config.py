@@ -32,6 +32,39 @@ if not os.environ.get("GNN_TPU_NO_CACHE"):
         pass
 
 
+_WARMED_UP = False
+
+
+def warmup_transfers(verbose: bool = True) -> None:
+    """One-time device→host transfer warm-up.
+
+    Through tunnelled TPU runtimes (axon), the FIRST device→host pull in a
+    process can take minutes (relay handshake); all later pulls are
+    instantaneous. The engine calls this before training so the stall happens
+    at a visible, predictable point instead of silently inside the first
+    weight snapshot."""
+    global _WARMED_UP
+    if _WARMED_UP:
+        return
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() in ("cpu",):
+        _WARMED_UP = True
+        return
+    t0 = time.time()
+    if verbose:
+        print(" > warming device->host transfer path (first pull through a "
+              "tunnelled runtime can take minutes)...", flush=True)
+    np_ = jnp.zeros((8,)) + 1
+    _ = np.asarray(np_)
+    if verbose:
+        print(f" > transfer path ready ({time.time() - t0:.1f}s)", flush=True)
+    _WARMED_UP = True
+
+
 # Default PRNG: the TPU hardware RNG ('rbg'). Threefry mask generation costs
 # ~14 ms per MUTAG-scale training step (dropout masks for 150k nodes x 5
 # iterations); rbg removes it entirely (22.4 -> 8.3 ms measured). Streams

@@ -242,6 +242,9 @@ class BaseModel(ABC):
             gTr = self.checktype(gTr)
         gVa = self.checktype(gVa)
 
+        from gnn_tpu.config import warmup_transfers
+        warmup_transfers(verbose=verbose > 0)
+
         if not self.history:
             keys = ["Epoch"] + [i + j for i in ["It", "Loss"] + list(self.extra_metrics)
                                 for j in ([" Tr", " Va"] if gVa else [" Tr"])]
