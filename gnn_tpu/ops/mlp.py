@@ -188,17 +188,23 @@ _BN_MOMENTUM = 0.99
 _BN_EPS = 1e-3
 
 
-def _batchnorm(params, bn_state, x, training: bool, stat_mask):
+def _batchnorm(params, bn_state, x, training: bool, stat_mask, axis_name=None):
     gamma, beta = params["gamma"], params["beta"]
+
+    def _allsum(v):
+        # cross-shard reduction when rows are sharded over a mesh axis
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
     if training:
         if stat_mask is None:
-            mean = jnp.mean(x, axis=0)
-            var = jnp.mean(jnp.square(x - mean), axis=0)
+            n = _allsum(jnp.asarray(x.shape[0], x.dtype))
+            mean = _allsum(jnp.sum(x, axis=0)) / n
+            var = _allsum(jnp.sum(jnp.square(x - mean), axis=0)) / n
         else:
             w = stat_mask.astype(x.dtype)[:, None]
-            cnt = jnp.maximum(jnp.sum(w), 1.0)
-            mean = jnp.sum(x * w, axis=0) / cnt
-            var = jnp.sum(jnp.square(x - mean) * w, axis=0) / cnt
+            cnt = jnp.maximum(_allsum(jnp.sum(w)), 1.0)
+            mean = _allsum(jnp.sum(x * w, axis=0)) / cnt
+            var = _allsum(jnp.sum(jnp.square(x - mean) * w, axis=0)) / cnt
         new_state = {
             "mean": bn_state["mean"] * _BN_MOMENTUM + mean * (1.0 - _BN_MOMENTUM),
             "var": bn_state["var"] * _BN_MOMENTUM + var * (1.0 - _BN_MOMENTUM),
@@ -211,12 +217,14 @@ def _batchnorm(params, bn_state, x, training: bool, stat_mask):
 
 
 def mlp_apply(spec: MLPSpec, params, bn_state, x, *, training: bool = False,
-              rng: Optional[jax.Array] = None, stat_mask=None):
+              rng: Optional[jax.Array] = None, stat_mask=None, axis_name=None):
     """Apply the MLP. Returns (y, new_bn_state).
 
     :param training: enables dropout and batch-stat batch-norm.
     :param rng: required when training with dropout.
     :param stat_mask: optional bool [rows] — rows contributing to BN moments.
+    :param axis_name: mesh axis over which rows are sharded (inside shard_map)
+        — batch-norm moments are psum-ed so statistics stay global.
     """
     drop = dict(zip(spec.dropout_pos, spec.dropout_rate))
     h = x
@@ -234,7 +242,8 @@ def mlp_apply(spec: MLPSpec, params, bn_state, x, *, training: bool = False,
         rng, sub = jax.random.split(rng)
         h = _dropout(h, drop[n], sub, spec.alphadropout)
     if spec.batch_normalization:
-        h, bn_state = _batchnorm(params["bn"], bn_state, h, training, stat_mask)
+        h, bn_state = _batchnorm(params["bn"], bn_state, h, training, stat_mask,
+                                 axis_name)
     return h, bn_state
 
 

@@ -1,0 +1,226 @@
+"""Node-sharded propagation: node STATE sharded across chips.
+
+The scaling mode for graphs whose state does not fit one chip's HBM (the
+edge-sharded mode in edge_shard.py replicates state). Per propagation
+iteration:
+
+    full_state = all_gather(local_state)               # over ICI
+    msgs       = full_state[src]  for the LOCAL edge shard
+    local_agg  = segment_sum(w · msgs, dst_local)       # owner-computes
+
+Edges are assigned to the shard that OWNS their destination node (dst-sorted
+edges make shards contiguous ranges), so no psum of partial aggregations is
+needed — each shard's aggregation is already complete for its nodes. The state
+MLP, batch-norm statistics (psum-ed moments via mlp_apply(axis_name=...)),
+convergence predicate (psum-any) and readout all run on local rows only;
+per-shard outputs are all-gathered once for the loss.
+
+Exactness: numerically identical to the single-device step (tested on the
+virtual CPU mesh). Gradients differentiate through the shard_map, giving the
+correct collective transposes (all_gather ↔ psum-scatter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.ops.mlp import mlp_apply
+from gnn_tpu.training.losses import get_loss
+from gnn_tpu.training.optimizers import make_optimizer
+
+
+@struct.dataclass
+class NodeShardBatch:
+    """Sharded graph batch: leading axis = shard for edge arrays; node arrays
+    sharded over rows. Built by shard_nodes()."""
+    # node level — sharded over rows [Np] (P(axis))
+    nodes: jnp.ndarray
+    node_mask: jnp.ndarray
+    set_mask: jnp.ndarray
+    output_mask: jnp.ndarray
+    agg_arcs_cache: jnp.ndarray       # [Np, AL] (precomputed, sharded rows)
+    # edge level — owner-assigned shards [d, Es] (P(axis) on axis 0)
+    e_src: jnp.ndarray                # GLOBAL src ids
+    e_dst_local: jnp.ndarray          # dst id LOCAL to the owner shard
+    e_w: jnp.ndarray
+    # supervision — replicated
+    targets: jnp.ndarray
+    sample_weights: jnp.ndarray
+    out_index: jnp.ndarray
+    sel_mask: jnp.ndarray
+    # statics
+    n_shards: int = struct.field(pytree_node=False, default=1)
+    focus: str = struct.field(pytree_node=False, default="n")
+
+
+def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBatch:
+    """Build a node-sharded batch from a dst-sorted from_graph batch
+    (focus 'n'; graph focus needs sharded pooling — future work)."""
+    if gb.focus != "n":
+        raise NotImplementedError("node sharding currently supports node focus")
+    if not gb.edges_sorted:
+        raise ValueError("node sharding requires dst-sorted edges")
+    d = mesh.shape[axis]
+    Np = gb.n_node_pad
+    if Np % d:
+        raise ValueError(f"node pad {Np} not divisible by {d} shards")
+    L = Np // d
+
+    dst = np.asarray(gb.dst)
+    src = np.asarray(gb.src)
+    w = np.asarray(gb.edge_w)
+    # owner-contiguous edge ranges (dst sorted)
+    bounds = np.searchsorted(dst, np.arange(0, Np + 1, L))
+    counts = np.diff(bounds)
+    Es = max(int(-(-counts.max() // 128) * 128), 128)
+    e_src = np.zeros((d, Es), np.int32)
+    e_dstl = np.zeros((d, Es), np.int32)
+    e_w = np.zeros((d, Es), w.dtype)
+    for i in range(d):
+        lo, hi = bounds[i], bounds[i + 1]
+        n = hi - lo
+        e_src[i, :n] = src[lo:hi]
+        e_dstl[i, :n] = dst[lo:hi] - i * L
+        e_w[i, :n] = w[lo:hi]
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    cache = (gb.agg_arcs_cache if gb.agg_arcs_cache is not None
+             else jnp.zeros((Np, gb.dim_arc_label), gb.nodes.dtype))
+    return NodeShardBatch(
+        nodes=put(gb.nodes, P(axis)), node_mask=put(gb.node_mask, P(axis)),
+        set_mask=put(gb.set_mask, P(axis)), output_mask=put(gb.output_mask, P(axis)),
+        agg_arcs_cache=put(cache, P(axis)),
+        e_src=put(jnp.asarray(e_src), P(axis)),
+        e_dst_local=put(jnp.asarray(e_dstl), P(axis)),
+        e_w=put(jnp.asarray(e_w), P(axis)),
+        targets=put(gb.targets, P()), sample_weights=put(gb.sample_weights, P()),
+        out_index=put(gb.out_index, P()), sel_mask=put(gb.sel_mask, P()),
+        n_shards=d, focus=gb.focus)
+
+
+def _ns_pspecs(axis: str, d: int, focus: str) -> NodeShardBatch:
+    return NodeShardBatch(
+        nodes=P(axis), node_mask=P(axis), set_mask=P(axis), output_mask=P(axis),
+        agg_arcs_cache=P(axis), e_src=P(axis), e_dst_local=P(axis), e_w=P(axis),
+        targets=P(), sample_weights=P(), out_index=P(), sel_mask=P(),
+        n_shards=d, focus=focus)
+
+
+def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
+    """Sharded propagation + readout; returns (iters, loss-ready out rows,
+    new_bn). Runs INSIDE shard_map — array args are shard-local."""
+    L = nb.nodes.shape[0]            # local rows
+    e_src = nb.e_src[0]              # strip the shard axis ([1, Es] locally)
+    e_dstl = nb.e_dst_local[0]
+    e_w = nb.e_w[0]
+    nm = nb.node_mask
+
+    def agg_state(local_state):
+        full = jax.lax.all_gather(local_state, axis, tiled=True)     # [Np, D]
+        msgs = jnp.take(full, e_src, axis=0) * e_w[:, None]
+        return jax.ops.segment_sum(msgs, e_dstl, num_segments=L)
+
+    agg_arcs = nb.agg_arcs_cache
+    state = nb.nodes
+    state_old = jnp.ones_like(state)
+    rng, rng_loop, rng_out = jax.random.split(rng, 3)
+    step_rngs = jax.random.split(rng_loop, spec.max_iteration)
+    thr = jnp.float32(spec.threshold)
+
+    def body(carry, step_rng):
+        k, s, s_old, active, bnl = carry
+        diff = (s - s_old).astype(jnp.float32)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+        norm = jnp.sqrt(jnp.sum(jnp.square(s_old.astype(jnp.float32)), axis=1))
+        moving = (dist > thr * norm) & nm
+        any_moving = jax.lax.psum(jnp.any(moving).astype(jnp.int32), axis) > 0
+        active = active & any_moving
+        inp = jnp.concatenate([s, agg_state(s), agg_arcs], axis=1)
+        # decorrelate dropout masks across shards
+        shard_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis))
+        new_s, new_bn = mlp_apply(spec.state_spec, params["state"], bnl, inp,
+                                  training=training, rng=shard_rng, stat_mask=nm,
+                                  axis_name=axis)
+        s_next = jnp.where(active, new_s, s)
+        s_old_next = jnp.where(active, s, s_old)
+        bn_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new_bn, bnl)
+        return (k + active.astype(jnp.float32), s_next, s_old_next, active,
+                bn_next), None
+
+    carry0 = (jnp.float32(0.0), state, state_old, jnp.bool_(True), bn["state"])
+    (iters, state, _, _, bn_s), _ = jax.lax.scan(body, carry0, step_rngs)
+
+    emask = nb.set_mask & nb.output_mask & nm
+    out_local, bn_o = mlp_apply(spec.output_spec, params["output"], bn["output"],
+                                state, training=training, rng=rng_out,
+                                stat_mask=emask, axis_name=axis)
+    out_full = jax.lax.all_gather(out_local, axis, tiled=True)       # [Np, DT]
+    out_rows = jnp.take(out_full, nb.out_index, axis=0)
+    return iters, out_rows, {"state": bn_s, "output": bn_o}
+
+
+def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict],
+                                 optimizer_cfg: dict, mesh: Mesh,
+                                 axis: str = "graph", mean: bool = True):
+    """Jitted node-sharded training step:
+    step(params, bn, opt_state, nb, rng) -> (params, bn, opt_state, iters)."""
+    loss_args = dict(loss_args or {})
+    opt = make_optimizer(optimizer_cfg)
+    d = mesh.shape[axis]
+
+    def shard_loss(params, bn, nb, rng):
+        iters, out_rows, new_bn = _ns_forward(spec, params, bn, nb, rng, True, axis)
+        lf = get_loss(loss_name)
+        per = lf(nb.targets, out_rows, **loss_args)
+        loss = jnp.sum(per * nb.sample_weights * nb.sel_mask.astype(per.dtype))
+        return loss, (iters, new_bn)
+
+    mapped = jax.shard_map(
+        shard_loss, mesh=mesh,
+        in_specs=(P(), P(), _ns_pspecs(axis, d, "n"), P()),
+        out_specs=(P(), (P(), P())),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, bn, opt_state, nb, rng):
+        def loss_fn(p):
+            loss, aux = mapped(p, bn, nb, rng)
+            from gnn_tpu.models.core import regularization
+            return loss + regularization(spec, p), aux
+
+        grads, (iters, new_bn) = jax.grad(loss_fn, has_aux=True)(params)
+        if mean:
+            denom = jnp.maximum(iters, 1.0)
+            grads = {**grads, "state": jax.tree_util.tree_map(
+                lambda g: g / denom, grads["state"])}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return params, new_bn, opt_state, iters
+
+    return step
+
+
+def make_node_sharded_forward(spec, mesh: Mesh, axis: str = "graph"):
+    d = mesh.shape[axis]
+
+    def fwd(params, bn, nb, rng):
+        iters, out_rows, _ = _ns_forward(spec, params, bn, nb, rng, False, axis)
+        return iters, out_rows
+
+    mapped = jax.shard_map(fwd, mesh=mesh,
+                           in_specs=(P(), P(), _ns_pspecs(axis, d, "n"), P()),
+                           out_specs=(P(), P()),
+                           check_vma=False)
+    return jax.jit(mapped)

@@ -164,3 +164,51 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert out.ndim == 2 and np.isfinite(np.asarray(out)).all()
         ge.dryrun_multichip(8)
+
+
+class TestNodeSharded:
+    """Node-state sharding (parallel/node_shard.py): all_gather + owner-computes
+    aggregation; exact vs single device incl. BN-in-loop global statistics."""
+
+    def test_matches_single_device(self, setup):
+        rng, spec0, params0, bn0 = setup
+        import dataclasses
+        from gnn_tpu.parallel.node_shard import (make_node_sharded_forward,
+                                                 make_node_sharded_train_step,
+                                                 shard_nodes)
+        g = random_graph(100, 3, 1, 2, 0.3, focus="n", rng=rng)
+        gb = GraphBatch.from_graph(g, node_pad=128, edge_pad=2048, target_pad=128)
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     batch_normalization=True)  # exercises psum-ed BN moments
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_, max_iteration=5,
+                       threshold=0.01, aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        mesh = make_mesh({"graph": 8})
+        nb = shard_nodes(gb, mesh)
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        ns = make_node_sharded_train_step(spec, "mse", None, sgd, mesh, mean=False)
+        ref = make_train_step(spec, "mse", None, sgd, mean=False)
+        rk = jax.random.key(3)
+        p_ns, bn_ns, _, it_ns = ns(params, bn, make_optimizer(sgd).init(params), nb, rk)
+        p_rf, bn_rf, _, it_rf = ref(params, bn, make_optimizer(sgd).init(params), gb, rk)
+        assert float(it_ns) == float(it_rf)
+        assert leaves_close(p_ns, p_rf)
+        assert leaves_close(bn_ns, bn_rf, atol=1e-5)
+        fwd = make_node_sharded_forward(spec, mesh)
+        it, out = fwd(params, bn, nb, jax.random.key(1))
+        from gnn_tpu.models.core import gnn_forward
+        r = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        assert np.allclose(np.asarray(out)[:100], np.asarray(r["out"])[:100], atol=1e-4)
+
+    def test_rejects_unsorted_and_graph_focus(self, setup):
+        rng, *_ = setup
+        from gnn_tpu.parallel.node_shard import shard_nodes
+        mesh = make_mesh({"graph": 8})
+        g = random_graph(40, 3, 1, 2, 0.4, focus="g", rng=rng)
+        with pytest.raises(NotImplementedError):
+            shard_nodes(GraphBatch.from_graph(g), mesh)
+        g2 = random_graph(40, 3, 1, 2, 0.4, focus="n", rng=rng)
+        with pytest.raises(ValueError):
+            shard_nodes(GraphBatch.from_graph(g2, sort_edges=False), mesh)
