@@ -350,8 +350,8 @@ def _train_step_impl(spec: GNNSpec, params, bn, opt_state, gb: GraphBatch,
         denom = jnp.maximum(iters, 1.0)
         grads = {**grads,
                  "state": jax.tree_util.tree_map(lambda g: g / denom, grads["state"])}
-    from gnn_tpu.training.optimizers import make_optimizer
-    opt = make_optimizer({"name": optimizer[0], "kwargs": dict(optimizer[1])})
+    from gnn_tpu.training.optimizers import make_optimizer, thaw_config
+    opt = make_optimizer(thaw_config(optimizer))
     updates, opt_state = opt.update(grads, opt_state, params)
     params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
     return params, new_bn, opt_state, iters
@@ -361,8 +361,9 @@ def make_train_step(spec: GNNSpec, loss_name: str, loss_args: Optional[dict],
                     optimizer_cfg: dict, mean: bool = True):
     """Build the jitted single-batch training step. The optimizer config is
     passed as a hashable tuple so the optax transform lives inside the jit."""
+    from gnn_tpu.training.optimizers import freeze_config
     loss_args_t = tuple(sorted((loss_args or {}).items()))
-    opt_t = (optimizer_cfg["name"], tuple(sorted(optimizer_cfg["kwargs"].items())))
+    opt_t = freeze_config(optimizer_cfg)
 
     def step(params, bn, opt_state, gb, rng):
         return _train_step_impl(spec, params, bn, opt_state, gb, rng,

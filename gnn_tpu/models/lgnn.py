@@ -111,7 +111,8 @@ def _lgnn_train_impl(specs, params, bns, opt_state, gb, rng, *, loss_name,
             {**g, "state": jax.tree_util.tree_map(
                 lambda x: x / jnp.maximum(it, 1.0), g["state"])}
             for g, it in zip(grads, iters))
-    opt = make_optimizer({"name": optimizer[0], "kwargs": dict(optimizer[1])})
+    from gnn_tpu.training.optimizers import thaw_config
+    opt = make_optimizer(thaw_config(optimizer))
     updates, opt_state = opt.update(grads, opt_state, params)
     params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
     return params, new_bns, opt_state, jnp.stack(iters)
@@ -183,8 +184,8 @@ class LGNN(BaseModel):
         return self.gnns[0].to_batch(g)
 
     def _opt_tuple(self):
-        return (self.optimizer_config["name"],
-                tuple(sorted(self.optimizer_config["kwargs"].items())))
+        from gnn_tpu.training.optimizers import freeze_config
+        return freeze_config(self.optimizer_config)
 
     def _loss_args_t(self):
         return tuple(sorted(self.loss_args.items()))
