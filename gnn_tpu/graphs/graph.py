@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import numpy as np
 

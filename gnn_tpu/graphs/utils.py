@@ -9,7 +9,7 @@ it assigns the *test* mask to the validation and training graphs too
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -25,7 +25,7 @@ import json
 import os
 import shutil
 from abc import ABC, abstractmethod
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import numpy as np

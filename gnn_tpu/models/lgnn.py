@@ -29,8 +29,8 @@ import numpy as np
 
 from gnn_tpu.graphs.batch import GraphBatch
 from gnn_tpu.graphs.graph import Graph
-from gnn_tpu.models.core import (GNNSpec, _entity_mask, gnn_forward, regularization)
-from gnn_tpu.models.engine import BaseModel, tree_from_npz, tree_to_npz
+from gnn_tpu.models.core import _entity_mask, gnn_forward, regularization
+from gnn_tpu.models.engine import BaseModel
 from gnn_tpu.models.gnn import GNNedgeBased, GNNgraphBased, GNNnodeBased
 from gnn_tpu.training.losses import get_loss
 from gnn_tpu.training.optimizers import make_optimizer

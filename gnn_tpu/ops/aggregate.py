@@ -25,9 +25,6 @@ All strategies are linear, differentiable (custom VJP for pallas), and exact.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

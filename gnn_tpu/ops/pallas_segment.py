@@ -25,7 +25,6 @@ swapped (the transpose plan), so gradients flow through `lax.scan` exactly.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

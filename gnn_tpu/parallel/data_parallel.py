@@ -9,7 +9,6 @@ the synchronous-large-batch analogue of the reference's sequential updates.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -22,8 +22,6 @@ correct collective transposes (all_gather ↔ psum-scatter).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
