@@ -13,7 +13,8 @@ edges make shards contiguous ranges), so no psum of partial aggregations is
 needed — each shard's aggregation is already complete for its nodes. The state
 MLP, batch-norm statistics (psum-ed moments via mlp_apply(axis_name=...)),
 convergence predicate (psum-any) and readout all run on local rows only;
-per-shard outputs are all-gathered once for the loss.
+per-shard outputs are all-gathered once for the loss. Graph focus pools the
+all-gathered node outputs by cumsum ranges (average readout, GNN.py:318-333).
 
 Exactness: numerically identical to the single-device step (tested on the
 virtual CPU mesh). Gradients differentiate through the shard_map, giving the
@@ -55,16 +56,28 @@ class NodeShardBatch:
     sample_weights: jnp.ndarray
     out_index: jnp.ndarray
     sel_mask: jnp.ndarray
+    # graph focus only — pooling structures (GNN.py:318-333). pool_w is
+    # node-level (sharded rows, pre-multiplied by node_mask); the cumsum range
+    # indices are replicated and consumed after the output all_gather.
+    pool_w: Optional[jnp.ndarray] = None
+    pool_starts: Optional[jnp.ndarray] = None
+    pool_ends: Optional[jnp.ndarray] = None
     # statics
     n_shards: int = struct.field(pytree_node=False, default=1)
     focus: str = struct.field(pytree_node=False, default="n")
 
 
 def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBatch:
-    """Build a node-sharded batch from a dst-sorted from_graph batch
-    (focus 'n'; graph focus needs sharded pooling — future work)."""
-    if gb.focus != "n":
-        raise NotImplementedError("node sharding currently supports node focus")
+    """Build a node-sharded batch from a dst-sorted from_graph batch.
+
+    Supports node focus ('n') and graph focus ('g'; pooling runs as a cumsum
+    difference over the all-gathered node outputs). Edge focus scales via
+    data parallelism instead."""
+    if gb.focus not in ("n", "g"):
+        raise NotImplementedError("node sharding supports node/graph focus")
+    if gb.focus == "g" and gb.pool_starts is None:
+        raise ValueError("graph-focus node sharding needs contiguous pooling "
+                         "ranges (from_graph builds pool_starts/pool_ends)")
     if not gb.edges_sorted:
         raise ValueError("node sharding requires dst-sorted edges")
     d = mesh.shape[axis]
@@ -95,6 +108,11 @@ def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBat
 
     cache = (gb.agg_arcs_cache if gb.agg_arcs_cache is not None
              else jnp.zeros((Np, gb.dim_arc_label), gb.nodes.dtype))
+    pool = {}
+    if gb.focus == "g":
+        pool = dict(
+            pool_w=put(gb.pool_w * gb.node_mask.astype(gb.pool_w.dtype), P(axis)),
+            pool_starts=put(gb.pool_starts, P()), pool_ends=put(gb.pool_ends, P()))
     return NodeShardBatch(
         nodes=put(gb.nodes, P(axis)), node_mask=put(gb.node_mask, P(axis)),
         set_mask=put(gb.set_mask, P(axis)), output_mask=put(gb.output_mask, P(axis)),
@@ -104,15 +122,17 @@ def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBat
         e_w=put(jnp.asarray(e_w), P(axis)),
         targets=put(gb.targets, P()), sample_weights=put(gb.sample_weights, P()),
         out_index=put(gb.out_index, P()), sel_mask=put(gb.sel_mask, P()),
-        n_shards=d, focus=gb.focus)
+        n_shards=d, focus=gb.focus, **pool)
 
 
 def _ns_pspecs(axis: str, d: int, focus: str) -> NodeShardBatch:
+    pool = (dict(pool_w=P(axis), pool_starts=P(), pool_ends=P())
+            if focus == "g" else {})
     return NodeShardBatch(
         nodes=P(axis), node_mask=P(axis), set_mask=P(axis), output_mask=P(axis),
         agg_arcs_cache=P(axis), e_src=P(axis), e_dst_local=P(axis), e_w=P(axis),
         targets=P(), sample_weights=P(), out_index=P(), sel_mask=P(),
-        n_shards=d, focus=focus)
+        n_shards=d, focus=focus, **pool)
 
 
 def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
@@ -164,8 +184,20 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
     out_local, bn_o = mlp_apply(spec.output_spec, params["output"], bn["output"],
                                 state, training=training, rng=rng_out,
                                 stat_mask=emask, axis_name=axis)
-    out_full = jax.lax.all_gather(out_local, axis, tiled=True)       # [Np, DT]
-    out_rows = jnp.take(out_full, nb.out_index, axis=0)
+    if nb.focus == "g":
+        # average readout per graph (GNN.py:318-333): weight locally, gather
+        # the full node-output matrix once, pool as a cumsum difference over
+        # the replicated contiguous node ranges (models/core.py:289-304).
+        weighted = out_local * nb.pool_w[:, None].astype(out_local.dtype)
+        full = jax.lax.all_gather(weighted, axis, tiled=True)        # [Np, DT]
+        csum = jnp.concatenate(
+            [jnp.zeros((1, full.shape[1]), full.dtype),
+             jnp.cumsum(full, axis=0)], axis=0)
+        out_rows = (jnp.take(csum, nb.pool_ends, axis=0)
+                    - jnp.take(csum, nb.pool_starts, axis=0))
+    else:
+        out_full = jax.lax.all_gather(out_local, axis, tiled=True)   # [Np, DT]
+        out_rows = jnp.take(out_full, nb.out_index, axis=0)
     return iters, out_rows, {"state": bn_s, "output": bn_o}
 
 
@@ -187,7 +219,7 @@ def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict]
 
     mapped = jax.shard_map(
         shard_loss, mesh=mesh,
-        in_specs=(P(), P(), _ns_pspecs(axis, d, "n"), P()),
+        in_specs=(P(), P(), _ns_pspecs(axis, d, spec.focus), P()),
         out_specs=(P(), (P(), P())),
         check_vma=False)
 
@@ -218,7 +250,7 @@ def make_node_sharded_forward(spec, mesh: Mesh, axis: str = "graph"):
         return iters, out_rows
 
     mapped = jax.shard_map(fwd, mesh=mesh,
-                           in_specs=(P(), P(), _ns_pspecs(axis, d, "n"), P()),
+                           in_specs=(P(), P(), _ns_pspecs(axis, d, spec.focus), P()),
                            out_specs=(P(), P()),
                            check_vma=False)
     return jax.jit(mapped)

@@ -9,6 +9,7 @@ import pytest
 
 from gnn_tpu.graphs.batch import GraphBatch
 from gnn_tpu.graphs.datasets import random_graph
+from gnn_tpu.graphs.graph import Graph
 from gnn_tpu.models.core import (GNNSpec, evaluate_single, gnn_init,
                                  make_train_step, regularization)
 from gnn_tpu.ops.mlp import MLPSpec
@@ -202,11 +203,44 @@ class TestNodeSharded:
         r = gnn_forward(spec, params, bn, gb, jax.random.key(1))
         assert np.allclose(np.asarray(out)[:100], np.asarray(r["out"])[:100], atol=1e-4)
 
-    def test_rejects_unsorted_and_graph_focus(self, setup):
+    def test_graph_focus_matches_single_device(self, setup):
+        rng, *_ = setup
+        from gnn_tpu.parallel.node_shard import (make_node_sharded_forward,
+                                                 make_node_sharded_train_step,
+                                                 shard_nodes)
+        gs = [random_graph(int(rng.integers(10, 25)), 3, 1, 2, 0.4, focus="g",
+                           rng=rng) for _ in range(6)]
+        merged = Graph.merge(gs, focus="g", aggregation_mode="average")
+        gb = GraphBatch.from_graph(merged, node_pad=128, edge_pad=1024, target_pad=8)
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     batch_normalization=True)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_, max_iteration=5,
+                       threshold=0.01, aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        mesh = make_mesh({"graph": 8})
+        nb = shard_nodes(gb, mesh)
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        ns = make_node_sharded_train_step(spec, "mse", None, sgd, mesh, mean=False)
+        ref = make_train_step(spec, "mse", None, sgd, mean=False)
+        rk = jax.random.key(3)
+        p_ns, bn_ns, _, it_ns = ns(params, bn, make_optimizer(sgd).init(params), nb, rk)
+        p_rf, bn_rf, _, it_rf = ref(params, bn, make_optimizer(sgd).init(params), gb, rk)
+        assert float(it_ns) == float(it_rf)
+        assert leaves_close(p_ns, p_rf)
+        assert leaves_close(bn_ns, bn_rf, atol=1e-5)
+        fwd = make_node_sharded_forward(spec, mesh)
+        _, out = fwd(params, bn, nb, jax.random.key(1))
+        from gnn_tpu.models.core import gnn_forward
+        r = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        assert np.allclose(np.asarray(out)[:6], np.asarray(r["out"])[:6], atol=1e-4)
+
+    def test_rejects_unsorted_and_arc_focus(self, setup):
         rng, *_ = setup
         from gnn_tpu.parallel.node_shard import shard_nodes
         mesh = make_mesh({"graph": 8})
-        g = random_graph(40, 3, 1, 2, 0.4, focus="g", rng=rng)
+        g = random_graph(40, 3, 1, 2, 0.4, focus="a", rng=rng)
         with pytest.raises(NotImplementedError):
             shard_nodes(GraphBatch.from_graph(g), mesh)
         g2 = random_graph(40, 3, 1, 2, 0.4, focus="n", rng=rng)
