@@ -104,6 +104,11 @@ def cpu_reference_edges_per_s(merged, iters=5):
 def main():
     import jax
 
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    if dtype != "float32":
+        from gnn_tpu.config import set_floatx
+        set_floatx(dtype)
+
     merged, gb = build_workload()
     E = merged.n_arcs
     spec, params, bn = build_model(merged.DIM_NODE_LABEL, merged.DIM_ARC_LABEL,
@@ -169,6 +174,7 @@ def main():
         "cpu_ref_edges_per_s": round(cpu_ref),
         "device": str(jax.devices()[0]),
         "aggregation": spec.aggregation,
+        "dtype": dtype,
     }
     print(json.dumps(result))
 

@@ -238,6 +238,57 @@ class GraphBatch:
             sel = sm[oi] & valid
         return self.replace(set_mask=jnp.asarray(sm), sel_mask=jnp.asarray(sel))
 
+    def to_graph(self, aggregation_mode: Optional[str] = None) -> Graph:
+        """Reconstruct a host Graph from this device batch — the analogue of
+        the reference's GraphObject.fromGraphTensor (graph_class.py:321-327).
+
+        Padding is stripped; arcs come back in the batch's stored order (dst-
+        sorted when sort_edges was used — masks/labels stay consistent, like
+        the reference reconstructing from its reordered sparse tensors). The
+        aggregation mode is inferred from the stored edge weights unless given
+        explicitly. Blocked batches pack nodes non-contiguously and are not
+        reconstructible."""
+        if self.adj_blocks is not None:
+            raise ValueError("blocked batches (from_graphs_blocked) cannot be "
+                             "reconstructed — keep the original graph list")
+        N, E, T = (int(x) for x in np.asarray(self.n_real))
+        src = np.asarray(self.src)[:E].astype(np.float64)
+        dst = np.asarray(self.dst)[:E].astype(np.float64)
+        arcs = np.concatenate(
+            [src[:, None], dst[:, None], np.asarray(self.arc_labels)[:E]], axis=1)
+        nodes = np.asarray(self.nodes)[:N]
+        targets = np.asarray(self.targets)[:T]
+        m_len = E if self.focus == "a" else N
+        set_mask = np.asarray(self.set_mask)[:m_len]
+        output_mask = np.asarray(self.output_mask)[:m_len]
+        sample_weights = np.asarray(self.sample_weights)[:T]
+        if self.focus == "a" and T:
+            # targets are stored in the ORIGINAL entity order while arcs/masks
+            # were dst-sorted; put targets into stored-arc order so the
+            # reconstructed graph's rows line up with nonzero(output_mask)
+            order = np.argsort(np.asarray(self.out_index)[:T], kind="stable")
+            targets = targets[order]
+            sample_weights = sample_weights[order]
+
+        if aggregation_mode is None:
+            w = np.asarray(self.edge_w)[:E].astype(np.float64)
+            if E == 0 or np.allclose(w, 1.0):
+                aggregation_mode = "sum"
+            elif np.allclose(w, 1.0 / E):
+                aggregation_mode = "normalized"
+            else:
+                aggregation_mode = "average"
+
+        node_graph = None
+        if self.focus == "g":
+            gid = np.asarray(self.graph_ids)[:N].astype(np.int64)
+            node_graph = np.zeros((N, T), dtype=nodes.dtype)
+            node_graph[np.arange(N), gid] = np.asarray(self.pool_w)[:N]
+        return Graph(arcs=arcs, nodes=nodes, targets=targets, focus=self.focus,
+                     set_mask=set_mask, output_mask=output_mask,
+                     sample_weights=sample_weights, node_graph=node_graph,
+                     aggregation_mode=aggregation_mode)
+
     def pad_shapes(self) -> Tuple[int, int, int]:
         return (self.n_node_pad, self.n_edge_pad, self.n_target_pad)
 

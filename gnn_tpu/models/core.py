@@ -196,7 +196,9 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         new_state, new_bn = mlp_apply(
             spec.state_spec, params_state, bn, step_input(state),
             training=training, rng=step_rng, stat_mask=nm)
-        state_next = jnp.where(active, new_state, state)
+        # keep the carry dtype stable under mixed precision (bf16 state with
+        # f32 MLP params/accumulation promotes the output to f32)
+        state_next = jnp.where(active, new_state.astype(state.dtype), state)
         state_old_next = jnp.where(active, state, state_old)
         bn_next = _tree_where(active, new_bn, bn)
         return (k + active.astype(jnp.float32), state_next, state_old_next,

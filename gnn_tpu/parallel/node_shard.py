@@ -170,7 +170,7 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
         new_s, new_bn = mlp_apply(spec.state_spec, params["state"], bnl, inp,
                                   training=training, rng=shard_rng, stat_mask=nm,
                                   axis_name=axis)
-        s_next = jnp.where(active, new_s, s)
+        s_next = jnp.where(active, new_s.astype(s.dtype), s)
         s_old_next = jnp.where(active, s, s_old)
         bn_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(active, a, b), new_bn, bnl)

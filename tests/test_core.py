@@ -322,6 +322,28 @@ class TestBfloat16:
         assert all(np.isfinite(np.asarray(x, dtype=np.float32)).all()
                    for x in jax.tree_util.tree_leaves(p))
 
+    def test_mixed_precision_bf16_state_f32_params(self, rng):
+        """bf16 graph data with f32 master params: the MLP promotes to f32;
+        the scan carry must stay bf16 (propagate casts back)."""
+        import jax.numpy as jnp
+        from gnn_tpu.models.core import make_train_step
+        from gnn_tpu.training.optimizers import make_optimizer, optimizer_config
+        g = make_graph(rng, n=30, e=120)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=3, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))          # f32 params
+        gb = GraphBatch.from_graph(g, dtype=jnp.bfloat16)       # bf16 data
+        res = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        assert res["state"].dtype == jnp.bfloat16
+        cfg = optimizer_config("sgd", learning_rate=1e-2)
+        step = make_train_step(spec, "mse", None, cfg)
+        o = make_optimizer(cfg).init(params)
+        p, _, _, _ = step(params, bn, o, gb, jax.random.key(2))
+        leaves = jax.tree_util.tree_leaves(p)
+        assert all(x.dtype == jnp.float32 for x in leaves)      # master stays f32
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
 
 class TestIFTGradients:
     """Implicit-function-theorem grad mode (models/ift.py): O(1)-memory

@@ -4,9 +4,11 @@ Validates against hand-computed values on the reference's debugging fixture
 (simple_graph, GNN_utils.py:88-105) and property-checks merge ≡ block-diagonal
 batching (SURVEY.md §4)."""
 
+import jax
 import numpy as np
 import pytest
 
+from gnn_tpu.graphs.batch import GraphBatch
 from gnn_tpu.graphs.graph import Graph
 
 
@@ -140,3 +142,60 @@ class TestBatch:
         gb = GraphBatch.from_graph(g2)
         assert list(np.asarray(gb.out_index)[:4]) == [2, 5, 7, 11]
         assert int(np.sum(np.asarray(gb.sel_mask))) == 4
+
+
+class TestToGraph:
+    """GraphBatch.to_graph — the fromGraphTensor analogue
+    (graph_class.py:321-327): device batch → host Graph round trip."""
+
+    @pytest.mark.parametrize("focus", ["n", "a", "g"])
+    def test_roundtrip_forward_identical(self, rng, focus):
+        from gnn_tpu.models.core import GNNSpec, gnn_forward, gnn_init
+        from gnn_tpu.ops.mlp import MLPSpec, get_inout_dims
+        g = random_graph(rng, n=25, e=90, focus=focus)
+        # make masks non-trivial
+        g.set_mask[::3] = False
+        gb = GraphBatch.from_graph(g)
+        g2 = gb.to_graph()
+        assert g2.focus == focus and g2.aggregation_mode == "average"
+        gb2 = GraphBatch.from_graph(g2)
+        in_s, ls = get_inout_dims("state", 3, 2, 2, focus, 0, None)
+        in_o, lo = get_inout_dims("output", 3, 2, 2, focus, 0, None)
+        spec = GNNSpec(
+            focus=focus,
+            state_spec=MLPSpec(input_dim=in_s, units=tuple(ls), activations="tanh"),
+            output_spec=MLPSpec(input_dim=in_o, units=tuple(lo), activations="softmax",
+                                batch_normalization=False),
+            max_iteration=4, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        r1 = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        r2 = gnn_forward(spec, params, bn, gb2, jax.random.key(1))
+        T = int(np.asarray(gb.n_real)[2])
+        o1 = np.asarray(r1["out"])[np.asarray(gb.sel_mask)]
+        o2 = np.asarray(r2["out"])[np.asarray(gb2.sel_mask)]
+        t1 = np.asarray(gb.targets)[np.asarray(gb.sel_mask)]
+        t2 = np.asarray(gb2.targets)[np.asarray(gb2.sel_mask)]
+        # selected (target, output) pairs agree as sets row-for-row
+        k1 = np.lexsort(np.concatenate([o1, t1], axis=1).T)
+        k2 = np.lexsort(np.concatenate([o2, t2], axis=1).T)
+        assert np.allclose(np.concatenate([o1, t1], 1)[k1],
+                           np.concatenate([o2, t2], 1)[k2], atol=1e-6)
+        assert T == int(np.asarray(gb2.n_real)[2])
+
+    def test_infers_aggregation_and_rejects_blocked(self, rng):
+        g = random_graph(rng, n=20, e=60, agg="sum")
+        assert GraphBatch.from_graph(g).to_graph().aggregation_mode == "sum"
+        g2 = random_graph(rng, n=20, e=60, agg="normalized")
+        assert GraphBatch.from_graph(g2).to_graph().aggregation_mode == "normalized"
+        gs = [random_graph(rng, n=12, e=30, focus="g") for _ in range(3)]
+        from gnn_tpu.graphs.batch import from_graphs_blocked
+        gbb = from_graphs_blocked(gs, block_w=64)
+        with pytest.raises(ValueError):
+            gbb.to_graph()
+
+    def test_graph_focus_pooling_preserved(self, rng):
+        gs = [random_graph(rng, n=8 + i, e=20, focus="g") for i in range(3)]
+        merged = Graph.merge(gs, focus="g", aggregation_mode="average")
+        g2 = GraphBatch.from_graph(merged).to_graph()
+        assert g2.NodeGraph.shape == merged.NodeGraph.shape
+        assert np.allclose(g2.NodeGraph, merged.NodeGraph, atol=1e-6)
