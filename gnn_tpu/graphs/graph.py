@@ -193,6 +193,13 @@ class Graph:
                      node_graph=None if self.NodeGraph is None else self.NodeGraph.copy(),
                      aggregation_mode=self.aggregation_mode)
 
+    @classmethod
+    def fromGraphTensor(cls, gb, aggregation_mode: Optional[str] = None) -> "Graph":
+        """Reference-named alias (GraphObject.fromGraphTensor,
+        graph_class.py:321-327): reconstruct a host Graph from a device
+        GraphBatch. See GraphBatch.to_graph for semantics."""
+        return gb.to_graph(aggregation_mode=aggregation_mode)
+
     # ------------------------------------------------------------------ merge
     @classmethod
     def merge(cls, glist: Sequence["Graph"], focus: Optional[str] = None,
