@@ -94,6 +94,37 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def check_dims(spec: GNNSpec, nl: int, al: int, dt: int) -> None:
+    """Validate MLP architecture against batch label dims at trace time, so a
+    misconfigured spec fails with an actionable message instead of a broadcast
+    error deep inside the propagation scan. nl/al/dt = node-label, arc-label,
+    target dims (ops/mlp.py::get_inout_dims computes the matching shapes)."""
+    sd = spec.state_dim
+    want_state_out = sd if sd > 0 else nl
+    got = spec.state_spec.units[-1]
+    if got != want_state_out:
+        raise ValueError(
+            f"state net output dim {got} != {'state_dim' if sd > 0 else 'node label dim'} "
+            f"({want_state_out}) — with state_dim={sd} the propagated state has dim "
+            f"{want_state_out}; use get_inout_dims('state', ...) to size the net")
+    want_state_in = 2 * (nl + sd) + al if sd > 0 else 2 * nl + al
+    if spec.state_spec.input_dim != want_state_in:
+        raise ValueError(
+            f"state net input_dim {spec.state_spec.input_dim} != expected "
+            f"{want_state_in} (= [state, (labels,) Σ nbr state, (Σ nbr labels,) "
+            f"Σ arc labels] for node dim {nl}, arc dim {al}, state_dim {sd})")
+    comp = (sd + nl) if sd > 0 else nl
+    want_out_in = 2 * comp + al if spec.focus == "a" else comp
+    if spec.output_spec.input_dim != want_out_in:
+        raise ValueError(
+            f"output net input_dim {spec.output_spec.input_dim} != expected "
+            f"{want_out_in} for focus {spec.focus!r} (node dim {nl}, arc dim {al}, "
+            f"state_dim {sd})")
+    if spec.output_spec.units[-1] != dt:
+        raise ValueError(
+            f"output net output dim {spec.output_spec.units[-1]} != target dim {dt}")
+
+
 def _entity_mask(gb: GraphBatch) -> jnp.ndarray:
     """set_mask ∧ output_mask at entity level (GNN.py:275), padding excluded."""
     base = gb.set_mask & gb.output_mask
@@ -266,6 +297,8 @@ def gnn_forward(spec: GNNSpec, params, bn, gb: GraphBatch, rng: jax.Array,
       out:        target-aligned rows [Tp, DT] (pooled for 'g')
       bn:         updated batch-norm state pytree
     """
+    check_dims(spec, gb.nodes.shape[1], gb.arc_labels.shape[1],
+               gb.targets.shape[1])
     rng, rng_prop, rng_out = jax.random.split(rng, 3)
     iters, state, bn_s = propagate(spec, params["state"], bn["state"], gb,
                                    rng_prop, training)

@@ -138,6 +138,9 @@ def _ns_pspecs(axis: str, d: int, focus: str) -> NodeShardBatch:
 def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
     """Sharded propagation + readout; returns (iters, loss-ready out rows,
     new_bn). Runs INSIDE shard_map — array args are shard-local."""
+    from gnn_tpu.models.core import check_dims
+    check_dims(spec, nb.nodes.shape[1], nb.agg_arcs_cache.shape[1],
+               nb.targets.shape[1])
     L = nb.nodes.shape[0]            # local rows
     e_src = nb.e_src[0]              # strip the shard axis ([1, Es] locally)
     e_dstl = nb.e_dst_local[0]
@@ -206,6 +209,9 @@ def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict]
                                  axis: str = "graph", mean: bool = True):
     """Jitted node-sharded training step:
     step(params, bn, opt_state, nb, rng) -> (params, bn, opt_state, iters)."""
+    if spec.state_dim:
+        raise NotImplementedError("node sharding implements the state_dim=0 "
+                                  "input layout (labels are the state)")
     loss_args = dict(loss_args or {})
     opt = make_optimizer(optimizer_cfg)
     d = mesh.shape[axis]
@@ -243,6 +249,9 @@ def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict]
 
 
 def make_node_sharded_forward(spec, mesh: Mesh, axis: str = "graph"):
+    if spec.state_dim:
+        raise NotImplementedError("node sharding implements the state_dim=0 "
+                                  "input layout (labels are the state)")
     d = mesh.shape[axis]
 
     def fwd(params, bn, nb, rng):

@@ -391,3 +391,37 @@ class TestIFTGradients:
                       batch_normalization=False)
         with pytest.raises(ValueError):
             GNNSpec(focus="n", state_spec=ss, output_spec=os_, grad_mode="ift")
+
+
+class TestDimValidation:
+    """check_dims: misconfigured specs fail at trace time with actionable
+    messages (not broadcast errors inside the scan)."""
+
+    def _spec(self, state_units, out_units, out_in=3, state_in=8, focus="n"):
+        ss = MLPSpec(input_dim=state_in, units=state_units, activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=out_in, units=out_units, activations="softmax",
+                      batch_normalization=False)
+        return GNNSpec(focus=focus, state_spec=ss, output_spec=os_,
+                       max_iteration=3, threshold=0.01)
+
+    def test_messages_name_the_mismatch(self, rng):
+        g = make_graph(rng, n=20, e=60)      # nl=3, al=2, dt=2
+        gb = GraphBatch.from_graph(g)
+        cases = [
+            (self._spec((4, 4), (2,)), "state net output dim"),
+            (self._spec((4, 3), (2,), state_in=9), "state net input_dim"),
+            (self._spec((4, 3), (2,), out_in=5), "output net input_dim"),
+            (self._spec((4, 3), (3,)), "output net output dim"),
+        ]
+        for spec, fragment in cases:
+            params, bn = gnn_init(spec, jax.random.key(0))
+            with pytest.raises(ValueError, match=fragment):
+                gnn_forward(spec, params, bn, gb, jax.random.key(1))
+
+    def test_valid_spec_passes(self, rng):
+        g = make_graph(rng, n=20, e=60)
+        gb = GraphBatch.from_graph(g)
+        spec = self._spec((4, 3), (2,))
+        params, bn = gnn_init(spec, jax.random.key(0))
+        gnn_forward(spec, params, bn, gb, jax.random.key(1))
