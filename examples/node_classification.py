@@ -1,6 +1,13 @@
 """Node classification on random graphs — the starter default workload
 (reference starter.py with use_MUTAG=False).
 
+NOTE: this mirrors the reference's DEFAULT hyperparameters, which use no
+hidden layers (get_inout_dims(..., hidden=None) → a single dense layer per
+net). That capacity learns little beyond the majority class on the random
+clustering pseudo-targets — the same behaviour the reference default shows
+on MUTAG (~0.61, see BASELINE.md). Pass e.g. hidden=150 to get_inout_dims
+(as in examples/mutag_lgnn.py) for a config that actually learns.
+
 Run: GNN_TPU_CPU=1 python examples/node_classification.py
 """
 
