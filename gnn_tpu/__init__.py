@@ -27,10 +27,15 @@ from gnn_tpu.graphs.batch import GraphBatch
 from gnn_tpu.graphs.generator import GraphDataGenerator, SingleGraphDataGenerator
 from gnn_tpu.models.gnn import GNNnodeBased, GNNedgeBased, GNNgraphBased
 from gnn_tpu.models.lgnn import LGNN
+from gnn_tpu.models.composite import (CompositeGNNSpec, composite_forward,
+                                      composite_init, make_composite_train_step,
+                                      make_composite_eval_step)
 from gnn_tpu.ops.mlp import MLPSpec, get_inout_dims
 
 __all__ = [
     "Graph", "GraphObject", "GraphBatch", "GraphDataGenerator",
     "SingleGraphDataGenerator", "GNNnodeBased", "GNNedgeBased", "GNNgraphBased",
     "LGNN", "MLPSpec", "get_inout_dims", "floatx", "set_floatx",
+    "CompositeGNNSpec", "composite_init", "composite_forward",
+    "make_composite_train_step", "make_composite_eval_step",
 ]

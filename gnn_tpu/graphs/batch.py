@@ -80,6 +80,9 @@ class GraphBatch:
     agg_arcs_cache: Optional[jnp.ndarray] = None    # [Np, AL]
     agg_nodes_cache: Optional[jnp.ndarray] = None   # [Np, NL]
 
+    # --- heterogeneous graphs: per-node type id (models/composite.py) ---
+    node_types: Optional[jnp.ndarray] = None   # [Np] int32 (0 on pad)
+
     # --- optional block-dense adjacency (graph-aligned node packing) ---
     # When batches are built with from_graphs_blocked, the adjacency is block
     # diagonal: adj_blocks[b, i, j] = w of edge (block b node j -> node i), and
@@ -221,6 +224,8 @@ class GraphBatch:
             agg_arcs_cache=jnp.asarray(agg_arcs_c),
             agg_nodes_cache=jnp.asarray(agg_nodes_c),
             pool_starts=ps, pool_ends=pe,
+            node_types=(None if getattr(g, "node_types", None) is None
+                        else jnp.asarray(padf(g.node_types, Np))),
             focus=g.focus, edges_sorted=bool(sort_edges),
         )
 
@@ -287,7 +292,9 @@ class GraphBatch:
         return Graph(arcs=arcs, nodes=nodes, targets=targets, focus=self.focus,
                      set_mask=set_mask, output_mask=output_mask,
                      sample_weights=sample_weights, node_graph=node_graph,
-                     aggregation_mode=aggregation_mode)
+                     aggregation_mode=aggregation_mode,
+                     node_types=(None if self.node_types is None
+                                 else np.asarray(self.node_types)[:N]))
 
     def pad_shapes(self) -> Tuple[int, int, int]:
         return (self.n_node_pad, self.n_edge_pad, self.n_target_pad)
@@ -338,6 +345,8 @@ class GraphBatch:
                          else grow(self.pool_starts, target_pad)),
             pool_ends=(None if self.pool_ends is None
                        else grow(self.pool_ends, target_pad)),
+            node_types=(None if self.node_types is None
+                        else grow(self.node_types, node_pad)),
         )
         if self.agg_plan is not None:
             new = new.replace(agg_plan=_build_plan(

@@ -60,6 +60,7 @@ class Graph:
     def __init__(self, arcs, nodes, targets, focus: str = "n",
                  set_mask=None, output_mask=None, sample_weights=1,
                  node_graph=None, aggregation_mode: str = "average",
+                 node_types=None,
                  # reference-compatible aliases (GraphObject.__init__ kwargs)
                  problem_based: Optional[str] = None, NodeGraph=None, ArcNode=None):
         if problem_based is not None:
@@ -108,6 +109,16 @@ class Graph:
         elif focus == "g":
             n = self.nodes.shape[0]
             self.NodeGraph = np.full((n, 1), 1.0 / max(n, 1), dtype=dt)
+
+        # heterogeneous ("composite") graphs: integer node type per node,
+        # selecting the per-type state network (models/composite.py). The
+        # reference signalled this direction but never shipped it
+        # (GraphGenerator.py:8 imports a module absent from the tree).
+        self.node_types = None
+        if node_types is not None:
+            self.node_types = np.asarray(node_types, dtype=np.int32).reshape(-1)
+            if len(self.node_types) != self.nodes.shape[0]:
+                raise ValueError("len(node_types) != number of nodes")
 
     # ---------------------------------------------------------------- properties
     @property
@@ -191,7 +202,8 @@ class Graph:
                      set_mask=self.set_mask.copy(), output_mask=self.output_mask.copy(),
                      sample_weights=self.sample_weights.copy(),
                      node_graph=None if self.NodeGraph is None else self.NodeGraph.copy(),
-                     aggregation_mode=self.aggregation_mode)
+                     aggregation_mode=self.aggregation_mode,
+                     node_types=None if self.node_types is None else self.node_types.copy())
 
     @classmethod
     def fromGraphTensor(cls, gb, aggregation_mode: Optional[str] = None) -> "Graph":
@@ -242,10 +254,16 @@ class Graph:
                 r += b.shape[0]
                 c += b.shape[1]
 
+        node_types = None
+        if any(g.node_types is not None for g in glist):
+            node_types = np.concatenate(
+                [g.node_types if g.node_types is not None
+                 else np.zeros(g.n_nodes, np.int32) for g in glist], axis=0)
+
         return cls(arcs=arcs, nodes=nodes, targets=targets, focus=focus,
                    set_mask=set_mask, output_mask=output_mask,
                    sample_weights=sample_weights, node_graph=node_graph,
-                   aggregation_mode=aggregation_mode)
+                   aggregation_mode=aggregation_mode, node_types=node_types)
 
     # ------------------------------------------------------------------- I/O
     _FILES = ("arcs", "nodes", "targets", "set_mask", "output_mask",

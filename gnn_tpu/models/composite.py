@@ -1,0 +1,234 @@
+"""Composite (heterogeneous) GNN: per-node-type state transition networks.
+
+The reference repository signalled but never shipped this capability —
+GraphGenerator.py:8 imports `GNN.composite_graph_class`, a module absent from
+the tree, and `CompositeGraphDataGenerator` (GraphGenerator.py:134-158) is
+dead code. This module implements the evident design (the CompositeGNN of the
+same research lineage): nodes carry an integer type, and each type has its own
+state MLP f_w^t; aggregation, convergence and readout are unchanged from the
+homogeneous model (models/core.py).
+
+TPU-native formulation: instead of gathering per-type node subsets (dynamic
+shapes, scatters), EVERY type's MLP runs densely over all (padded) rows and
+rows are selected by type mask:
+
+    state_next = Σ_t  1[type == t] · f_w^t(inp)
+
+Each per-type pass is still one fused MXU matmul chain over [Np, D] — for the
+small type counts of real heterogeneous datasets (2-8) this is cheaper than
+any scatter-based regrouping, branch-free, and fully static under jit. The
+convergence predicate, masked-scan dynamic iteration count and gradient
+semantics are identical to models/core.propagate.
+
+Requires state_dim == 0 semantics with a COMMON node-label width across types
+(pad type labels to a common width host-side); per-type label widths are a
+possible extension.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.models.core import (GNNSpec, _tree_where, make_agg_closures,
+                                 weighted_loss)
+from gnn_tpu.ops.mlp import MLPSpec, mlp_apply, mlp_init, mlp_regularization
+from gnn_tpu.training.losses import get_loss
+from gnn_tpu.training.optimizers import make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class CompositeGNNSpec:
+    """Static description of a heterogeneous GNN (hashable).
+
+    :param focus: 'n' | 'a' | 'g' (as GNNSpec).
+    :param state_specs: one MLPSpec per node type (all share input/output
+        widths — the propagated state has one common dimension).
+    :param output_spec: readout MLP g_w (shared across types, as in the
+        homogeneous model).
+    """
+    focus: str
+    state_specs: Tuple[MLPSpec, ...]
+    output_spec: MLPSpec
+    max_iteration: int = 5
+    threshold: float = 0.01
+    aggregation: str = "auto"
+    shard_axis: Optional[str] = None
+
+    def __post_init__(self):
+        if self.focus not in ("n", "a", "g"):
+            raise ValueError("focus must be 'n', 'a' or 'g'")
+        if not self.state_specs:
+            raise ValueError("state_specs must contain at least one MLPSpec")
+        dims = {(s.input_dim, s.units[-1]) for s in self.state_specs}
+        if len(dims) != 1:
+            raise ValueError(
+                f"all per-type state nets must share (input_dim, output_dim); "
+                f"got {sorted(dims)}")
+
+    @property
+    def n_types(self) -> int:
+        return len(self.state_specs)
+
+    # the homogeneous helpers (make_agg_closures, check via GNNSpec shape
+    # arithmetic) only read these fields — present on both spec types
+    @property
+    def state_spec(self) -> MLPSpec:
+        return self.state_specs[0]
+
+
+def composite_init(spec: CompositeGNNSpec, rng: jax.Array, dtype=jnp.float32):
+    """Initialise params/bn: {'state': (per-type ...), 'output': ...}."""
+    keys = jax.random.split(rng, spec.n_types + 1)
+    ps, bs = zip(*(mlp_init(s, k, dtype)
+                   for s, k in zip(spec.state_specs, keys[:-1])))
+    po, bo = mlp_init(spec.output_spec, keys[-1], dtype)
+    return ({"state": tuple(ps), "output": po},
+            {"state": tuple(bs), "output": bo})
+
+
+def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
+                        gb: GraphBatch, rng: jax.Array, training: bool):
+    """Fixed-point loop with per-type state nets (masked scan, identical
+    convergence semantics to models/core.propagate)."""
+    if gb.node_types is None:
+        raise ValueError("composite models need a batch built from a Graph "
+                         "with node_types")
+    nm = gb.node_mask
+    agg_state, agg = make_agg_closures(spec, gb)
+    agg_arcs = (gb.agg_arcs_cache if gb.agg_arcs_cache is not None
+                else agg(gb.arc_labels))
+    # [Np, T] one-hot type masks; padded rows select type 0 harmlessly (their
+    # state is never read — node_mask excludes them from the predicate)
+    tmask = jax.nn.one_hot(gb.node_types, spec.n_types, dtype=gb.nodes.dtype)
+
+    state0 = gb.nodes
+    state_old0 = jnp.ones_like(state0)
+    rng, rng_loop = jax.random.split(rng)
+    step_rngs = jax.random.split(rng_loop, spec.max_iteration)
+    thr = jnp.asarray(spec.threshold, dtype=jnp.float32)
+
+    def body(carry, step_rng):
+        k, state, state_old, active, bn = carry
+        diff = (state - state_old).astype(jnp.float32)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+        norm = jnp.sqrt(jnp.sum(jnp.square(state_old.astype(jnp.float32)), axis=1))
+        moving = (dist > thr * norm) & nm
+        active = active & jnp.any(moving)
+
+        inp = jnp.concatenate([state, agg_state(state), agg_arcs], axis=1)
+        outs, new_bns = [], []
+        for t in range(spec.n_types):
+            o, b = mlp_apply(spec.state_specs[t], params_state[t], bn[t], inp,
+                             training=training,
+                             rng=jax.random.fold_in(step_rng, t),
+                             stat_mask=nm & (gb.node_types == t))
+            outs.append(o * tmask[:, t:t + 1])
+            new_bns.append(b)
+        new_state = sum(outs)
+        state_next = jnp.where(active, new_state.astype(state.dtype), state)
+        state_old_next = jnp.where(active, state, state_old)
+        bn_next = _tree_where(active, tuple(new_bns), bn)
+        return (k + active.astype(jnp.float32), state_next, state_old_next,
+                active, bn_next), None
+
+    carry0 = (jnp.float32(0.0), state0, state_old0, jnp.bool_(True), bn_state)
+    (iters, state, _, _, bn_out), _ = jax.lax.scan(body, carry0, step_rngs)
+    return iters, state, bn_out
+
+
+def composite_forward(spec: CompositeGNNSpec, params, bn, gb: GraphBatch,
+                      rng: jax.Array, training: bool = False):
+    """Full heterogeneous forward: composite propagation, then the SAME
+    readout as the homogeneous model. Returns the gnn_forward result dict."""
+    from gnn_tpu.models import core as _core
+
+    rng, rng_prop, rng_out = jax.random.split(rng, 3)
+    iters, state, bn_s = composite_propagate(spec, params["state"], bn["state"],
+                                             gb, rng_prop, training)
+    # reuse the homogeneous readout by substituting an already-propagated
+    # state: build a single-iteration spec whose loop never runs
+    emask = _core._entity_mask(gb)
+    out_spec = spec.output_spec
+    if gb.focus == "a":
+        arc_inp = jnp.concatenate(
+            [jnp.take(state, gb.src, axis=0), jnp.take(state, gb.dst, axis=0),
+             gb.arc_labels], axis=1)
+        out_entity, bn_o = mlp_apply(out_spec, params["output"], bn["output"],
+                                     arc_inp, training=training, rng=rng_out,
+                                     stat_mask=emask)
+        out_rows = jnp.take(out_entity, gb.out_index, axis=0)
+    else:
+        out_entity, bn_o = mlp_apply(out_spec, params["output"], bn["output"],
+                                     state, training=training, rng=rng_out,
+                                     stat_mask=emask)
+        if gb.focus == "g":
+            weighted = out_entity * (gb.pool_w * gb.node_mask.astype(out_entity.dtype))[:, None]
+            if gb.pool_starts is not None:
+                csum = jnp.concatenate(
+                    [jnp.zeros((1, weighted.shape[1]), weighted.dtype),
+                     jnp.cumsum(weighted, axis=0)], axis=0)
+                out_rows = (jnp.take(csum, gb.pool_ends, axis=0)
+                            - jnp.take(csum, gb.pool_starts, axis=0))
+            else:
+                from gnn_tpu.ops.aggregate import pool_graphs
+                out_rows = pool_graphs(
+                    out_entity * gb.node_mask[:, None].astype(out_entity.dtype),
+                    gb.graph_ids, gb.pool_w, gb.n_target_pad)
+        else:
+            out_rows = jnp.take(out_entity, gb.out_index, axis=0)
+    return {"iters": iters, "state": state, "out_entity": out_entity,
+            "out": out_rows, "bn": {"state": bn_s, "output": bn_o}}
+
+
+def composite_regularization(spec: CompositeGNNSpec, params):
+    reg = mlp_regularization(spec.output_spec, params["output"])
+    for s, p in zip(spec.state_specs, params["state"]):
+        reg = reg + mlp_regularization(s, p)
+    return reg
+
+
+def make_composite_train_step(spec: CompositeGNNSpec, loss_name: str,
+                              loss_args: Optional[dict], optimizer_cfg: dict,
+                              mean: bool = True):
+    """Jitted heterogeneous training step, same contract as
+    core.make_train_step: step(params, bn, opt_state, gb, rng)."""
+    loss_args = dict(loss_args or {})
+    opt = make_optimizer(optimizer_cfg)
+    lf = get_loss(loss_name)
+
+    @jax.jit
+    def step(params, bn, opt_state, gb: GraphBatch, rng):
+        def loss_fn(p):
+            res = composite_forward(spec, p, bn, gb, rng, training=True)
+            loss = weighted_loss(lf, loss_args, gb, res["out"])
+            return loss + composite_regularization(spec, p), (res["iters"],
+                                                              res["bn"])
+
+        grads, (iters, new_bn) = jax.grad(loss_fn, has_aux=True)(params)
+        if mean:
+            denom = jnp.maximum(iters, 1.0)
+            grads = {**grads, "state": jax.tree_util.tree_map(
+                lambda g: g / denom, grads["state"])}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return params, new_bn, opt_state, iters
+
+    return step
+
+
+def make_composite_eval_step(spec: CompositeGNNSpec, loss_name: str,
+                             loss_args: Optional[dict]):
+    loss_args = dict(loss_args or {})
+    lf = get_loss(loss_name)
+
+    @jax.jit
+    def ev(params, bn, gb: GraphBatch, rng):
+        res = composite_forward(spec, params, bn, gb, rng, training=False)
+        return res["iters"], weighted_loss(lf, loss_args, gb, res["out"]), res["out"]
+
+    return ev

@@ -132,16 +132,13 @@ def _entity_mask(gb: GraphBatch) -> jnp.ndarray:
     return base & real
 
 
-def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
-              rng: jax.Array, training: bool):
-    """Run the fixed-point propagation loop.
-
-    Returns (iters, state, new_bn_state) where iters is the realised dynamic
-    iteration count (float, matching the reference's k)."""
+def make_agg_closures(spec: GNNSpec, gb: GraphBatch):
+    """Build (agg_state, agg) closures for a batch under the spec's
+    aggregation strategy / shard axis. agg_state aggregates per-NODE values
+    over incoming edges (A^T @ S); agg aggregates per-EDGE values
+    (ArcNode^T @ V). Shared by the homogeneous loop (propagate) and the
+    composite per-type loop (models/composite.py)."""
     Np = gb.n_node_pad
-    dt = gb.nodes.dtype
-    nm = gb.node_mask
-
     use_plan = spec.aggregation == "pallas" and gb.agg_plan is not None
 
     def _psum(r):
@@ -187,6 +184,20 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     else:
         def agg_state(s):
             return agg(jnp.take(s, gb.src, axis=0))
+
+    return agg_state, agg
+
+
+def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
+              rng: jax.Array, training: bool):
+    """Run the fixed-point propagation loop.
+
+    Returns (iters, state, new_bn_state) where iters is the realised dynamic
+    iteration count (float, matching the reference's k)."""
+    Np = gb.n_node_pad
+    dt = gb.nodes.dtype
+    nm = gb.node_mask
+    agg_state, agg = make_agg_closures(spec, gb)
 
     # precomputed aggregations (GNN.py:259-263) — loop/step-invariant, so
     # batch-build-time caches are used when present

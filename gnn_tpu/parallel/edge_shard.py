@@ -32,7 +32,8 @@ from gnn_tpu.training.optimizers import make_optimizer
 
 _EDGE_FIELDS = ("src", "dst", "arc_labels", "edge_w", "edge_mask")
 # optional structures absent from from_graph batches used in sharded paths
-_OPTIONAL_NONE = ("agg_plan", "adj_blocks", "res_src", "res_dst", "res_w")
+_OPTIONAL_NONE = ("agg_plan", "adj_blocks", "res_src", "res_dst", "res_w",
+                  "node_types")
 
 
 def _array_fields():

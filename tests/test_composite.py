@@ -1,0 +1,167 @@
+"""Composite (heterogeneous) GNN tests: per-type state nets must reduce to
+the homogeneous model when all types share weights, and match a numpy
+reference when they differ (models/composite.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tpu.graphs.batch import GraphBatch
+from gnn_tpu.graphs.graph import Graph
+from gnn_tpu.models.composite import (CompositeGNNSpec, composite_forward,
+                                      composite_init, make_composite_train_step)
+from gnn_tpu.models.core import GNNSpec, gnn_forward, gnn_init
+from gnn_tpu.ops.mlp import MLPSpec
+from gnn_tpu.training.optimizers import make_optimizer, optimizer_config
+
+
+def het_graph(rng, n=24, e=90, nl=3, al=2, dt=2, n_types=2, focus="n"):
+    nodes = rng.standard_normal((n, nl)).astype(np.float32)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    arcs = np.concatenate([src[:, None], dst[:, None],
+                           rng.standard_normal((e, al)).astype(np.float32)], axis=1)
+    tn = {"n": n, "a": e, "g": 1}[focus]
+    targets = np.eye(dt, dtype=np.float32)[rng.integers(0, dt, tn)]
+    types = rng.integers(0, n_types, n).astype(np.int32)
+    return Graph(arcs=arcs, nodes=nodes, targets=targets, focus=focus,
+                 aggregation_mode="average", node_types=types)
+
+
+def specs(nl=3, al=2, dt=2, focus="n"):
+    ss = MLPSpec(input_dim=2 * nl + al, units=(nl,), activations="tanh",
+                 kernel_initializer="glorot_normal",
+                 bias_initializer="glorot_normal", batch_normalization=False)
+    os_ = MLPSpec(input_dim=nl, units=(dt,), activations="softmax",
+                  kernel_initializer="glorot_normal",
+                  bias_initializer="glorot_normal", batch_normalization=False)
+    return ss, os_
+
+
+class TestCompositeReduction:
+    def test_shared_weights_equal_homogeneous(self, rng):
+        """All types using IDENTICAL weights must reproduce the homogeneous
+        model bit-for-bit (type masks partition the rows)."""
+        g = het_graph(rng, n_types=3)
+        gb = GraphBatch.from_graph(g)
+        ss, os_ = specs()
+        hspec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                        max_iteration=4, threshold=0.01, aggregation="segment")
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss, ss),
+                                 output_spec=os_, max_iteration=4,
+                                 threshold=0.01, aggregation="segment")
+        hp, hb = gnn_init(hspec, jax.random.key(0))
+        cp = {"state": (hp["state"],) * 3, "output": hp["output"]}
+        cb = {"state": (hb["state"],) * 3, "output": hb["output"]}
+        hr = gnn_forward(hspec, hp, hb, gb, jax.random.key(1))
+        cr = composite_forward(cspec, cp, cb, gb, jax.random.key(1))
+        assert float(hr["iters"]) == float(cr["iters"])
+        np.testing.assert_allclose(np.asarray(hr["state"]),
+                                   np.asarray(cr["state"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hr["out"]),
+                                   np.asarray(cr["out"]), atol=1e-6)
+
+
+class TestCompositeNumpyParity:
+    def test_two_type_step_matches_numpy(self, rng):
+        """One propagation step with DISTINCT per-type nets vs numpy."""
+        g = het_graph(rng, n=15, e=50, n_types=2)
+        gb = GraphBatch.from_graph(g, sort_edges=False)
+        ss, os_ = specs()
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss), output_spec=os_,
+                                 max_iteration=1, threshold=0.01,
+                                 aggregation="segment")
+        params, bn = composite_init(cspec, jax.random.key(3))
+        res = composite_forward(cspec, params, bn, gb, jax.random.key(1))
+
+        n = g.n_nodes
+        w = g.edge_weights().astype(np.float64)
+        agg = np.zeros((n, 3))
+        np.add.at(agg, g.dst, w[:, None] * g.nodes[g.src].astype(np.float64))
+        agg_a = np.zeros((n, 2))
+        np.add.at(agg_a, g.dst, w[:, None] * g.arc_labels.astype(np.float64))
+        inp = np.concatenate([g.nodes, agg, agg_a], axis=1)
+
+        def dense(p, x):
+            d = p["dense_0"]
+            return np.tanh(x @ np.asarray(d["w"], np.float64)
+                           + np.asarray(d["b"], np.float64))
+
+        s0 = dense(params["state"][0], inp)
+        s1 = dense(params["state"][1], inp)
+        expect = np.where(g.node_types[:, None] == 0, s0, s1)
+        np.testing.assert_allclose(np.asarray(res["state"])[:n], expect,
+                                   atol=1e-5)
+
+    def test_type_isolation(self, rng):
+        """Perturbing type-1's net must leave the FIRST-step states of type-0
+        nodes unchanged (propagation mixes later steps)."""
+        g = het_graph(rng, n=20, e=60, n_types=2)
+        gb = GraphBatch.from_graph(g)
+        ss, os_ = specs()
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss), output_spec=os_,
+                                 max_iteration=1, threshold=0.01,
+                                 aggregation="segment")
+        params, bn = composite_init(cspec, jax.random.key(0))
+        r1 = composite_forward(cspec, params, bn, gb, jax.random.key(1))
+        p2 = {**params, "state": (
+            params["state"][0],
+            jax.tree_util.tree_map(lambda x: x + 0.5, params["state"][1]))}
+        r2 = composite_forward(cspec, p2, bn, gb, jax.random.key(1))
+        t0 = np.asarray(gb.node_types) == 0
+        t0[g.n_nodes:] = False
+        s1, s2 = np.asarray(r1["state"]), np.asarray(r2["state"])
+        np.testing.assert_allclose(s1[t0], s2[t0], atol=1e-6)
+        assert not np.allclose(s1[~t0][: int((~t0).sum()) - (len(t0) - g.n_nodes)],
+                               s2[:g.n_nodes][np.asarray(gb.node_types)[:g.n_nodes] == 1])
+
+
+class TestCompositeTraining:
+    @pytest.mark.parametrize("focus", ["n", "g"])
+    def test_trains_and_learns(self, rng, focus):
+        if focus == "g":
+            gs = [het_graph(rng, n=10 + i, e=30, focus="g") for i in range(6)]
+            g = Graph.merge(gs, focus="g", aggregation_mode="average")
+        else:
+            g = het_graph(rng, n=40, e=160)
+        gb = GraphBatch.from_graph(g)
+        ss, os_ = specs(focus=focus)
+        cspec = CompositeGNNSpec(focus=focus, state_specs=(ss, ss),
+                                 output_spec=os_, max_iteration=3,
+                                 threshold=0.01, aggregation="segment")
+        params, bn = composite_init(cspec, jax.random.key(0))
+        cfg = optimizer_config("adam", learning_rate=5e-3)
+        step = make_composite_train_step(cspec, "categorical_crossentropy",
+                                         {"from_logits": False}, cfg)
+        o = make_optimizer(cfg).init(params)
+        from gnn_tpu.models.composite import make_composite_eval_step
+        ev = make_composite_eval_step(cspec, "categorical_crossentropy",
+                                      {"from_logits": False})
+        _, l0, _ = ev(params, bn, gb, jax.random.key(9))
+        for i in range(40):
+            params, bn, o, iters = step(params, bn, o, gb, jax.random.key(i))
+        _, l1, _ = ev(params, bn, gb, jax.random.key(9))
+        assert float(iters) > 0
+        assert np.isfinite(float(l1))
+        assert float(l1) < float(l0)
+
+    def test_missing_node_types_raises(self, rng):
+        g = het_graph(rng)
+        g.node_types = None
+        gb = GraphBatch.from_graph(g)
+        ss, os_ = specs()
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss), output_spec=os_)
+        params, bn = composite_init(cspec, jax.random.key(0))
+        with pytest.raises(ValueError, match="node_types"):
+            composite_forward(cspec, params, bn, gb, jax.random.key(1))
+
+    def test_mismatched_state_dims_rejected(self):
+        ss1 = MLPSpec(input_dim=8, units=(3,), activations="tanh",
+                      batch_normalization=False)
+        ss2 = MLPSpec(input_dim=8, units=(4,), activations="tanh",
+                      batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        with pytest.raises(ValueError, match="share"):
+            CompositeGNNSpec(focus="n", state_specs=(ss1, ss2), output_spec=os_)
