@@ -25,7 +25,8 @@ from gnn_tpu.config import floatx, set_floatx
 from gnn_tpu.graphs.graph import Graph, GraphObject
 from gnn_tpu.graphs.batch import GraphBatch
 from gnn_tpu.graphs.generator import GraphDataGenerator, SingleGraphDataGenerator
-from gnn_tpu.models.gnn import GNNnodeBased, GNNedgeBased, GNNgraphBased
+from gnn_tpu.models.gnn import (GNNnodeBased, GNNedgeBased, GNNgraphBased,
+                                CompositeGNNnodeBased, CompositeGNNgraphBased)
 from gnn_tpu.models.lgnn import LGNN
 from gnn_tpu.models.composite import (CompositeGNNSpec, composite_forward,
                                       composite_init, make_composite_train_step,
@@ -38,4 +39,5 @@ __all__ = [
     "LGNN", "MLPSpec", "get_inout_dims", "floatx", "set_floatx",
     "CompositeGNNSpec", "composite_init", "composite_forward",
     "make_composite_train_step", "make_composite_eval_step",
+    "CompositeGNNnodeBased", "CompositeGNNgraphBased",
 ]

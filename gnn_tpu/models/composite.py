@@ -28,6 +28,7 @@ possible extension.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -230,5 +231,21 @@ def make_composite_eval_step(spec: CompositeGNNSpec, loss_name: str,
     def ev(params, bn, gb: GraphBatch, rng):
         res = composite_forward(spec, params, bn, gb, rng, training=False)
         return res["iters"], weighted_loss(lf, loss_args, gb, res["out"]), res["out"]
+
+    return ev
+
+
+def make_composite_full_eval(spec: CompositeGNNSpec, loss_name: str,
+                             loss_args: Optional[dict]):
+    """Same 5-tuple contract as core.make_eval_step — (iters, loss, out_rows,
+    state, out_entity) — so the engine model classes can swap it in."""
+    loss_args = dict(loss_args or {})
+    lf = get_loss(loss_name)
+
+    @partial(jax.jit, static_argnames=("training",))
+    def ev(params, bn, gb: GraphBatch, rng, training=False):
+        res = composite_forward(spec, params, bn, gb, rng, training=training)
+        loss = weighted_loss(lf, loss_args, gb, res["out"])
+        return res["iters"], loss, res["out"], res["state"], res["out_entity"]
 
     return ev

@@ -235,3 +235,152 @@ class GNNgraphBased(GNNnodeBased):
     average-pooled per graph; targets not set/output filtered."""
 
     _focus = "g"
+
+
+class CompositeGNNnodeBased(GNNnodeBased):
+    """Heterogeneous GNN: one state net per node type (models/composite.py).
+    The reference only signalled composite graphs (GraphGenerator.py:8 dead
+    import); full engine integration — train/early-stop/test/LKO/save/load —
+    is provided here. Constructor takes `net_states`, a sequence of MLPSpec
+    (or configs), one per node type."""
+
+    _focus = "n"
+
+    def __init__(self, net_states, net_output: Union[MLPSpec, dict],
+                 optimizer="adam", loss_function: str = "categorical_crossentropy",
+                 loss_arguments: Optional[dict] = None,
+                 max_iteration: int = 5, threshold: float = 0.01,
+                 addressed_problem: str = "c", extra_metrics: Optional[dict] = None,
+                 extra_metrics_arguments: Optional[dict] = None,
+                 path_writer: str = "writer/", namespace: str = "CompositeGNN",
+                 aggregation: str = "auto", seed: Optional[int] = None,
+                 dtype=jnp.float32) -> None:
+        from gnn_tpu.models.composite import (CompositeGNNSpec, composite_init,
+                                              make_composite_full_eval)
+        BaseModel.__init__(self, optimizer, loss_function, loss_arguments,
+                           addressed_problem, extra_metrics,
+                           extra_metrics_arguments, path_writer, namespace)
+        net_states = tuple(MLPSpec.from_config(s) if isinstance(s, dict) else s
+                           for s in net_states)
+        if isinstance(net_output, dict):
+            net_output = MLPSpec.from_config(net_output)
+        self.spec = CompositeGNNSpec(
+            focus=self._focus, state_specs=net_states, output_spec=net_output,
+            max_iteration=int(max_iteration), threshold=float(threshold),
+            aggregation=aggregation)
+        self.seed = seed
+        self.dtype = dtype
+        self._rng = jax.random.key(np.random.randint(2 ** 31) if seed is None else seed)
+        self._rng, init_rng = jax.random.split(self._rng)
+        self.params, self.bn = composite_init(self.spec, init_rng, dtype)
+        self._opt = make_optimizer(self.optimizer_config)
+        self.opt_state = self._opt.init(self.params)
+        self._train_fns = {}
+        self._eval_fn = make_composite_full_eval(self.spec, self.loss_function,
+                                                 self.loss_args)
+
+    def training_step(self, gb: GraphBatch, mean: bool) -> None:
+        from gnn_tpu.models.composite import make_composite_train_step
+        if mean not in self._train_fns:
+            self._train_fns[mean] = make_composite_train_step(
+                self.spec, self.loss_function, self.loss_args,
+                self.optimizer_config, mean=mean)
+        self.params, self.bn, self.opt_state, _ = self._train_fns[mean](
+            self.params, self.bn, self.opt_state, gb, self._next_rng())
+
+    # --------------------------------------------------------- copy/save/load
+    def copy(self, *, path_writer: str = "", namespace: str = "",
+             copy_weights: bool = True):
+        if not path_writer:
+            path_writer = self.path_writer[:-1] + "_copied/"
+        if not namespace:
+            namespace = "CompositeGNN"
+        new = self.__class__(
+            net_states=self.spec.state_specs, net_output=self.spec.output_spec,
+            optimizer=dict(self.optimizer_config), loss_function=self.loss_function,
+            loss_arguments=self.loss_args, max_iteration=self.spec.max_iteration,
+            threshold=self.spec.threshold, addressed_problem=self.addressed_problem,
+            extra_metrics=self.extra_metrics, extra_metrics_arguments=self.mt_args,
+            path_writer=path_writer, namespace=namespace,
+            aggregation=self.spec.aggregation, dtype=self.dtype)
+        if copy_weights:
+            new.params = jax.tree_util.tree_map(jnp.array, self.params)
+            new.bn = jax.tree_util.tree_map(jnp.array, self.bn)
+            new.opt_state = new._opt.init(new.params)
+        return new
+
+    def save(self, path: str) -> None:
+        if path[-1] != "/":
+            path += "/"
+        os.makedirs(path, exist_ok=True)
+        config = {"model_class": type(self).__name__,
+                  "net_states": [s.to_config() for s in self.spec.state_specs],
+                  "net_output": self.spec.output_spec.to_config(),
+                  "optimizer": self.optimizer_config,
+                  "loss_function": self.loss_function,
+                  "loss_arguments": self.loss_args,
+                  "max_iteration": self.spec.max_iteration,
+                  "threshold": self.spec.threshold,
+                  "addressed_problem": self.addressed_problem,
+                  "aggregation": self.spec.aggregation}
+        with open(f"{path}config.json", "w") as f:
+            json.dump(config, f)
+        tree_to_npz(f"{path}params.npz", self.params)
+        tree_to_npz(f"{path}bn.npz", self.bn)
+
+    @classmethod
+    def load(cls, path: str, path_writer: Optional[str] = None,
+             namespace: str = "CompositeGNN", extra_metrics: Optional[dict] = None,
+             extra_metrics_arguments: Optional[dict] = None):
+        if path[-1] != "/":
+            path += "/"
+        if path_writer is None:
+            path_writer = f"{path}writer"
+        with open(f"{path}config.json") as f:
+            config = json.load(f)
+        model_class = config.pop("model_class", cls.__name__)
+        klass = {"CompositeGNNnodeBased": CompositeGNNnodeBased,
+                 "CompositeGNNgraphBased": CompositeGNNgraphBased}.get(model_class, cls)
+        model = klass(net_states=config.pop("net_states"),
+                      net_output=config.pop("net_output"),
+                      optimizer=config.pop("optimizer"),
+                      loss_function=config.pop("loss_function"),
+                      loss_arguments=config.pop("loss_arguments"),
+                      max_iteration=config.pop("max_iteration"),
+                      threshold=config.pop("threshold"),
+                      addressed_problem=config.pop("addressed_problem"),
+                      aggregation=config.pop("aggregation", "auto"),
+                      extra_metrics=extra_metrics,
+                      extra_metrics_arguments=extra_metrics_arguments,
+                      path_writer=path_writer, namespace=namespace)
+        model.params = tree_from_npz(f"{path}params.npz", model.params)
+        model.bn = tree_from_npz(f"{path}bn.npz", model.bn)
+        model.opt_state = model._opt.init(model.params)
+        return model
+
+    # -------------------------------------------------------------- weights
+    def trainable_variables(self):
+        return [list(self.params["state"])], [self.params["output"]]
+
+    def get_weights(self):
+        host = jax.tree_util.tree_map(np.asarray, self.params)
+        hbn = jax.tree_util.tree_map(np.asarray, self.bn)
+        return ([(host["state"], hbn["state"])], [(host["output"], hbn["output"])])
+
+    def _weight_summaries(self):
+        out = []
+        for t, p in enumerate(self.params["state"]):
+            leaves = [(jax.tree_util.keystr(kp), np.asarray(v))
+                      for kp, v in jax.tree_util.tree_leaves_with_path(p)]
+            out.append((self.namespace[0], f"N1T{t}", leaves))
+        leaves = [(jax.tree_util.keystr(kp), np.asarray(v))
+                  for kp, v in jax.tree_util.tree_leaves_with_path(self.params["output"])]
+        out.append((self.namespace[0], "N2", leaves))
+        return out
+
+
+class CompositeGNNgraphBased(CompositeGNNnodeBased):
+    """Heterogeneous GNN for graph-focused problems: composite propagation,
+    average-pooled readout (targets not set/output filtered)."""
+
+    _focus = "g"

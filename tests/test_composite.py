@@ -165,3 +165,43 @@ class TestCompositeTraining:
                       batch_normalization=False)
         with pytest.raises(ValueError, match="share"):
             CompositeGNNSpec(focus="n", state_specs=(ss1, ss2), output_spec=os_)
+
+
+class TestCompositeModelClass:
+    """CompositeGNNnodeBased: full engine integration — train/early-stop,
+    Loop/__call__, copy, save/load round trip."""
+
+    def _model(self, tmp_path=None):
+        from gnn_tpu import CompositeGNNnodeBased
+        ss, os_ = specs()
+        return CompositeGNNnodeBased(
+            net_states=(ss, ss), net_output=os_,
+            optimizer={"name": "adam", "kwargs": {"learning_rate": 5e-3}},
+            loss_function="categorical_crossentropy",
+            loss_arguments={"from_logits": False},
+            max_iteration=3, threshold=0.01,
+            path_writer=str(tmp_path) + "/w/" if tmp_path else "writer/tc/",
+            seed=0)
+
+    def test_train_loop_call(self, rng, tmp_path):
+        g = het_graph(rng, n=60, e=240)
+        m = self._model(tmp_path)
+        m.train([g], epochs=15, update_freq=5, verbose=0)
+        out = m(g)
+        assert out.shape == (60, 2)
+        assert np.isfinite(out).all()
+        res = m.test(Graph.merge([het_graph(rng, n=30, e=90)], focus="n"))
+        assert np.isfinite(res["Loss"])
+
+    def test_save_load_copy_roundtrip(self, rng, tmp_path):
+        g = het_graph(rng, n=40, e=120)
+        m = self._model(tmp_path)
+        m.train([g], epochs=5, update_freq=5, verbose=0)
+        o1 = m(g)
+        m.save(str(tmp_path / "model"))
+        from gnn_tpu import CompositeGNNnodeBased
+        m2 = CompositeGNNnodeBased.load(str(tmp_path / "model"))
+        np.testing.assert_allclose(np.asarray(m2(g)), np.asarray(o1), atol=1e-6)
+        m3 = m.copy(copy_weights=True)
+        np.testing.assert_allclose(np.asarray(m3(g)), np.asarray(o1), atol=1e-6)
+        assert m2.spec.n_types == 2
