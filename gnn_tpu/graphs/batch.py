@@ -436,12 +436,16 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
     node_mask = np.zeros(Np, dtype=bool)
     graph_ids = np.zeros(Np, dtype=np.int32)
     pool_w = np.zeros(Np, dtype=dt)
+    node_types = (np.zeros(Np, dtype=np.int32)
+                  if any(g.node_types is not None for g in glist) else None)
     for gi, (g, off) in enumerate(zip(glist, offsets)):
         s = g.n_nodes
         nodes[off:off + s] = g.nodes.astype(dt)
         node_mask[off:off + s] = True
         graph_ids[off:off + s] = gi
         pool_w[off:off + s] = g.pool_weights().astype(dt) if focus == "g" else 0.0
+        if node_types is not None and g.node_types is not None:
+            node_types[off:off + s] = g.node_types
 
     # --- edges -------------------------------------------------------------
     AL = glist[0].DIM_ARC_LABEL
@@ -535,6 +539,7 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
         pool_starts=ps, pool_ends=pe,
         adj_blocks=jnp.asarray(adj), res_src=jnp.asarray(res_src),
         res_dst=jnp.asarray(res_dst), res_w=jnp.asarray(res_w),
+        node_types=(None if node_types is None else jnp.asarray(node_types)),
         focus=focus, edges_sorted=True,
     )
 

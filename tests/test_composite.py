@@ -205,3 +205,25 @@ class TestCompositeModelClass:
         m3 = m.copy(copy_weights=True)
         np.testing.assert_allclose(np.asarray(m3(g)), np.asarray(o1), atol=1e-6)
         assert m2.spec.n_types == 2
+
+
+class TestCompositeBlocked:
+    def test_blocked_batch_carries_types_and_trains(self, rng):
+        """Composite propagation over the block-dense production path must
+        match the segment path exactly (same graphs, same weights)."""
+        from gnn_tpu.graphs.batch import from_graphs_blocked
+        gs = [het_graph(rng, n=12 + i, e=40, focus="g") for i in range(5)]
+        gbb = from_graphs_blocked(gs, block_w=64)
+        assert gbb.node_types is not None
+        merged = Graph.merge(gs, focus="g", aggregation_mode="average")
+        gbs = GraphBatch.from_graph(merged)
+        ss, os_ = specs(focus="g")
+        cb_spec = CompositeGNNSpec(focus="g", state_specs=(ss, ss),
+                                   output_spec=os_, max_iteration=3,
+                                   threshold=0.01)
+        params, bn = composite_init(cb_spec, jax.random.key(0))
+        rb = composite_forward(cb_spec, params, bn, gbb, jax.random.key(1))
+        rs = composite_forward(cb_spec, params, bn, gbs, jax.random.key(1))
+        T = len(gs)
+        np.testing.assert_allclose(np.asarray(rb["out"])[:T],
+                                   np.asarray(rs["out"])[:T], atol=1e-5)
