@@ -235,6 +235,57 @@ def make_composite_eval_step(spec: CompositeGNNSpec, loss_name: str,
     return ev
 
 
+def make_composite_dp_train_step(spec: CompositeGNNSpec, loss_name: str,
+                                 loss_args: Optional[dict], optimizer_cfg: dict,
+                                 mesh, axis: str = "data", mean: bool = True):
+    """Data-parallel composite training step (mirrors
+    parallel/data_parallel.make_dp_train_step): one stacked GraphBatch shard
+    per device, per-replica grads pmean-ed over ICI, replicated update.
+
+    step(params, bn, opt_state, stacked_gb, rngs) — build stacked_gb with
+    parallel/data_parallel.shard_batches (batches must carry node_types)."""
+    from jax.sharding import PartitionSpec as P
+
+    loss_args = dict(loss_args or {})
+    opt = make_optimizer(optimizer_cfg)
+    lf = get_loss(loss_name)
+
+    def per_replica(params, bn, gb, rng):
+        gb = jax.tree_util.tree_map(lambda x: x[0], gb)
+        rng = rng[0]
+
+        def loss_fn(p):
+            res = composite_forward(spec, p, bn, gb, rng, training=True)
+            loss = weighted_loss(lf, loss_args, gb, res["out"])
+            return loss + composite_regularization(spec, p), (res["iters"],
+                                                              res["bn"])
+
+        grads, (iters, new_bn) = jax.grad(loss_fn, has_aux=True)(params)
+        if mean:
+            denom = jnp.maximum(iters, 1.0)
+            grads = {**grads, "state": jax.tree_util.tree_map(
+                lambda g: g / denom, grads["state"])}
+        grads = jax.lax.pmean(grads, axis)
+        new_bn = jax.lax.pmean(new_bn, axis)
+        iters = jax.lax.pmean(iters, axis)
+        return grads, new_bn, iters
+
+    mapped = jax.shard_map(
+        per_replica, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, bn, opt_state, stacked_gb, rngs):
+        grads, new_bn, iters = mapped(params, bn, stacked_gb, rngs)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, new_bn, opt_state, iters
+
+    return step
+
+
 def make_composite_full_eval(spec: CompositeGNNSpec, loss_name: str,
                              loss_args: Optional[dict]):
     """Same 5-tuple contract as core.make_eval_step — (iters, loss, out_rows,

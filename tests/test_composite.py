@@ -227,3 +227,50 @@ class TestCompositeBlocked:
         T = len(gs)
         np.testing.assert_allclose(np.asarray(rb["out"])[:T],
                                    np.asarray(rs["out"])[:T], atol=1e-5)
+
+
+class TestCompositeDP:
+    def test_dp_equals_mean_of_replicas(self, rng):
+        """Composite DP step == single-device steps on the gradient average
+        (same contract as the homogeneous DP test)."""
+        from gnn_tpu.models.composite import make_composite_dp_train_step
+        from gnn_tpu.parallel import make_mesh
+        from gnn_tpu.parallel.data_parallel import shard_batches
+        gs = [het_graph(rng, n=30, e=100) for _ in range(2)]
+        bs = [GraphBatch.from_graph(g, node_pad=64, edge_pad=128, target_pad=64)
+              for g in gs]
+        ss, os_ = specs()
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss), output_spec=os_,
+                                 max_iteration=3, threshold=0.01,
+                                 aggregation="segment")
+        params, bn = composite_init(cspec, jax.random.key(0))
+        mesh = make_mesh({"data": 2})
+        stacked = shard_batches(bs, mesh)
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        dp = make_composite_dp_train_step(cspec, "mse", None, sgd, mesh,
+                                          mean=False)
+        rngs = jax.random.split(jax.random.key(7), 2)
+        p_dp, _, _, _ = dp(params, bn, make_optimizer(sgd).init(params),
+                           stacked, rngs)
+
+        # manual average of per-batch grads at lr 1.0
+        from gnn_tpu.models.composite import (composite_regularization,
+                                              composite_forward, weighted_loss)
+        from gnn_tpu.training.losses import get_loss
+        lf = get_loss("mse")
+
+        def grad_one(gb, rng):
+            def loss_fn(p):
+                res = composite_forward(cspec, p, bn, gb, rng, training=True)
+                return (weighted_loss(lf, {}, gb, res["out"])
+                        + composite_regularization(cspec, p))
+            return jax.grad(loss_fn)(params)
+
+        g0 = grad_one(bs[0], rngs[0])
+        g1 = grad_one(bs[1], rngs[1])
+        expect = jax.tree_util.tree_map(
+            lambda p, a, b: p - 0.5 * (a + b), params, g0, g1)
+        for (kp, x), (_, y) in zip(jax.tree_util.tree_leaves_with_path(p_dp),
+                                   jax.tree_util.tree_leaves_with_path(expect)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=2e-5, err_msg=str(kp))
