@@ -75,11 +75,15 @@ class CompositeGNNSpec:
     def n_types(self) -> int:
         return len(self.state_specs)
 
-    # the homogeneous helpers (make_agg_closures, check via GNNSpec shape
-    # arithmetic) only read these fields — present on both spec types
+    # the homogeneous helpers (make_agg_closures, LGNN stacking) only read
+    # these fields — present on both spec types
     @property
     def state_spec(self) -> MLPSpec:
         return self.state_specs[0]
+
+    @property
+    def state_dim(self) -> int:
+        return 0  # composite layers use labels-are-the-state semantics
 
 
 def composite_init(spec: CompositeGNNSpec, rng: jax.Array, dtype=jnp.float32):

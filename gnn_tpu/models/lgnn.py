@@ -57,6 +57,23 @@ def update_graph_batch(gb: GraphBatch, state, out_entity, *, get_state: bool,
                       agg_arcs_cache=None, agg_nodes_cache=None)
 
 
+def _forward_any(spec, params, bn, gb, rng, training):
+    """Dispatch a layer forward: homogeneous GNNSpec or CompositeGNNSpec
+    (heterogeneous per-type nets) — layers of either kind can be stacked."""
+    from gnn_tpu.models.composite import CompositeGNNSpec, composite_forward
+    if isinstance(spec, CompositeGNNSpec):
+        return composite_forward(spec, params, bn, gb, rng, training)
+    return gnn_forward(spec, params, bn, gb, rng, training)
+
+
+def _reg_any(spec, p):
+    from gnn_tpu.models.composite import (CompositeGNNSpec,
+                                          composite_regularization)
+    if isinstance(spec, CompositeGNNSpec):
+        return composite_regularization(spec, p)
+    return regularization(spec, p)
+
+
 def lgnn_forward(specs, params, bns, gb: GraphBatch, rng, training: bool,
                  get_state: bool, get_output: bool):
     """Run the layer stack. Returns (iters_list, outs_list, states_last,
@@ -66,7 +83,7 @@ def lgnn_forward(specs, params, bns, gb: GraphBatch, rng, training: bool,
     gtmp = gb
     state = None
     for idx, spec in enumerate(specs):
-        res = gnn_forward(spec, params[idx], bns[idx], gtmp, rngs[idx], training)
+        res = _forward_any(spec, params[idx], bns[idx], gtmp, rngs[idx], training)
         iters.append(res["iters"])
         outs.append(res["out"])
         new_bns.append(res["bn"])
@@ -101,7 +118,7 @@ def _lgnn_train_impl(specs, params, bns, opt_state, gb, rng, *, loss_name,
         iters, outs, _, new_bns = lgnn_forward(specs, p, bns, gb, rng, True,
                                                get_state, get_output)
         loss = _lgnn_loss(specs, loss_name, loss_args, gb, outs, training_mode)
-        loss = loss + sum(regularization(s, pi) for s, pi in zip(specs, p))
+        loss = loss + sum(_reg_any(s, pi) for s, pi in zip(specs, p))
         return loss, (iters, new_bns)
 
     grads, (iters, new_bns) = jax.grad(loss_fn, has_aux=True)(params)
@@ -369,7 +386,7 @@ class LGNN(BaseModel):
     def _augment(self, gnn: GNNnodeBased, base: GraphBatch, cur: GraphBatch) -> GraphBatch:
         """Run one layer on its (already augmented) input graph and augment the
         ORIGINAL graph with the resulting state/output (LGNN.py:336-340)."""
-        res = jax.jit(gnn_forward, static_argnames=("spec", "training"))(
+        res = jax.jit(_forward_any, static_argnames=("spec", "training"))(
             gnn.spec, gnn.params, gnn.bn, cur, self._next_rng(), training=False)
         return update_graph_batch(base, res["state"], res["out_entity"],
                                   get_state=self.get_state, get_output=self.get_output,

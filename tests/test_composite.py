@@ -274,3 +274,62 @@ class TestCompositeDP:
                                    jax.tree_util.tree_leaves_with_path(expect)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=2e-5, err_msg=str(kp))
+
+
+class TestCompositeLGNN:
+    def test_composite_layers_in_lgnn_stack(self, rng):
+        """An LGNN built from CompositeGNNnodeBased layers trains and, with
+        all types sharing weights, matches the homogeneous LGNN."""
+        from gnn_tpu import CompositeGNNnodeBased, GNNnodeBased, LGNN
+        from gnn_tpu.ops.mlp import get_inout_dims
+        g = het_graph(rng, n=50, e=200)
+        nl, al, dt = 3, 2, 2
+
+        def layer_specs(layer):
+            in_s, l_s = get_inout_dims("state", nl, al, dt, "n", 0, None,
+                                       layer=layer, get_state=True,
+                                       get_output=False)
+            in_o, l_o = get_inout_dims("output", nl, al, dt, "n", 0, None,
+                                       layer=layer, get_state=True,
+                                       get_output=False)
+            ss = MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
+                         kernel_initializer="glorot_normal",
+                         bias_initializer="glorot_normal",
+                         batch_normalization=False)
+            os_ = MLPSpec(input_dim=in_o, units=tuple(l_o), activations="softmax",
+                          kernel_initializer="glorot_normal",
+                          bias_initializer="glorot_normal",
+                          batch_normalization=False)
+            return ss, os_
+
+        opt = {"name": "adam", "kwargs": {"learning_rate": 3e-3}}
+        comp_layers, homo_layers = [], []
+        for layer in range(2):
+            ss, os_ = layer_specs(layer)
+            comp_layers.append(CompositeGNNnodeBased(
+                net_states=(ss, ss), net_output=os_, optimizer=dict(opt),
+                loss_function="categorical_crossentropy",
+                loss_arguments={"from_logits": False}, max_iteration=3,
+                threshold=0.01, path_writer="writer/tcl/", seed=0))
+            homo_layers.append(GNNnodeBased(
+                net_state=ss, net_output=os_, optimizer=dict(opt),
+                loss_function="categorical_crossentropy",
+                loss_arguments={"from_logits": False}, max_iteration=3,
+                threshold=0.01, path_writer="writer/tcl/", seed=0))
+
+        lc = LGNN(comp_layers, get_state=True, get_output=False,
+                  path_writer="writer/tclc/")
+        lh = LGNN(homo_layers, get_state=True, get_output=False,
+                  path_writer="writer/tclh/")
+        # tie composite per-type weights to the homogeneous layer weights
+        for cg, hg in zip(lc.gnns, lh.gnns):
+            cg.params = {"state": (hg.params["state"],) * 2,
+                         "output": hg.params["output"]}
+            cg.bn = {"state": (hg.bn["state"],) * 2, "output": hg.bn["output"]}
+        oc = lc(g)
+        oh = lh(g)
+        np.testing.assert_allclose(np.asarray(oc), np.asarray(oh), atol=1e-5)
+
+        lc.train([g], epochs=8, update_freq=4, verbose=0)
+        out = lc(g)
+        assert np.isfinite(np.asarray(out)).all()
