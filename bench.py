@@ -42,7 +42,13 @@ def build_workload():
     merged = Graph.merge(graphs, focus="g", aggregation_mode="average")
     # block-dense batch: graph-aligned node packing turns the aggregation into
     # one batched MXU matmul (graphs/batch.py::from_graphs_blocked)
-    gb = from_graphs_blocked(graphs, block_w=int(os.environ.get("BENCH_BLOCK_W", "128")))
+    adj_dtype = None
+    if os.environ.get("BENCH_ADJ_DTYPE"):
+        import jax.numpy as jnp
+        adj_dtype = {"bfloat16": jnp.bfloat16,
+                     "float32": jnp.float32}[os.environ["BENCH_ADJ_DTYPE"]]
+    gb = from_graphs_blocked(graphs, block_w=int(os.environ.get("BENCH_BLOCK_W", "128")),
+                             adj_dtype=adj_dtype)
     return merged, gb
 
 

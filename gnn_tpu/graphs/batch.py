@@ -390,7 +390,8 @@ def _build_plan(src, dst, edge_w, num_nodes):
 def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = None,
                         aggregation_mode: Optional[str] = None,
                         target_pad: Optional[int] = None, edge_pad: Optional[int] = None,
-                        min_blocks: Optional[int] = None, dtype=None) -> GraphBatch:
+                        min_blocks: Optional[int] = None, dtype=None,
+                        adj_dtype=None) -> GraphBatch:
     """Build a GraphBatch with graph-aligned node packing and a block-dense
     adjacency.
 
@@ -465,6 +466,10 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
     intra = (src // W) == (dst // W)
     adj = np.zeros((B, W, W), dtype=dt)
     np.add.at(adj, (dst[intra] // W, dst[intra] % W, src[intra] % W), w[intra])
+    if adj_dtype is not None:
+        # opt-in low-precision adjacency: halves the dominant HBM stream in
+        # the propagation bmm; weights (1/indeg etc.) round at ~0.4% relative
+        adj = jnp.asarray(adj).astype(adj_dtype)
     r_src = src[~intra].astype(np.int32)
     r_dst = dst[~intra].astype(np.int32)
     r_w = w[~intra]

@@ -161,12 +161,19 @@ def make_agg_closures(spec: GNNSpec, gb: GraphBatch):
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
 
+        adt = gb.adj_blocks.dtype
+        # low-precision adjacency (from_graphs_blocked(adj_dtype=bf16)):
+        # halve the dominant HBM stream; accumulate in f32 on the MXU.
+        # HIGHEST (3-pass f32 emulation) only makes sense for f32 operands.
+        prec = (jax.lax.Precision.HIGHEST if adt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+
         def agg_state(s):
             r = jax.lax.dot_general(
-                gb.adj_blocks, s.reshape(Bb, Wb, -1),
+                gb.adj_blocks, s.astype(adt).reshape(Bb, Wb, -1),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).reshape(Np, -1).astype(s.dtype)
+                precision=prec).reshape(Np, -1).astype(s.dtype)
             if has_res:
                 r = r + jax.ops.segment_sum(
                     jnp.take(s, gb.res_src, axis=0) * gb.res_w[:, None],

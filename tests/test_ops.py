@@ -275,3 +275,30 @@ class TestBlockDense:
         r1 = gnn_forward(spec, params, bn, gb, jax.random.key(1))
         r2 = gnn_forward(spec, params, bn, gb_nocache, jax.random.key(1))
         assert np.allclose(np.asarray(r1["state"]), np.asarray(r2["state"]), atol=1e-5)
+
+
+class TestLowPrecisionAdjacency:
+    def test_bf16_adj_close_to_f32(self, rng):
+        """adj_dtype=bfloat16 forward stays within bf16 rounding of f32."""
+        import jax.numpy as jnp
+        from gnn_tpu.graphs.batch import from_graphs_blocked
+        from gnn_tpu.graphs.datasets import random_graph
+        from gnn_tpu.models.core import GNNSpec, gnn_forward, gnn_init
+        from gnn_tpu.ops.mlp import MLPSpec
+        gs = [random_graph(int(rng.integers(10, 25)), 3, 1, 2, 0.4, focus="g",
+                           rng=rng) for _ in range(6)]
+        gb32 = from_graphs_blocked(gs, block_w=64)
+        gb16 = from_graphs_blocked(gs, block_w=64, adj_dtype=jnp.bfloat16)
+        assert gb16.adj_blocks.dtype == jnp.bfloat16
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_,
+                       max_iteration=5, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        r32 = gnn_forward(spec, params, bn, gb32, jax.random.key(1))
+        r16 = gnn_forward(spec, params, bn, gb16, jax.random.key(1))
+        assert r16["state"].dtype == r32["state"].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(r16["out"])[:6],
+                                   np.asarray(r32["out"])[:6], atol=2e-2)
