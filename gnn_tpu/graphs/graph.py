@@ -287,6 +287,8 @@ class Graph:
             np.save(folder + "sample_weights.npy", self.sample_weights)
         if self.NodeGraph is not None and self.targets.shape[0] > 1:
             np.save(folder + "NodeGraph.npy", self.NodeGraph)
+        if self.node_types is not None:
+            np.save(folder + "node_types.npy", self.node_types)
 
     def savetxt(self, folder: str, fmt: str = "%.10g") -> None:
         """Save as .txt folder (reference graph_class.py:216-237)."""
@@ -305,6 +307,8 @@ class Graph:
             np.savetxt(folder + "sample_weights.txt", self.sample_weights, fmt=fmt)
         if self.NodeGraph is not None and self.targets.shape[0] > 1:
             np.savetxt(folder + "NodeGraph.txt", self.NodeGraph, fmt=fmt)
+        if self.node_types is not None:
+            np.savetxt(folder + "node_types.txt", self.node_types, fmt="%d")
 
     @classmethod
     def load(cls, folder: str, focus: Optional[str] = None, aggregation_mode: str = "average",
@@ -326,7 +330,7 @@ class Graph:
         folder = folder if folder.endswith("/") else folder + "/"
         params = {f.rsplit(".", 1)[0]: np.loadtxt(folder + f, ndmin=2) for f in os.listdir(folder)
                   if f.endswith(".txt")}
-        for key in ("set_mask", "output_mask", "sample_weights"):
+        for key in ("set_mask", "output_mask", "sample_weights", "node_types"):
             if key in params:
                 params[key] = params[key].reshape(-1)
         return cls(focus=focus, aggregation_mode=aggregation_mode, **params)

@@ -333,3 +333,20 @@ class TestCompositeLGNN:
         lc.train([g], epochs=8, update_freq=4, verbose=0)
         out = lc(g)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestCompositeIO:
+    def test_node_types_roundtrip_npy_and_txt(self, rng, tmp_path):
+        g = het_graph(rng, n=18, e=50)
+        g.save(str(tmp_path / "npy"))
+        g2 = Graph.load(str(tmp_path / "npy"))
+        np.testing.assert_array_equal(g2.node_types, g.node_types)
+        g.savetxt(str(tmp_path / "txt"))
+        g3 = Graph.load_txt(str(tmp_path / "txt"))
+        np.testing.assert_array_equal(g3.node_types, g.node_types)
+        # untyped graphs keep writing the reference file set (no extra file)
+        import os as _os
+        h = random_g = het_graph(rng, n=10, e=30)
+        h.node_types = None
+        h.save(str(tmp_path / "plain"))
+        assert "node_types.npy" not in _os.listdir(str(tmp_path / "plain"))
