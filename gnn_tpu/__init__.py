@@ -31,7 +31,8 @@ from gnn_tpu.models.lgnn import LGNN
 from gnn_tpu.models.composite import (CompositeGNNSpec, composite_forward,
                                       composite_init, make_composite_train_step,
                                       make_composite_eval_step,
-                                      make_composite_dp_train_step)
+                                      make_composite_dp_train_step,
+                                      make_composite_edge_sharded_train_step)
 from gnn_tpu.ops.mlp import MLPSpec, get_inout_dims
 
 __all__ = [
@@ -41,5 +42,5 @@ __all__ = [
     "CompositeGNNSpec", "composite_init", "composite_forward",
     "make_composite_train_step", "make_composite_eval_step",
     "CompositeGNNnodeBased", "CompositeGNNgraphBased",
-    "make_composite_dp_train_step",
+    "make_composite_dp_train_step", "make_composite_edge_sharded_train_step",
 ]

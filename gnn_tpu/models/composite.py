@@ -290,6 +290,60 @@ def make_composite_dp_train_step(spec: CompositeGNNSpec, loss_name: str,
     return step
 
 
+def make_composite_edge_sharded_train_step(spec: CompositeGNNSpec,
+                                           loss_name: str,
+                                           loss_args: Optional[dict],
+                                           optimizer_cfg: dict, mesh,
+                                           axis: str = "graph",
+                                           mean: bool = True,
+                                           edges_sorted: bool = True):
+    """Edge-sharded composite training step (mirrors
+    parallel/edge_shard.make_edge_sharded_train_step): the merged graph's
+    edges are sharded over mesh[axis]; per-iteration partial aggregations are
+    psum-ed (make_agg_closures honours spec.shard_axis); node-level arrays —
+    including node_types — are replicated. Build the input with
+    parallel/edge_shard.shard_edges."""
+    from jax.sharding import PartitionSpec as P
+
+    from gnn_tpu.parallel.edge_shard import _gb_pspecs
+
+    if spec.focus == "a":
+        raise NotImplementedError("edge-focused models scale via data parallelism")
+    loss_args = dict(loss_args or {})
+    sspec = dataclasses.replace(spec, shard_axis=axis)
+    opt = make_optimizer(optimizer_cfg)
+    lf = get_loss(loss_name)
+
+    def shard_loss(params, bn, gb, rng):
+        res = composite_forward(sspec, params, bn, gb, rng, training=True)
+        loss = weighted_loss(lf, loss_args, gb, res["out"])
+        return loss, (res["iters"], res["bn"])
+
+    mapped = jax.shard_map(
+        shard_loss, mesh=mesh,
+        in_specs=(P(), P(), _gb_pspecs(axis, spec.focus, edges_sorted,
+                                       has_node_types=True), P()),
+        out_specs=(P(), (P(), P())),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, bn, opt_state, gb, rng):
+        def loss_fn(p):
+            loss, aux = mapped(p, bn, gb, rng)
+            return loss + composite_regularization(sspec, p), aux
+
+        grads, (iters, new_bn) = jax.grad(loss_fn, has_aux=True)(params)
+        if mean:
+            denom = jnp.maximum(iters, 1.0)
+            grads = {**grads, "state": jax.tree_util.tree_map(
+                lambda g: g / denom, grads["state"])}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return params, new_bn, opt_state, iters
+
+    return step
+
+
 def make_composite_full_eval(spec: CompositeGNNSpec, loss_name: str,
                              loss_args: Optional[dict]):
     """Same 5-tuple contract as core.make_eval_step — (iters, loss, out_rows,

@@ -48,14 +48,18 @@ def _static_kw(gb_or_focus, edges_sorted=None) -> dict:
     return {"focus": gb_or_focus, "edges_sorted": bool(edges_sorted)}
 
 
-def _gb_pspecs(axis: str, focus: str, edges_sorted: bool) -> GraphBatch:
+def _gb_pspecs(axis: str, focus: str, edges_sorted: bool,
+               has_node_types: bool = False) -> GraphBatch:
     """GraphBatch-shaped tree of PartitionSpecs: edge fields sharded, rest
     replicated. Static metadata (focus, edges_sorted) must match the batch.
     Optional structures (pallas plans, block-dense adjacency) are None —
-    sharded paths consume plain from_graph batches."""
+    sharded paths consume plain from_graph batches. node_types (composite
+    models) is a replicated node-level field when present."""
     kw = {}
     for f in _array_fields():
-        if f.name in _OPTIONAL_NONE:
+        if f.name == "node_types":
+            kw[f.name] = P() if has_node_types else None
+        elif f.name in _OPTIONAL_NONE:
             kw[f.name] = None
         else:
             kw[f.name] = P(axis) if f.name in _EDGE_FIELDS else P()

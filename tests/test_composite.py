@@ -350,3 +350,32 @@ class TestCompositeIO:
         h.node_types = None
         h.save(str(tmp_path / "plain"))
         assert "node_types.npy" not in _os.listdir(str(tmp_path / "plain"))
+
+
+class TestCompositeEdgeSharded:
+    def test_matches_single_device(self, rng):
+        from gnn_tpu.models.composite import (make_composite_edge_sharded_train_step,
+                                              make_composite_train_step)
+        from gnn_tpu.parallel import make_mesh
+        from gnn_tpu.parallel.edge_shard import shard_edges
+        g = het_graph(rng, n=60, e=512)
+        gb = GraphBatch.from_graph(g, node_pad=64, edge_pad=512, target_pad=64)
+        ss, os_ = specs()
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss), output_spec=os_,
+                                 max_iteration=4, threshold=0.01,
+                                 aggregation="segment")
+        params, bn = composite_init(cspec, jax.random.key(0))
+        mesh = make_mesh({"graph": 8})
+        gbs = shard_edges(gb, mesh)
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        es = make_composite_edge_sharded_train_step(cspec, "mse", None, sgd, mesh,
+                                                    mean=False)
+        ref = make_composite_train_step(cspec, "mse", None, sgd, mean=False)
+        rk = jax.random.key(3)
+        p_es, _, _, it_es = es(params, bn, make_optimizer(sgd).init(params), gbs, rk)
+        p_rf, _, _, it_rf = ref(params, bn, make_optimizer(sgd).init(params), gb, rk)
+        assert float(it_es) == float(it_rf)
+        for (kp, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(p_es),
+                                   jax.tree_util.tree_leaves_with_path(p_rf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                       err_msg=str(kp))
