@@ -62,6 +62,8 @@ class NodeShardBatch:
     pool_w: Optional[jnp.ndarray] = None
     pool_starts: Optional[jnp.ndarray] = None
     pool_ends: Optional[jnp.ndarray] = None
+    # composite models — per-node type ids, sharded rows [Np]
+    node_types: Optional[jnp.ndarray] = None
     # statics
     n_shards: int = struct.field(pytree_node=False, default=1)
     focus: str = struct.field(pytree_node=False, default="n")
@@ -113,6 +115,8 @@ def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBat
         pool = dict(
             pool_w=put(gb.pool_w * gb.node_mask.astype(gb.pool_w.dtype), P(axis)),
             pool_starts=put(gb.pool_starts, P()), pool_ends=put(gb.pool_ends, P()))
+    if gb.node_types is not None:
+        pool["node_types"] = put(gb.node_types, P(axis))
     return NodeShardBatch(
         nodes=put(gb.nodes, P(axis)), node_mask=put(gb.node_mask, P(axis)),
         set_mask=put(gb.set_mask, P(axis)), output_mask=put(gb.output_mask, P(axis)),
@@ -125,9 +129,12 @@ def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBat
         n_shards=d, focus=gb.focus, **pool)
 
 
-def _ns_pspecs(axis: str, d: int, focus: str) -> NodeShardBatch:
+def _ns_pspecs(axis: str, d: int, focus: str,
+               has_node_types: bool = False) -> NodeShardBatch:
     pool = (dict(pool_w=P(axis), pool_starts=P(), pool_ends=P())
             if focus == "g" else {})
+    if has_node_types:
+        pool["node_types"] = P(axis)
     return NodeShardBatch(
         nodes=P(axis), node_mask=P(axis), set_mask=P(axis), output_mask=P(axis),
         agg_arcs_cache=P(axis), e_src=P(axis), e_dst_local=P(axis), e_w=P(axis),
@@ -137,8 +144,13 @@ def _ns_pspecs(axis: str, d: int, focus: str) -> NodeShardBatch:
 
 def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
     """Sharded propagation + readout; returns (iters, loss-ready out rows,
-    new_bn). Runs INSIDE shard_map — array args are shard-local."""
+    new_bn). Runs INSIDE shard_map — array args are shard-local. Accepts a
+    GNNSpec or a CompositeGNNSpec (per-type state nets on local rows)."""
+    from gnn_tpu.models.composite import CompositeGNNSpec
     from gnn_tpu.models.core import check_dims
+    _is_composite = isinstance(spec, CompositeGNNSpec)
+    if _is_composite and nb.node_types is None:
+        raise ValueError("composite node sharding needs a batch with node_types")
     check_dims(spec, nb.nodes.shape[1], nb.agg_arcs_cache.shape[1],
                nb.targets.shape[1])
     L = nb.nodes.shape[0]            # local rows
@@ -170,9 +182,25 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
         inp = jnp.concatenate([s, agg_state(s), agg_arcs], axis=1)
         # decorrelate dropout masks across shards
         shard_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis))
-        new_s, new_bn = mlp_apply(spec.state_spec, params["state"], bnl, inp,
-                                  training=training, rng=shard_rng, stat_mask=nm,
-                                  axis_name=axis)
+        if _is_composite:
+            # per-type state nets on local rows, type-masked (composite.py);
+            # BN moments psum-ed per type over the mesh axis
+            tm = jax.nn.one_hot(nb.node_types, len(spec.state_specs),
+                                dtype=s.dtype)
+            outs, bns = [], []
+            for t in range(len(spec.state_specs)):
+                o, b = mlp_apply(spec.state_specs[t], params["state"][t],
+                                 bnl[t], inp, training=training,
+                                 rng=jax.random.fold_in(shard_rng, t),
+                                 stat_mask=nm & (nb.node_types == t),
+                                 axis_name=axis)
+                outs.append(o * tm[:, t:t + 1])
+                bns.append(b)
+            new_s, new_bn = sum(outs), tuple(bns)
+        else:
+            new_s, new_bn = mlp_apply(spec.state_spec, params["state"], bnl,
+                                      inp, training=training, rng=shard_rng,
+                                      stat_mask=nm, axis_name=axis)
         s_next = jnp.where(active, new_s.astype(s.dtype), s)
         s_old_next = jnp.where(active, s, s_old)
         bn_next = jax.tree_util.tree_map(
@@ -215,6 +243,7 @@ def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict]
     loss_args = dict(loss_args or {})
     opt = make_optimizer(optimizer_cfg)
     d = mesh.shape[axis]
+    _comp = _spec_is_composite(spec)
 
     def shard_loss(params, bn, nb, rng):
         iters, out_rows, new_bn = _ns_forward(spec, params, bn, nb, rng, True, axis)
@@ -225,7 +254,8 @@ def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict]
 
     mapped = jax.shard_map(
         shard_loss, mesh=mesh,
-        in_specs=(P(), P(), _ns_pspecs(axis, d, spec.focus), P()),
+        in_specs=(P(), P(), _ns_pspecs(axis, d, spec.focus,
+                                       has_node_types=_comp), P()),
         out_specs=(P(), (P(), P())),
         check_vma=False)
 
@@ -233,6 +263,9 @@ def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict]
     def step(params, bn, opt_state, nb, rng):
         def loss_fn(p):
             loss, aux = mapped(p, bn, nb, rng)
+            if _comp:
+                from gnn_tpu.models.composite import composite_regularization
+                return loss + composite_regularization(spec, p), aux
             from gnn_tpu.models.core import regularization
             return loss + regularization(spec, p), aux
 
@@ -253,13 +286,20 @@ def make_node_sharded_forward(spec, mesh: Mesh, axis: str = "graph"):
         raise NotImplementedError("node sharding implements the state_dim=0 "
                                   "input layout (labels are the state)")
     d = mesh.shape[axis]
+    _comp = _spec_is_composite(spec)
 
     def fwd(params, bn, nb, rng):
         iters, out_rows, _ = _ns_forward(spec, params, bn, nb, rng, False, axis)
         return iters, out_rows
 
     mapped = jax.shard_map(fwd, mesh=mesh,
-                           in_specs=(P(), P(), _ns_pspecs(axis, d, spec.focus), P()),
+                           in_specs=(P(), P(), _ns_pspecs(axis, d, spec.focus,
+                                                          has_node_types=_comp), P()),
                            out_specs=(P(), P()),
                            check_vma=False)
     return jax.jit(mapped)
+
+
+def _spec_is_composite(spec) -> bool:
+    from gnn_tpu.models.composite import CompositeGNNSpec
+    return isinstance(spec, CompositeGNNSpec)

@@ -379,3 +379,38 @@ class TestCompositeEdgeSharded:
                                    jax.tree_util.tree_leaves_with_path(p_rf)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
                                        err_msg=str(kp))
+
+
+class TestCompositeNodeSharded:
+    def test_matches_single_device(self, rng):
+        from gnn_tpu.models.composite import make_composite_train_step
+        from gnn_tpu.parallel import make_mesh
+        from gnn_tpu.parallel.node_shard import (make_node_sharded_forward,
+                                                 make_node_sharded_train_step,
+                                                 shard_nodes)
+        g = het_graph(rng, n=100, e=400)
+        gb = GraphBatch.from_graph(g, node_pad=128, edge_pad=512, target_pad=128)
+        ss, os_ = specs()
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss), output_spec=os_,
+                                 max_iteration=4, threshold=0.01,
+                                 aggregation="segment")
+        params, bn = composite_init(cspec, jax.random.key(0))
+        mesh = make_mesh({"graph": 8})
+        nb = shard_nodes(gb, mesh)
+        assert nb.node_types is not None
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        ns = make_node_sharded_train_step(cspec, "mse", None, sgd, mesh, mean=False)
+        ref = make_composite_train_step(cspec, "mse", None, sgd, mean=False)
+        rk = jax.random.key(3)
+        p_ns, _, _, it_ns = ns(params, bn, make_optimizer(sgd).init(params), nb, rk)
+        p_rf, _, _, it_rf = ref(params, bn, make_optimizer(sgd).init(params), gb, rk)
+        assert float(it_ns) == float(it_rf)
+        for (kp, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(p_ns),
+                                   jax.tree_util.tree_leaves_with_path(p_rf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                       err_msg=str(kp))
+        fwd = make_node_sharded_forward(cspec, mesh)
+        _, out = fwd(params, bn, nb, jax.random.key(1))
+        r = composite_forward(cspec, params, bn, gb, jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(out)[:100],
+                                   np.asarray(r["out"])[:100], atol=1e-4)
