@@ -20,9 +20,12 @@ any scatter-based regrouping, branch-free, and fully static under jit. The
 convergence predicate, masked-scan dynamic iteration count and gradient
 semantics are identical to models/core.propagate.
 
-Requires state_dim == 0 semantics with a COMMON node-label width across types
-(pad type labels to a common width host-side); per-type label widths are a
-possible extension.
+Requires state_dim == 0 semantics with a COMMON node-label width across types.
+Datasets whose types carry different feature widths work today by zero-padding
+each type's labels to the max width host-side (column j of type t is zero when
+t does not define feature j — the type's own state net simply learns zero
+weights for absent columns); first-class ragged per-type widths are a possible
+extension.
 """
 
 from __future__ import annotations
