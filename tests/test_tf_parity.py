@@ -1,0 +1,435 @@
+"""Numerical parity against the ACTUAL TF2 reference (/root/reference).
+
+This closes the north star check (BASELINE.json / SURVEY §4): per-iteration
+state trajectories, readouts, losses, and gradients of gnn_tpu are compared
+against the reference implementation itself (GNN/GNN.py:202-280,
+GNN_BaseClass.py:231-247) running under TensorFlow, with identical weights
+injected into both frameworks.
+
+Skipped when TensorFlow or the reference tree is unavailable. The reference
+code is *executed as an oracle*, never copied.
+
+Edge-focus note: the reference gathers edge-readout rows through the
+transposed sparse Adjacency's indices (GNN.py:294). For symmetric graphs with
+(src,dst)-sorted arcs — simple_graph and MUTAG both qualify — that ordering
+coincides exactly with the intended [state_src, state_dst, arc_label]
+arc-order semantics implemented here, so edge parity is asserted exactly on
+such graphs. For unsorted/asymmetric arc lists the reference's own rows
+misalign with its arc-ordered labels/masks (documented quirk, SURVEY §3);
+that misalignment is deliberately not reproduced.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+REF = "/root/reference"
+if not os.path.isdir(os.path.join(REF, "GNN")):
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from GNN.GNN import GNNnodeBased, GNNedgeBased, GNNgraphBased  # noqa: E402
+from GNN.MLP import MLP as RefMLP  # noqa: E402
+from GNN.graph_class import GraphObject, GraphTensor  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gnn_tpu.graphs.batch import GraphBatch  # noqa: E402
+from gnn_tpu.graphs.datasets import simple_graph, load_mutag  # noqa: E402
+from gnn_tpu.graphs.graph import Graph  # noqa: E402
+from gnn_tpu.models.core import GNNSpec, evaluate_single, gnn_forward  # noqa: E402
+from gnn_tpu.ops.mlp import MLPSpec, mlp_apply  # noqa: E402
+
+MUTAG_DIR = os.path.join(REF, "MUTAG_raw")
+
+
+# --------------------------------------------------------------------- helpers
+def ref_graph(g: Graph) -> GraphObject:
+    """Rebuild the reference GraphObject from a gnn_tpu Graph's arrays, so both
+    frameworks consume byte-identical data."""
+    return GraphObject(arcs=g.getArcs(), nodes=g.getNodes(), targets=g.getTargets(),
+                       problem_based=g.focus, set_mask=g.getSetMask(),
+                       output_mask=g.getOutputMask(),
+                       sample_weights=g.getSampleWeights(),
+                       NodeGraph=g.getNodeGraph(),
+                       aggregation_mode=g.aggregation_mode)
+
+
+def inject(spec: MLPSpec, keras_model):
+    """Convert a Keras Sequential's weights into gnn_tpu (params, bn_state)."""
+    ws = keras_model.get_weights()
+    params, i = {}, 0
+    for li in range(spec.num_layers):
+        params[f"dense_{li}"] = {"w": jnp.asarray(ws[i]), "b": jnp.asarray(ws[i + 1])}
+        i += 2
+    bn_state = {}
+    if spec.batch_normalization:
+        params["bn"] = {"gamma": jnp.asarray(ws[i]), "beta": jnp.asarray(ws[i + 1])}
+        bn_state = {"mean": jnp.asarray(ws[i + 2]), "var": jnp.asarray(ws[i + 3])}
+    return params, bn_state
+
+
+def build_pair(g: Graph, *, focus: str, state_dim: int = 0, hidden=(8,),
+               out_hidden=(8,), out_act="linear", bn_out: bool = False,
+               loss=None, loss_args=None, max_iter: int = 5,
+               threshold: float = 0.01, seed: int = 7):
+    """Build (ref_gnn, my_spec, my_params, my_bn) with identical weights."""
+    nl, al, dt = g.DIM_NODE_LABEL, g.DIM_ARC_LABEL, g.DIM_TARGET
+    sd = state_dim
+    in_state = al + 2 * (nl + sd)
+    state_units = tuple(hidden) + ((sd if sd else nl),)
+    in_out = {"n": nl + sd, "g": nl + sd, "a": 2 * (nl + sd) + al}[focus]
+    out_units = tuple(out_hidden) + (dt,)
+
+    tf.keras.utils.set_random_seed(seed)
+    ref_state = RefMLP(input_dim=in_state, layers=list(state_units),
+                       activations="tanh", kernel_initializer="glorot_normal",
+                       bias_initializer="glorot_normal", batch_normalization=False)
+    ref_out = RefMLP(input_dim=in_out, layers=list(out_units),
+                     activations=["tanh"] * len(out_hidden) + [out_act],
+                     kernel_initializer="glorot_normal",
+                     bias_initializer="glorot_normal", batch_normalization=bn_out)
+    ref_out.build((None, in_out))
+
+    cls = {"n": GNNnodeBased, "a": GNNedgeBased, "g": GNNgraphBased}[focus]
+    # Keras 3 dropped the functional tf.keras.losses.*; Loss instances with
+    # reduction="none" return the per-row vector the reference multiplies by
+    # sample weights and sums (GNN.py:198-199).
+    ref_gnn = cls(ref_state, ref_out, optimizer=tf.keras.optimizers.Adam(1e-3),
+                  loss_function=loss or tf.keras.losses.MeanSquaredError(reduction="none"),
+                  loss_arguments=loss_args, state_vect_dim=sd,
+                  max_iteration=max_iter, threshold=threshold,
+                  addressed_problem="c")
+
+    state_spec = MLPSpec(input_dim=in_state, units=state_units, activations="tanh",
+                         batch_normalization=False)
+    out_spec = MLPSpec(input_dim=in_out, units=out_units,
+                       activations=("tanh",) * len(out_hidden) + (out_act,),
+                       batch_normalization=bn_out)
+    spec = GNNSpec(focus=focus, state_spec=state_spec, output_spec=out_spec,
+                   state_dim=sd, max_iteration=max_iter, threshold=threshold)
+    ps, _ = inject(state_spec, ref_state)
+    po, bo = inject(out_spec, ref_out)
+    params = {"state": ps, "output": po}
+    bn = {"state": {}, "output": bo}
+    return ref_gnn, spec, params, bn
+
+
+def batch_of(g: Graph) -> GraphBatch:
+    """Exact-size (pad-free) device batch, edges kept in arc order."""
+    tn = {"n": g.n_nodes, "a": g.n_arcs, "g": g.n_graphs}[g.focus]
+    return GraphBatch.from_graph(g, node_pad=g.n_nodes, edge_pad=g.n_arcs,
+                                 target_pad=tn, sort_edges=False)
+
+
+def ref_manual_loop(ref_gnn, gt: GraphTensor, state0=None):
+    """Drive the reference's own condition/convergence methods in a Python
+    loop (identical numerics to its tf.while_loop), capturing the state after
+    every iteration. Returns (k, [state_1..state_k])."""
+    aggregated_arcs = tf.sparse.sparse_dense_matmul(gt.ArcNode, gt.arcs[:, 2:])
+    aggregated_nodes = tf.zeros(shape=(gt.nodes.shape[0], 0), dtype="float32")
+    if ref_gnn.state_vect_dim > 0:
+        assert state0 is not None
+        state = tf.constant(state0, dtype="float32")
+        aggregated_nodes = tf.concat(
+            [aggregated_nodes,
+             tf.sparse.sparse_dense_matmul(gt.Adjacency, gt.nodes)], axis=1)
+    else:
+        state = tf.constant(gt.nodes, dtype="float32")
+    state_old = tf.ones_like(state, dtype="float32")
+    k = tf.constant(0.0)
+    training = tf.constant(False, dtype=bool)
+    traj = []
+    while ref_gnn.condition(k, state, state_old):
+        k, state, state_old, *_ = ref_gnn.convergence(
+            k, state, state_old, gt.nodes, gt.Adjacency, aggregated_nodes,
+            aggregated_arcs, training)
+        traj.append(np.asarray(state))
+    return float(k), traj
+
+
+# ---------------------------------------------------------------- trajectories
+class TestStateTrajectory:
+    @pytest.mark.parametrize("agg", ["average", "normalized", "sum"])
+    def test_node_focus_per_iteration_states(self, agg):
+        """Per-iteration state trajectory + realised k vs the TF reference."""
+        g = simple_graph("n", aggregation_mode=agg)
+        ref_gnn, spec, params, bn = build_pair(g, focus="n", max_iter=6)
+        rg = ref_graph(g)
+        gt = GraphTensor.fromGraphObject(rg)
+
+        k_ref, traj = ref_manual_loop(ref_gnn, gt)
+        # the manual capture must equal the real tf.while_loop output
+        k_loop, state_loop, _ = ref_gnn.Loop(rg, training=False)
+        assert float(k_loop) == k_ref
+        np.testing.assert_allclose(np.asarray(state_loop), traj[-1], rtol=1e-6)
+
+        gb = batch_of(g)
+        rng = jax.random.PRNGKey(0)
+        for k in range(1, len(traj) + 1):
+            spec_k = GNNSpec(focus="n", state_spec=spec.state_spec,
+                             output_spec=spec.output_spec, max_iteration=k,
+                             threshold=spec.threshold)
+            res = gnn_forward(spec_k, params, bn, gb, rng, training=False)
+            assert float(res["iters"]) == min(k, k_ref)
+            np.testing.assert_allclose(np.asarray(res["state"]),
+                                       traj[min(k, len(traj)) - 1],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_node_focus_readout(self):
+        g = simple_graph("n", aggregation_mode="average")
+        ref_gnn, spec, params, bn = build_pair(g, focus="n")
+        k_ref, _, out_ref = ref_gnn.Loop(ref_graph(g), training=False)
+        res = gnn_forward(spec, params, bn, batch_of(g), jax.random.PRNGKey(0))
+        assert float(res["iters"]) == float(k_ref)
+        np.testing.assert_allclose(np.asarray(res["out"]), np.asarray(out_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_state_dim_trajectory_from_shared_state0(self):
+        """state_dim > 0 wiring: my production forward vs the reference's own
+        convergence ops, both starting from MY randomly-drawn state0."""
+        g = simple_graph("n", aggregation_mode="average")
+        sd = 5
+        ref_gnn, spec, params, bn = build_pair(g, focus="n", state_dim=sd,
+                                               max_iter=6)
+        gb = batch_of(g)
+        rng = jax.random.PRNGKey(3)
+        # replicate gnn_forward's + propagate's internal rng splits to extract
+        # the exact state0 the production path draws
+        _, rng_prop, _ = jax.random.split(rng, 3)
+        _, rng_init, _ = jax.random.split(rng_prop, 3)
+        state0 = 0.1 * jax.random.normal(rng_init, (gb.n_node_pad, sd),
+                                         dtype=gb.nodes.dtype)
+        state0 = np.asarray(state0 * gb.node_mask[:, None].astype(gb.nodes.dtype))
+
+        gt = GraphTensor.fromGraphObject(ref_graph(g))
+        k_ref, traj = ref_manual_loop(ref_gnn, gt, state0=state0)
+        assert k_ref >= 2  # the comparison must cover multiple iterations
+
+        # f32 op-ordering noise compounds ≈ geometrically through the tanh
+        # recurrence, so the per-iteration tolerance grows with k.
+        for k in range(1, len(traj) + 1):
+            spec_k = GNNSpec(focus="n", state_spec=spec.state_spec,
+                             output_spec=spec.output_spec, state_dim=sd,
+                             max_iteration=k, threshold=spec.threshold)
+            res = gnn_forward(spec_k, params, bn, gb, rng, training=False)
+            assert float(res["iters"]) == min(k, k_ref)
+            np.testing.assert_allclose(np.asarray(res["state"]), traj[k - 1],
+                                       rtol=1e-4 * 3 ** k, atol=1e-6 * 3 ** k)
+
+
+# -------------------------------------------------------------------- readouts
+class TestFocusReadouts:
+    def test_edge_focus_out(self):
+        g = simple_graph("a", aggregation_mode="average")
+        ref_gnn, spec, params, bn = build_pair(g, focus="a")
+        k_ref, _, out_ref = ref_gnn.Loop(ref_graph(g), training=False)
+        res = gnn_forward(spec, params, bn, batch_of(g), jax.random.PRNGKey(0))
+        assert float(res["iters"]) == float(k_ref)
+        np.testing.assert_allclose(np.asarray(res["out"]), np.asarray(out_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_graph_focus_merged_batch(self):
+        gs = [simple_graph("g", aggregation_mode="average") for _ in range(3)]
+        # make the three graphs differ
+        rng = np.random.default_rng(0)
+        for i, gg in enumerate(gs):
+            gg.nodes[:] = gg.nodes + rng.standard_normal(gg.nodes.shape) * (i + 1)
+        m = Graph.merge(gs, focus="g")
+        ref_gnn, spec, params, bn = build_pair(m, focus="g")
+        k_ref, _, out_ref = ref_gnn.Loop(ref_graph(m), training=False)
+        res = gnn_forward(spec, params, bn, batch_of(m), jax.random.PRNGKey(0))
+        assert float(res["iters"]) == float(k_ref)
+        assert np.asarray(out_ref).shape == (3, m.DIM_TARGET)
+        np.testing.assert_allclose(np.asarray(res["out"]), np.asarray(out_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------------ loss/grads
+def ref_loss_and_grads(ref_gnn, rg, mean=True):
+    gt = GraphTensor.fromGraphObject(rg)
+    with tf.GradientTape() as tape:
+        it, loss, *_ = ref_gnn.evaluate_single_graph(gt, training=True)
+    wS, wO = ref_gnn.trainable_variables()
+    dwbS, dwbO = tape.gradient(loss, [wS, wO])
+    if mean:
+        dwbS = [[e / it for e in layer] for layer in dwbS]
+    return float(it), float(loss), [np.asarray(x) for x in dwbS[0]], \
+        [np.asarray(x) for x in dwbO[0]]
+
+
+def my_loss_and_grads(spec, params, bn, gb, loss_name, loss_args, mean=True):
+    rng = jax.random.PRNGKey(0)
+
+    def f(p):
+        iters, loss, _ = evaluate_single(spec, p, bn, gb, rng, loss_name,
+                                         loss_args, training=True)
+        return loss, iters
+
+    (loss, iters), grads = jax.value_and_grad(f, has_aux=True)(params)
+    if mean:
+        grads = {**grads, "state": jax.tree_util.tree_map(
+            lambda x: x / jnp.maximum(iters, 1.0), grads["state"])}
+    flat_s = [np.asarray(grads["state"][f"dense_{i}"][k])
+              for i in range(spec.state_spec.num_layers) for k in ("w", "b")]
+    flat_o = [np.asarray(grads["output"][f"dense_{i}"][k])
+              for i in range(spec.output_spec.num_layers) for k in ("w", "b")]
+    if spec.output_spec.batch_normalization:
+        flat_o += [np.asarray(grads["output"]["bn"]["gamma"]),
+                   np.asarray(grads["output"]["bn"]["beta"])]
+    return float(iters), float(loss), flat_s, flat_o
+
+
+class TestLossAndGradParity:
+    @pytest.mark.parametrize("mean", [True, False])
+    def test_mse_node_focus(self, mean):
+        g = simple_graph("n", aggregation_mode="average")
+        ref_gnn, spec, params, bn = build_pair(g, focus="n")
+        rg = ref_graph(g)
+        it_r, loss_r, gs_r, go_r = ref_loss_and_grads(ref_gnn, rg, mean)
+        it_m, loss_m, gs_m, go_m = my_loss_and_grads(
+            spec, params, bn, batch_of(g), "mse", {}, mean)
+        assert it_r == it_m
+        np.testing.assert_allclose(loss_m, loss_r, rtol=1e-5)
+        for a, b in zip(gs_m + go_m, gs_r + go_r):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-6)
+
+    def test_softmax_cce_graph_focus(self):
+        gs = [simple_graph("g", aggregation_mode="sum") for _ in range(2)]
+        gs[1].nodes[:] = gs[1].nodes[::-1]
+        m = Graph.merge(gs, focus="g")
+        ref_gnn, spec, params, bn = build_pair(
+            m, focus="g",
+            loss=tf.keras.losses.CategoricalCrossentropy(from_logits=True,
+                                                         reduction="none"))
+        it_r, loss_r, gs_r, go_r = ref_loss_and_grads(ref_gnn, ref_graph(m))
+        it_m, loss_m, gs_m, go_m = my_loss_and_grads(
+            spec, params, bn, batch_of(m), "categorical_crossentropy",
+            {"from_logits": True})
+        assert it_r == it_m
+        np.testing.assert_allclose(loss_m, loss_r, rtol=1e-5)
+        for a, b in zip(gs_m + go_m, gs_r + go_r):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+# ----------------------------------------------------------------- batch norm
+class TestBatchNormParity:
+    def test_output_bn_eval_and_train(self):
+        """Keras BatchNormalization (momentum .99, eps 1e-3) vs the masked BN:
+        eval-mode output, train-mode output, and updated moving stats."""
+        g = simple_graph("n", aggregation_mode="average")
+        ref_gnn, spec, params, bn = build_pair(g, focus="n", bn_out=True)
+        rg = ref_graph(g)
+
+        _, _, out_ref = ref_gnn.Loop(rg, training=False)
+        res = gnn_forward(spec, params, bn, batch_of(g), jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(res["out"]), np.asarray(out_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+        _, _, out_ref_t = ref_gnn.Loop(rg, training=True)
+        res_t = gnn_forward(spec, params, bn, batch_of(g), jax.random.PRNGKey(0),
+                            training=True)
+        np.testing.assert_allclose(np.asarray(res_t["out"]), np.asarray(out_ref_t),
+                                   rtol=1e-4, atol=1e-4)
+        # Keras updated its moving stats in-place during the training call
+        ref_ws = ref_gnn.net_output.get_weights()
+        np.testing.assert_allclose(np.asarray(res_t["bn"]["output"]["mean"]),
+                                   ref_ws[-2], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res_t["bn"]["output"]["var"]),
+                                   ref_ws[-1], rtol=1e-4, atol=1e-6)
+
+
+# --------------------------------------------------------------------- MUTAG
+@pytest.mark.skipif(not os.path.isdir(MUTAG_DIR), reason="MUTAG_raw unavailable")
+class TestMutagParity:
+    def test_merged_batch_forward_loss_grads(self):
+        """End-to-end parity on real data: a 24-graph MUTAG merged batch,
+        graph focus, softmax-CE loss, grads with mean division."""
+        graphs = load_mutag(MUTAG_DIR, aggregation_mode="average")[:24]
+        m = Graph.merge(graphs, focus="g")
+        ref_gnn, spec, params, bn = build_pair(
+            m, focus="g", hidden=(16,), out_hidden=(16,),
+            loss=tf.keras.losses.CategoricalCrossentropy(from_logits=True,
+                                                         reduction="none"),
+            max_iter=5)
+        rg = ref_graph(m)
+
+        k_ref, state_ref, out_ref = ref_gnn.Loop(rg, training=False)
+        gb = batch_of(m)
+        res = gnn_forward(spec, params, bn, gb, jax.random.PRNGKey(0))
+        assert float(res["iters"]) == float(k_ref)
+        np.testing.assert_allclose(np.asarray(res["state"]),
+                                   np.asarray(state_ref), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res["out"]),
+                                   np.asarray(out_ref), rtol=2e-4, atol=1e-5)
+
+        it_r, loss_r, gs_r, go_r = ref_loss_and_grads(ref_gnn, rg)
+        it_m, loss_m, gs_m, go_m = my_loss_and_grads(
+            spec, params, bn, gb, "categorical_crossentropy",
+            {"from_logits": True})
+        assert it_r == it_m
+        np.testing.assert_allclose(loss_m, loss_r, rtol=1e-4)
+        for a, b in zip(gs_m + go_m, gs_r + go_r):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
+
+    def test_loader_identical_to_reference_loader(self):
+        """My vectorised MUTAG loader reproduces the reference loader's arrays
+        graph for graph (load_MUTAG.py:6-52)."""
+        import contextlib
+        import importlib
+        import unittest.mock as mock
+
+        # The reference loader passes delimiter=', ' (load_MUTAG.py) which
+        # numpy 2.x rejects; ',' plus float conversion of the space-padded
+        # fields is equivalent. It also reads a cwd-relative path.
+        orig_loadtxt = np.loadtxt
+
+        def patched_loadtxt(*a, **kw):
+            if kw.get("delimiter") == ", ":
+                kw["delimiter"] = ","
+            return orig_loadtxt(*a, **kw)
+
+        with contextlib.chdir(REF), mock.patch("numpy.loadtxt", patched_loadtxt):
+            ref_loader = importlib.import_module("load_MUTAG")
+        mine = load_mutag(MUTAG_DIR, aggregation_mode="average")
+        theirs = ref_loader.graphs
+        assert len(mine) == len(theirs)
+        idx = np.linspace(0, len(mine) - 1, 25).astype(int)
+        for i in idx:
+            np.testing.assert_array_equal(mine[i].getNodes(), theirs[i].getNodes())
+            np.testing.assert_array_equal(mine[i].getTargets(), theirs[i].getTargets())
+            # edge IDS match exactly (both loaders lexsort-dedupe them) ...
+            np.testing.assert_array_equal(mine[i].getArcs()[:, :2],
+                                          theirs[i].getArcs()[:, :2])
+
+        # ... but NOT the edge labels: the reference loader sorts edgesIDs via
+        # np.unique(axis=0) while eL stays in file order (load_MUTAG.py:29,41),
+        # misaligning labels inside any graph whose file edges are not
+        # lexsorted. Verify MY labels against the raw files directly, and
+        # pin the reference quirk so this documented deviation stays visible.
+        e_ids = np.loadtxt(os.path.join(MUTAG_DIR, "Mutagenicity_edges.txt"),
+                           dtype=int, delimiter=",")
+        e_lab = np.loadtxt(os.path.join(MUTAG_DIR, "Mutagenicity_edge_labels.txt"),
+                           dtype=int)
+        gid_nodes = np.loadtxt(os.path.join(MUTAG_DIR,
+                                            "Mutagenicity_graph_indicator.txt"),
+                               dtype=int)
+        lut = {tuple(k): v for k, v in zip(map(tuple, e_ids), e_lab)}
+        _, starts = np.unique(gid_nodes, return_index=True)
+        mismatch_vs_ref = 0
+        for i in idx:
+            lo = starts[i]
+            arcs = mine[i].getArcs()
+            want = np.array([lut[(int(s) + 1 + lo, int(d) + 1 + lo)]
+                             for s, d in arcs[:, :2].astype(int)])
+            np.testing.assert_array_equal(np.argmax(arcs[:, 2:], axis=1), want)
+            ref_lab = np.argmax(theirs[i].getArcs()[:, 2:], axis=1)
+            mismatch_vs_ref += int((ref_lab != want).any())
+        assert mismatch_vs_ref > 0, (
+            "reference loader no longer misaligns labels — drop this deviation")
