@@ -66,6 +66,12 @@ def _forward_any(spec, params, bn, gb, rng, training):
     return gnn_forward(spec, params, bn, gb, rng, training)
 
 
+# one module-level jitted dispatch: serial-mode augmentation calls it once per
+# batch per layer, and the jit cache must persist across those calls (a fresh
+# jax.jit wrapper per call would retrace every time)
+_jit_forward_any = jax.jit(_forward_any, static_argnames=("spec", "training"))
+
+
 def _reg_any(spec, p):
     from gnn_tpu.models.composite import (CompositeGNNSpec,
                                           composite_regularization)
@@ -386,7 +392,7 @@ class LGNN(BaseModel):
     def _augment(self, gnn: GNNnodeBased, base: GraphBatch, cur: GraphBatch) -> GraphBatch:
         """Run one layer on its (already augmented) input graph and augment the
         ORIGINAL graph with the resulting state/output (LGNN.py:336-340)."""
-        res = jax.jit(_forward_any, static_argnames=("spec", "training"))(
+        res = _jit_forward_any(
             gnn.spec, gnn.params, gnn.bn, cur, self._next_rng(), training=False)
         return update_graph_batch(base, res["state"], res["out_entity"],
                                   get_state=self.get_state, get_output=self.get_output,

@@ -84,11 +84,15 @@ def aggregate_to_nodes(values: jnp.ndarray, weights: jnp.ndarray, dst: jnp.ndarr
     if s == "onehot":
         return _onehot_weighted_sum(values, weights, dst, num_nodes)
     if s == "pallas":
-        from gnn_tpu.ops.pallas_segment import segment_matmul_sum
-        if not indices_sorted:
-            raise ValueError("pallas aggregation requires dst-sorted edges "
-                             "(GraphBatch.from_graph(sort_edges=True))")
-        return segment_matmul_sum(values, weights, dst, num_nodes)
+        # The Pallas kernel aggregates node-sourced values through a
+        # host-built AggPlan (models/core.py::make_agg_closures). For already
+        # per-edge values — the only thing this function receives on that
+        # path — the plan's gather is the identity and the kernel degenerates
+        # to a weighted segment sum, so the XLA segment path IS the 'pallas'
+        # strategy here (and it is outside the hot loop: arc-label
+        # aggregation is computed once per batch, GNN.py:259).
+        return _segment_weighted_sum(values, weights, dst, num_nodes,
+                                     indices_sorted)
     raise ValueError(f"unknown aggregation strategy {s!r}")
 
 

@@ -286,15 +286,6 @@ def block_aggregate(state: jnp.ndarray, plans: AggPlanPair) -> jnp.ndarray:
                             _plan_to_leaves(plans.bwd))
 
 
-def segment_matmul_sum(values, weights, dst, num_nodes):
-    """Per-edge-values variant (arc-label aggregation): scatter-only one-hot
-    matmul. Falls back to building a degenerate plan with identity gather —
-    used rarely (outside the hot loop), so XLA segment_sum is usually fine."""
-    raise NotImplementedError(
-        "use block_aggregate with an AggPlanPair for the fused hot path; "
-        "per-edge values aggregate via jax.ops.segment_sum")
-
-
 # ===========================================================================
 # Kernel v2 — grid over destination node blocks, inner double-buffered DMA
 # loop over each block's chunks. Removes the per-chunk grid-step overhead

@@ -97,6 +97,23 @@ class TestTrainingModes:
         outs = lgnn.predict(batch, idx="all")
         assert len(outs) == 3
 
+    def test_serial_augment_does_not_retrace(self, rng, tmp_path):
+        """Regression: serial-mode augmentation must reuse ONE jit cache
+        entry per (spec, shapes) across batches and layers — round 1 built a
+        fresh jax.jit wrapper per call, retracing every batch."""
+        from gnn_tpu.models import lgnn as lgnn_mod
+        gs = node_dataset(rng, 8)
+        batches = [Graph.merge(gs[i:i + 4], focus="n", aggregation_mode="average")
+                   for i in (0, 4)]
+        lgnn = build_lgnn(tmp=str(tmp_path / "w") + "/")
+        before = lgnn_mod._jit_forward_any._cache_size()
+        lgnn.train(batches, epochs=3, update_freq=2, training_mode="serial",
+                   verbose=0)
+        added = lgnn_mod._jit_forward_any._cache_size() - before
+        # one trace per layer-spec (3 layers; identical shapes across batches
+        # and epochs) — layer specs differ in input dims so each traces once
+        assert added <= 3
+
     def test_training_mode_sticky(self, rng, tmp_path):
         batch = Graph.merge(node_dataset(rng, 4), focus="n", aggregation_mode="average")
         lgnn = build_lgnn(tmp=str(tmp_path / "w") + "/")

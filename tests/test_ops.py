@@ -31,6 +31,26 @@ class TestAggregate:
         ref = dense_reference(vals, w, dst, N)
         assert np.allclose(np.asarray(got), ref, atol=1e-4)
 
+    def test_pallas_strategy_routes_per_edge_values(self, rng):
+        """Regression: strategy='pallas' on per-edge values must compute (not
+        raise) — it degenerates to the weighted segment sum, both for sorted
+        and unsorted edges (ops/aggregate.py)."""
+        E, N, D = 120, 30, 4
+        vals = rng.standard_normal((E, D)).astype(np.float32)
+        w = rng.random(E).astype(np.float32)
+        dst = rng.integers(0, N, E).astype(np.int32)
+        ref = dense_reference(vals, w, dst, N)
+        for srt in (False, True):
+            if srt:
+                order = np.argsort(dst, kind="stable")
+                vals_s, w_s, dst_s = vals[order], w[order], dst[order]
+            else:
+                vals_s, w_s, dst_s = vals, w, dst
+            got = aggregate_to_nodes(jnp.asarray(vals_s), jnp.asarray(w_s),
+                                     jnp.asarray(dst_s), N, strategy="pallas",
+                                     indices_sorted=srt)
+            assert np.allclose(np.asarray(got), ref, atol=1e-4)
+
     def test_strategies_agree(self, rng):
         E, N, D = 333, 41, 5
         vals = rng.standard_normal((E, D)).astype(np.float32)
