@@ -17,30 +17,29 @@ from gnn_tpu.graphs.graph import Graph
 
 
 def progressbar(percent: float, width: int = 30) -> None:
-    """Textual progressbar (GNN_utils.py:109-113)."""
-    left = round(width * percent / 100)
-    right = int(width - left)
-    print("\r[", "#" * left, " " * right, "]", f" {percent:.1f}%", sep="", end="", flush=True)
+    """In-place textual progress indicator (role of GNN_utils.py:109-113)."""
+    filled = round(width * percent / 100)
+    bar = ("#" * filled).ljust(width)
+    print(f"\r[{bar}] {percent:.1f}%", end="", flush=True)
 
 
 def getindices(len_dataset: int, perc_Train: float = 0.7, perc_Valid: float = 0.1,
                seed=None) -> Tuple[list, list, list]:
-    """Shuffled Train/Test/Validation index split (GNN_utils.py:117-149).
-    seed: number = fixed shuffle; None = random shuffle; False = no shuffle."""
+    """Shuffled Train/Test/Validation index split (role of GNN_utils.py:117-149).
+
+    :param seed: number = deterministic shuffle; None = fresh random shuffle;
+        False = keep dataset order. Splits are disjoint and cover the dataset;
+        test and validation sizes are rounded, train takes the remainder.
+    """
     if perc_Train < 0 or perc_Valid < 0 or perc_Train + perc_Valid > 1:
         raise ValueError("Error - percentage must stay in [0-1] and their sum must be <= 1")
-    idx = list(range(len_dataset))
-    if seed:
-        np.random.seed(seed)
+    order = np.arange(len_dataset)
     if seed is not False:
-        np.random.shuffle(idx)
-    perc_Test = 1 - perc_Train - perc_Valid
-    sample_test = round(len_dataset * perc_Test)
-    sample_valid = round(len_dataset * perc_Valid)
-    test_idx = idx[:sample_test]
-    valid_idx = idx[sample_test:sample_test + sample_valid]
-    train_idx = idx[sample_test + sample_valid:]
-    return train_idx, test_idx, valid_idx
+        np.random.default_rng(seed if seed else None).shuffle(order)
+    n_test = round(len_dataset * (1 - perc_Train - perc_Valid))
+    n_valid = round(len_dataset * perc_Valid)
+    test_idx, valid_idx, train_idx = np.split(order, [n_test, n_test + n_valid])
+    return train_idx.tolist(), test_idx.tolist(), valid_idx.tolist()
 
 
 def getSet(glist: Sequence[str], set_indices: Sequence[int], focus: str,
