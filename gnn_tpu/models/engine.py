@@ -46,12 +46,26 @@ _NAMESCOPES = {**{i: "Accuracy & Loss" for i in ["Acc", "Bacc", "It", "Loss"]},
 
 
 class ScalarWriter:
-    """JSONL scalar event writer (TensorBoard-writer stand-in,
-    GNN_BaseClass.py:428-445). One file per writer, one JSON object per event."""
+    """Scalar/weight event writer with two backends (GNN_BaseClass.py:428-459):
 
-    def __init__(self, path: str):
+    * JSONL (always on): one file per writer, one JSON object per event —
+      the dependency-free machine-readable log.
+    * TensorBoard event files (default on, `tb=False` to disable): real
+      `events.out.tfevents.*` records in a run directory next to the JSONL
+      file, so `tensorboard --logdir writer` shows the same scalars and
+      per-layer weight/bias histograms the reference's README documents
+      (README.md:95-98). Written by the pure-Python encoder in
+      training/tb_events.py — no TF dependency.
+    """
+
+    def __init__(self, path: str, tb: bool = True):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.path = path
+        self.tb = None
+        if tb:
+            from gnn_tpu.training.tb_events import TBEventFile
+            rundir = path[:-6] if path.endswith(".jsonl") else path + ".tb"
+            self.tb = TBEventFile(rundir)
 
     def write_scalars(self, metrics: dict, step: int) -> None:
         if not isinstance(metrics, dict):
@@ -60,9 +74,16 @@ class ScalarWriter:
             for k, v in metrics.items():
                 f.write(json.dumps({"step": step, "scope": _NAMESCOPES.get(k, "Other Scores"),
                                     "name": _PRETTY.get(k, k), "value": float(v)}) + "\n")
+        if self.tb is not None:
+            for k, v in metrics.items():
+                scope = _NAMESCOPES.get(k, "Other Scores")
+                self.tb.scalar(f"{scope}/{_PRETTY.get(k, k)}", float(v), step)
+            self.tb.flush()
 
     def write_weights(self, namespace: str, net_name: str, leaves: list, step: int) -> None:
-        """Per-layer weight summary (histogram stand-in, GNN_BaseClass.py:448-459)."""
+        """Per-layer weight summaries: JSONL moments + TB histograms, scoped
+        '<namespace>: Weights|Biases / <net> <layer>' like the reference's
+        name_scope layout (GNN_BaseClass.py:448-459)."""
         with open(self.path, "a") as f:
             for name, arr in leaves:
                 a = np.asarray(arr)
@@ -70,6 +91,20 @@ class ScalarWriter:
                     "step": step, "scope": f"{namespace}: {net_name}", "name": name,
                     "mean": float(a.mean()), "std": float(a.std()),
                     "min": float(a.min()), "max": float(a.max())}) + "\n")
+        if self.tb is not None:
+            kinds = (("['w']", "Weights"), ("['gamma']", "Weights"),
+                     ("['b']", "Biases"), ("['beta']", "Biases"))
+            for name, arr in leaves:
+                for suffix, kind in kinds:
+                    if name.endswith(suffix):
+                        scope = f"{namespace}: {kind}"
+                        stem = name[:-len(suffix)]
+                        break
+                else:
+                    scope, stem = f"{namespace}: Params", name
+                layer = stem.replace("']['", "/").strip("[]'") or net_name
+                self.tb.histogram(f"{scope}/{net_name} {layer}", np.asarray(arr), step)
+            self.tb.flush()
 
 
 class BaseModel(ABC):
