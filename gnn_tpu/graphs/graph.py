@@ -180,6 +180,25 @@ class Graph:
 
     setAggregation = set_aggregation  # reference-compatible alias
 
+    # -------------------------------------------------- sparse-matrix getters
+    # The vector design stores edges as index arrays; migrating user code may
+    # still want the reference's scipy matrices (graph_class.py:178-184) —
+    # built on demand, never used by the compute path.
+    def getAdjacency(self):
+        """Aggregated N×N adjacency: ADJ[src, dst] = w_e (graph_class.py:90-95,
+        178-180). Duplicate arcs accumulate, matching coo semantics."""
+        from scipy.sparse import coo_matrix
+        n = self.n_nodes
+        return coo_matrix((self.edge_weights(), (self.src, self.dst)),
+                          shape=(n, n), dtype=floatx())
+
+    def getArcNode(self):
+        """E×N incidence: A[e, dst_e] = w_e (graph_class.py:98-121, 182-184)."""
+        from scipy.sparse import coo_matrix
+        e = self.n_arcs
+        return coo_matrix((self.edge_weights(), (np.arange(e), self.dst)),
+                          shape=(e, self.n_nodes), dtype=floatx())
+
     def graph_ids(self) -> np.ndarray:
         """Per-node graph membership (int32, shape (N,)). Derived from the
         block structure of NodeGraph; all-zeros when not graph-focused."""

@@ -4,6 +4,8 @@ Validates against hand-computed values on the reference's debugging fixture
 (simple_graph, GNN_utils.py:88-105) and property-checks merge ≡ block-diagonal
 batching (SURVEY.md §4)."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -58,6 +60,46 @@ class TestAggregationWeights:
         np.add.at(per_node, g.dst, w)
         reached = np.unique(g.dst)
         assert np.allclose(per_node[reached], 1.0, atol=1e-5)
+
+
+class TestSparseGetters:
+    """getAdjacency/getArcNode parity with the reference matrices
+    (graph_class.py:90-121, 178-184) — including against the actual reference
+    when it is importable."""
+
+    @pytest.mark.parametrize("agg", ["average", "normalized", "sum"])
+    def test_matrices_against_reference_construction(self, rng, agg):
+        g = random_graph(rng, agg=agg)
+        adj = g.getAdjacency().toarray()
+        an = g.getArcNode().toarray()
+        w = g.edge_weights()
+        # ArcNode: exactly one nonzero per row at dst with value w_e
+        assert an.shape == (g.n_arcs, g.n_nodes)
+        for e in range(g.n_arcs):
+            assert an[e, g.dst[e]] == pytest.approx(w[e])
+            assert np.count_nonzero(an[e]) == 1
+        # Adjacency accumulates duplicate arcs
+        dense = np.zeros_like(adj)
+        np.add.at(dense, (g.src, g.dst), w)
+        assert np.allclose(adj, dense, atol=1e-6)
+
+    def test_against_actual_reference(self, rng):
+        import importlib, sys
+        if not os.path.isdir("/root/reference/GNN"):
+            pytest.skip("reference unavailable")
+        sys.path.insert(0, "/root/reference")
+        try:
+            gc = importlib.import_module("GNN.graph_class")
+        except Exception:
+            pytest.skip("reference not importable")
+        g = random_graph(rng, agg="average")
+        ref = gc.GraphObject(arcs=g.getArcs(), nodes=g.getNodes(),
+                             targets=g.getTargets(), problem_based="n",
+                             aggregation_mode="average")
+        assert np.allclose(g.getAdjacency().toarray(),
+                           ref.Adjacency.toarray(), atol=1e-6)
+        assert np.allclose(g.getArcNode().toarray(),
+                           ref.ArcNode.toarray(), atol=1e-6)
 
 
 class TestMerge:
