@@ -500,22 +500,35 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
     T = targets.shape[0]
     Tp = target_pad or pad_size(T)
     if focus == "a":
-        raise NotImplementedError("blocked batches support node/graph focus; "
-                                  "edge focus uses from_graph")
-    set_mask = np.zeros(Np, bool)
-    output_mask = np.zeros(Np, bool)
-    for g, off in zip(glist, offsets):
-        set_mask[off:off + g.n_nodes] = g.set_mask
-        output_mask[off:off + g.n_nodes] = g.output_mask
-    if focus == "g":
-        out_index = np.arange(Tp, dtype=np.int32)
-        sel = padf(np.ones(T, bool), Tp, False)
+        # arc-level supervision: masks follow the dst-sort permutation; target
+        # rows map to output-masked arcs in ORIGINAL concatenated arc order
+        # (reference get_filtered_tensor semantics, GNN_BaseClass.py:406-409)
+        set_all = np.concatenate([g.set_mask for g in glist])
+        out_all = np.concatenate([g.output_mask for g in glist])
+        set_mask = padf(set_all[order], Ep, False)
+        output_mask = padf(out_all[order], Ep, False)
+        inv = np.empty(E, np.int64)
+        inv[order] = np.arange(E)
+        orig_idx = np.nonzero(out_all)[0]
+        if len(orig_idx) != T:
+            raise ValueError(f"targets rows ({T}) != output-masked entities ({len(orig_idx)})")
+        out_index = padf(inv[orig_idx].astype(np.int32), Tp)
+        sel = padf(set_all[orig_idx], Tp, False)
     else:
-        ent_idx = np.nonzero(output_mask)[0].astype(np.int32)
-        if len(ent_idx) != T:
-            raise ValueError(f"targets rows ({T}) != output-masked entities ({len(ent_idx)})")
-        out_index = padf(ent_idx, Tp)
-        sel = padf(set_mask[ent_idx], Tp, False)
+        set_mask = np.zeros(Np, bool)
+        output_mask = np.zeros(Np, bool)
+        for g, off in zip(glist, offsets):
+            set_mask[off:off + g.n_nodes] = g.set_mask
+            output_mask[off:off + g.n_nodes] = g.output_mask
+        if focus == "g":
+            out_index = np.arange(Tp, dtype=np.int32)
+            sel = padf(np.ones(T, bool), Tp, False)
+        else:
+            ent_idx = np.nonzero(output_mask)[0].astype(np.int32)
+            if len(ent_idx) != T:
+                raise ValueError(f"targets rows ({T}) != output-masked entities ({len(ent_idx)})")
+            out_index = padf(ent_idx, Tp)
+            sel = padf(set_mask[ent_idx], Tp, False)
 
     agg_arcs_c = _host_agg(labs_p, w_p, dst_p, Np)
     agg_nodes_c = _host_agg(nodes[np.minimum(src_p, Np - 1)], w_p, dst_p, Np)

@@ -97,7 +97,9 @@ def make_edge_sharded_train_step(spec: GNNSpec, loss_name: str,
     step(params, bn, opt_state, gb_sharded, rng) -> (params, bn, opt_state, iters)
     """
     if spec.focus == "a":
-        raise NotImplementedError("edge-focused models scale via data parallelism")
+        raise NotImplementedError("edge-focused models scale via data "
+                                  "parallelism or node sharding "
+                                  "(parallel/node_shard.py supports focus 'a')")
     loss_args = dict(loss_args or {})
     sspec = dataclasses.replace(spec, shard_axis=axis)
     opt = make_optimizer(optimizer_cfg)

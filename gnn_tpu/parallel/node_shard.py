@@ -64,6 +64,11 @@ class NodeShardBatch:
     pool_ends: Optional[jnp.ndarray] = None
     # composite models — per-node type ids, sharded rows [Np]
     node_types: Optional[jnp.ndarray] = None
+    # edge focus only — per-arc readout structures on the owner shard
+    # (GNN.py:286-302): labels for the [state_src, state_dst, arc_label]
+    # input, and set∧output∧real folded into one supervision mask.
+    e_arc_labels: Optional[jnp.ndarray] = None   # [d, Es, AL]
+    e_emask: Optional[jnp.ndarray] = None        # [d, Es] bool
     # statics
     n_shards: int = struct.field(pytree_node=False, default=1)
     focus: str = struct.field(pytree_node=False, default="n")
@@ -72,11 +77,12 @@ class NodeShardBatch:
 def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBatch:
     """Build a node-sharded batch from a dst-sorted from_graph batch.
 
-    Supports node focus ('n') and graph focus ('g'; pooling runs as a cumsum
-    difference over the all-gathered node outputs). Edge focus scales via
-    data parallelism instead."""
-    if gb.focus not in ("n", "g"):
-        raise NotImplementedError("node sharding supports node/graph focus")
+    Supports all three focuses: 'n' (local readout, gathered once for the
+    loss), 'g' (cumsum-difference pooling over all-gathered node outputs) and
+    'a' (arcs readout on the dst-owner shard — src states come from the same
+    all_gather the propagation uses, dst states are local rows)."""
+    if gb.focus not in ("n", "g", "a"):
+        raise NotImplementedError("node sharding supports n/g/a focus")
     if gb.focus == "g" and gb.pool_starts is None:
         raise ValueError("graph-focus node sharding needs contiguous pooling "
                          "ranges (from_graph builds pool_starts/pool_ends)")
@@ -98,12 +104,27 @@ def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBat
     e_src = np.zeros((d, Es), np.int32)
     e_dstl = np.zeros((d, Es), np.int32)
     e_w = np.zeros((d, Es), w.dtype)
+    focus_a = gb.focus == "a"
+    if focus_a:
+        labs = np.asarray(gb.arc_labels)
+        emask_flat = np.asarray(gb.set_mask & gb.output_mask & gb.edge_mask)
+        e_lab = np.zeros((d, Es, labs.shape[1]), labs.dtype)
+        e_emask = np.zeros((d, Es), bool)
+        # remap arc positions (sorted order) -> shard-major (i*Es + slot) so
+        # out_index addresses the all-gathered per-arc output matrix
+        pos = np.asarray(gb.out_index)
+        shard_of = np.minimum(np.searchsorted(bounds, pos, side="right") - 1,
+                              d - 1)
+        out_index_a = (shard_of * Es + (pos - bounds[shard_of])).astype(np.int32)
     for i in range(d):
         lo, hi = bounds[i], bounds[i + 1]
         n = hi - lo
         e_src[i, :n] = src[lo:hi]
         e_dstl[i, :n] = dst[lo:hi] - i * L
         e_w[i, :n] = w[lo:hi]
+        if focus_a:
+            e_lab[i, :n] = labs[lo:hi]
+            e_emask[i, :n] = emask_flat[lo:hi]
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -117,15 +138,25 @@ def shard_nodes(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> NodeShardBat
             pool_starts=put(gb.pool_starts, P()), pool_ends=put(gb.pool_ends, P()))
     if gb.node_types is not None:
         pool["node_types"] = put(gb.node_types, P(axis))
+    if focus_a:
+        # arc-level supervision lives in e_emask; the node-level mask slots
+        # carry node_mask so downstream code can shard them uniformly
+        pool.update(e_arc_labels=put(jnp.asarray(e_lab), P(axis)),
+                    e_emask=put(jnp.asarray(e_emask), P(axis)))
+        set_mask, output_mask = gb.node_mask, gb.node_mask
+        out_index = jnp.asarray(out_index_a)
+    else:
+        set_mask, output_mask = gb.set_mask, gb.output_mask
+        out_index = gb.out_index
     return NodeShardBatch(
         nodes=put(gb.nodes, P(axis)), node_mask=put(gb.node_mask, P(axis)),
-        set_mask=put(gb.set_mask, P(axis)), output_mask=put(gb.output_mask, P(axis)),
+        set_mask=put(set_mask, P(axis)), output_mask=put(output_mask, P(axis)),
         agg_arcs_cache=put(cache, P(axis)),
         e_src=put(jnp.asarray(e_src), P(axis)),
         e_dst_local=put(jnp.asarray(e_dstl), P(axis)),
         e_w=put(jnp.asarray(e_w), P(axis)),
         targets=put(gb.targets, P()), sample_weights=put(gb.sample_weights, P()),
-        out_index=put(gb.out_index, P()), sel_mask=put(gb.sel_mask, P()),
+        out_index=put(out_index, P()), sel_mask=put(gb.sel_mask, P()),
         n_shards=d, focus=gb.focus, **pool)
 
 
@@ -133,6 +164,8 @@ def _ns_pspecs(axis: str, d: int, focus: str,
                has_node_types: bool = False) -> NodeShardBatch:
     pool = (dict(pool_w=P(axis), pool_starts=P(), pool_ends=P())
             if focus == "g" else {})
+    if focus == "a":
+        pool.update(e_arc_labels=P(axis), e_emask=P(axis))
     if has_node_types:
         pool["node_types"] = P(axis)
     return NodeShardBatch(
@@ -210,6 +243,22 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
 
     carry0 = (jnp.float32(0.0), state, state_old, jnp.bool_(True), bn["state"])
     (iters, state, _, _, bn_s), _ = jax.lax.scan(body, carry0, step_rngs)
+
+    if nb.focus == "a":
+        # edge readout on the dst-owner shard (GNN.py:286-302): src states
+        # from one all_gather, dst states are this shard's local rows
+        full = jax.lax.all_gather(state, axis, tiled=True)            # [Np, D]
+        arc_inp = jnp.concatenate(
+            [jnp.take(full, e_src, axis=0),
+             jnp.take(state, e_dstl, axis=0),
+             nb.e_arc_labels[0]], axis=1)
+        out_local, bn_o = mlp_apply(spec.output_spec, params["output"],
+                                    bn["output"], arc_inp, training=training,
+                                    rng=rng_out, stat_mask=nb.e_emask[0],
+                                    axis_name=axis)
+        out_full = jax.lax.all_gather(out_local, axis, tiled=True)    # [d·Es, DT]
+        out_rows = jnp.take(out_full, nb.out_index, axis=0)
+        return iters, out_rows, {"state": bn_s, "output": bn_o}
 
     emask = nb.set_mask & nb.output_mask & nm
     out_local, bn_o = mlp_apply(spec.output_spec, params["output"], bn["output"],

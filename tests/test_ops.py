@@ -234,6 +234,36 @@ class TestPallasBlockAggregate:
 class TestBlockDense:
     """Block-dense adjacency batches (graph-aligned packing)."""
 
+    def test_edge_focus_matches_standard_path(self, rng):
+        """Edge-focused blocked batches (round 2): per-arc supervision rides
+        the dst-sorted edge arrays; outputs must equal the from_graph path on
+        the selected target rows."""
+        from gnn_tpu.graphs.graph import Graph
+        from gnn_tpu.graphs.batch import GraphBatch, from_graphs_blocked
+        from gnn_tpu.graphs.datasets import random_graph
+        from gnn_tpu.models.core import GNNSpec, gnn_init, gnn_forward
+        gs = [random_graph(int(rng.integers(10, 40)), 3, 1, 2, 0.5, focus="a", rng=rng)
+              for _ in range(8)]
+        gs.insert(1, random_graph(200, 3, 1, 2, 0.15, focus="a", rng=rng))  # spans blocks
+        merged = Graph.merge(gs, focus="a", aggregation_mode="average")
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=7, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="a", state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01, aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        gb_ref = GraphBatch.from_graph(merged)
+        gb_blk = from_graphs_blocked(gs, block_w=64, focus="a")
+        r1 = gnn_forward(spec, params, bn, gb_ref, jax.random.key(1))
+        r2 = gnn_forward(spec, params, bn, gb_blk, jax.random.key(1))
+        assert float(r1["iters"]) == float(r2["iters"])
+        s1 = np.asarray(gb_ref.sel_mask)
+        s2 = np.asarray(gb_blk.sel_mask)
+        assert s1.sum() == s2.sum() > 0
+        np.testing.assert_allclose(np.asarray(r2["out"])[s2],
+                                   np.asarray(r1["out"])[s1], atol=1e-4)
+
     def test_matches_standard_path(self, rng):
         from gnn_tpu.graphs.graph import Graph
         from gnn_tpu.graphs.batch import GraphBatch, from_graphs_blocked

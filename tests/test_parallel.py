@@ -236,13 +236,53 @@ class TestNodeSharded:
         r = gnn_forward(spec, params, bn, gb, jax.random.key(1))
         assert np.allclose(np.asarray(out)[:6], np.asarray(r["out"])[:6], atol=1e-4)
 
-    def test_rejects_unsorted_and_arc_focus(self, setup):
+    def test_edge_focus_matches_single_device(self, setup):
+        """Edge-focused training scales through node sharding (VERDICT r1 #4):
+        per-arc readout on the dst-owner shard, exact vs single device — the
+        reference treats focus 'a' uniformly (GNN.py:286-302)."""
+        rng, *_ = setup
+        from gnn_tpu.parallel.node_shard import (make_node_sharded_forward,
+                                                 make_node_sharded_train_step,
+                                                 shard_nodes)
+        g = random_graph(90, 3, 1, 2, 0.35, focus="a", rng=rng)
+        gb = GraphBatch.from_graph(g, node_pad=128, edge_pad=2048,
+                                   target_pad=2048)
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     batch_normalization=True)  # psum-ed BN moments in loop
+        os_ = MLPSpec(input_dim=7, units=(2,), activations="softmax",
+                      batch_normalization=True)  # arc-level BN, psum-ed
+        spec = GNNSpec(focus="a", state_spec=ss, output_spec=os_,
+                       max_iteration=5, threshold=0.01, aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        mesh = make_mesh({"graph": 8})
+        nb = shard_nodes(gb, mesh)
+        # lr scaled down: the sum-loss over ~2k supervised arcs makes raw
+        # grads O(1e3), so an lr-1.0 delta would sit above f32 reassociation
+        # noise at atol 1e-4 (relative agreement is ~3e-6)
+        sgd = optimizer_config("sgd", learning_rate=0.01)
+        ns = make_node_sharded_train_step(spec, "mse", None, sgd, mesh, mean=False)
+        ref = make_train_step(spec, "mse", None, sgd, mean=False)
+        rk = jax.random.key(3)
+        p_ns, bn_ns, _, it_ns = ns(params, bn, make_optimizer(sgd).init(params), nb, rk)
+        p_rf, bn_rf, _, it_rf = ref(params, bn, make_optimizer(sgd).init(params), gb, rk)
+        assert float(it_ns) == float(it_rf)
+        assert leaves_close(p_ns, p_rf)
+        assert leaves_close(bn_ns, bn_rf, atol=1e-5)
+        fwd = make_node_sharded_forward(spec, mesh)
+        _, out = fwd(params, bn, nb, jax.random.key(1))
+        from gnn_tpu.models.core import gnn_forward
+        r = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        sel = np.asarray(gb.sel_mask)
+        assert np.allclose(np.asarray(out)[sel], np.asarray(r["out"])[sel],
+                           atol=1e-4)
+
+    def test_rejects_unsorted_edges(self, setup):
         rng, *_ = setup
         from gnn_tpu.parallel.node_shard import shard_nodes
         mesh = make_mesh({"graph": 8})
-        g = random_graph(40, 3, 1, 2, 0.4, focus="a", rng=rng)
-        with pytest.raises(NotImplementedError):
-            shard_nodes(GraphBatch.from_graph(g), mesh)
+        g = random_graph(40, 3, 1, 2, 0.4, focus="n", rng=rng)
+        with pytest.raises(ValueError):
+            shard_nodes(GraphBatch.from_graph(g, sort_edges=False), mesh)
         g2 = random_graph(40, 3, 1, 2, 0.4, focus="n", rng=rng)
         with pytest.raises(ValueError):
             shard_nodes(GraphBatch.from_graph(g2, sort_edges=False), mesh)
