@@ -26,8 +26,11 @@ from gnn_tpu.graphs.graph import Graph, GraphObject
 from gnn_tpu.graphs.batch import GraphBatch
 from gnn_tpu.graphs.generator import GraphDataGenerator, SingleGraphDataGenerator
 from gnn_tpu.models.gnn import (GNNnodeBased, GNNedgeBased, GNNgraphBased,
-                                CompositeGNNnodeBased, CompositeGNNgraphBased)
+                                CompositeGNNnodeBased, CompositeGNNedgeBased,
+                                CompositeGNNgraphBased)
 from gnn_tpu.models.lgnn import LGNN
+from gnn_tpu.graphs.typed import (composite_get_inout_dims, pack_typed_labels,
+                                  typed_label_offsets)
 from gnn_tpu.models.composite import (CompositeGNNSpec, composite_forward,
                                       composite_init, make_composite_train_step,
                                       make_composite_eval_step,
@@ -40,7 +43,8 @@ __all__ = [
     "SingleGraphDataGenerator", "GNNnodeBased", "GNNedgeBased", "GNNgraphBased",
     "LGNN", "MLPSpec", "get_inout_dims", "floatx", "set_floatx",
     "CompositeGNNSpec", "composite_init", "composite_forward",
+    "pack_typed_labels", "typed_label_offsets", "composite_get_inout_dims",
     "make_composite_train_step", "make_composite_eval_step",
-    "CompositeGNNnodeBased", "CompositeGNNgraphBased",
+    "CompositeGNNnodeBased", "CompositeGNNedgeBased", "CompositeGNNgraphBased",
     "make_composite_dp_train_step", "make_composite_edge_sharded_train_step",
 ]

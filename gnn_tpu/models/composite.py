@@ -62,6 +62,10 @@ class CompositeGNNSpec:
     threshold: float = 0.01
     aggregation: str = "auto"
     shard_axis: Optional[str] = None
+    # gradient mode, as GNNSpec: 'unroll' differentiates the masked scan;
+    # 'ift' installs the implicit-function-theorem adjoint (models/ift.py)
+    grad_mode: str = "unroll"
+    ift_backward_iters: int = 20
 
     def __post_init__(self):
         if self.focus not in ("n", "a", "g"):
@@ -73,6 +77,11 @@ class CompositeGNNSpec:
             raise ValueError(
                 f"all per-type state nets must share (input_dim, output_dim); "
                 f"got {sorted(dims)}")
+        if self.grad_mode not in ("unroll", "ift"):
+            raise ValueError("grad_mode must be 'unroll' or 'ift'")
+        if self.grad_mode == "ift" and any(s.dropout_rate for s in self.state_specs):
+            raise ValueError("grad_mode='ift' requires dropout-free state nets "
+                             "(per-iteration masks make the step non-stationary)")
 
     @property
     def n_types(self) -> int:
@@ -146,7 +155,31 @@ def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
 
     carry0 = (jnp.float32(0.0), state0, state_old0, jnp.bool_(True), bn_state)
     (iters, state, _, _, bn_out), _ = jax.lax.scan(body, carry0, step_rngs)
+
+    if spec.grad_mode == "ift":
+        # O(1)-memory adjoint: gradient-stop the scanned state, install the
+        # implicit backward (exact at convergence) — mirrors core.propagate
+        from gnn_tpu.models.ift import fixed_point_ift
+        consts = {"gb": gb, "bn": bn_out, "agg_arcs": agg_arcs, "tmask": tmask}
+        f = partial(_composite_ift_state_step, spec, training)
+        state = fixed_point_ift(f, spec.ift_backward_iters, params_state,
+                                jax.lax.stop_gradient(state), consts)
     return iters, state, bn_out
+
+
+def _composite_ift_state_step(spec: CompositeGNNSpec, training: bool,
+                              params_state, s, consts):
+    """One stationary application of the per-type state nets (IFT adjoint)."""
+    gb = consts["gb"]
+    agg_state, _ = make_agg_closures(spec, gb)
+    inp = jnp.concatenate([s, agg_state(s), consts["agg_arcs"]], axis=1)
+    out = 0.0
+    for t in range(spec.n_types):
+        o, _ = mlp_apply(spec.state_specs[t], params_state[t], consts["bn"][t],
+                         inp, training=training, rng=None,
+                         stat_mask=gb.node_mask & (gb.node_types == t))
+        out = out + o * consts["tmask"][:, t:t + 1]
+    return out
 
 
 def composite_forward(spec: CompositeGNNSpec, params, bn, gb: GraphBatch,

@@ -253,7 +253,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
                  addressed_problem: str = "c", extra_metrics: Optional[dict] = None,
                  extra_metrics_arguments: Optional[dict] = None,
                  path_writer: str = "writer/", namespace: str = "CompositeGNN",
-                 aggregation: str = "auto", seed: Optional[int] = None,
+                 aggregation: str = "auto", grad_mode: str = "unroll",
+                 ift_backward_iters: int = 20, seed: Optional[int] = None,
                  dtype=jnp.float32) -> None:
         from gnn_tpu.models.composite import (CompositeGNNSpec, composite_init,
                                               make_composite_full_eval)
@@ -267,7 +268,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
         self.spec = CompositeGNNSpec(
             focus=self._focus, state_specs=net_states, output_spec=net_output,
             max_iteration=int(max_iteration), threshold=float(threshold),
-            aggregation=aggregation)
+            aggregation=aggregation, grad_mode=grad_mode,
+            ift_backward_iters=int(ift_backward_iters))
         self.seed = seed
         self.dtype = dtype
         self._rng = jax.random.key(np.random.randint(2 ** 31) if seed is None else seed)
@@ -302,7 +304,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
             threshold=self.spec.threshold, addressed_problem=self.addressed_problem,
             extra_metrics=self.extra_metrics, extra_metrics_arguments=self.mt_args,
             path_writer=path_writer, namespace=namespace,
-            aggregation=self.spec.aggregation, dtype=self.dtype)
+            aggregation=self.spec.aggregation, grad_mode=self.spec.grad_mode,
+            ift_backward_iters=self.spec.ift_backward_iters, dtype=self.dtype)
         if copy_weights:
             new.params = jax.tree_util.tree_map(jnp.array, self.params)
             new.bn = jax.tree_util.tree_map(jnp.array, self.bn)
@@ -322,7 +325,9 @@ class CompositeGNNnodeBased(GNNnodeBased):
                   "max_iteration": self.spec.max_iteration,
                   "threshold": self.spec.threshold,
                   "addressed_problem": self.addressed_problem,
-                  "aggregation": self.spec.aggregation}
+                  "aggregation": self.spec.aggregation,
+                  "grad_mode": self.spec.grad_mode,
+                  "ift_backward_iters": self.spec.ift_backward_iters}
         with open(f"{path}config.json", "w") as f:
             json.dump(config, f)
         tree_to_npz(f"{path}params.npz", self.params)
@@ -340,6 +345,7 @@ class CompositeGNNnodeBased(GNNnodeBased):
             config = json.load(f)
         model_class = config.pop("model_class", cls.__name__)
         klass = {"CompositeGNNnodeBased": CompositeGNNnodeBased,
+                 "CompositeGNNedgeBased": CompositeGNNedgeBased,
                  "CompositeGNNgraphBased": CompositeGNNgraphBased}.get(model_class, cls)
         model = klass(net_states=config.pop("net_states"),
                       net_output=config.pop("net_output"),
@@ -350,6 +356,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
                       threshold=config.pop("threshold"),
                       addressed_problem=config.pop("addressed_problem"),
                       aggregation=config.pop("aggregation", "auto"),
+                      grad_mode=config.pop("grad_mode", "unroll"),
+                      ift_backward_iters=config.pop("ift_backward_iters", 20),
                       extra_metrics=extra_metrics,
                       extra_metrics_arguments=extra_metrics_arguments,
                       path_writer=path_writer, namespace=namespace)
@@ -377,6 +385,14 @@ class CompositeGNNnodeBased(GNNnodeBased):
                   for kp, v in jax.tree_util.tree_leaves_with_path(self.params["output"])]
         out.append((self.namespace[0], "N2", leaves))
         return out
+
+
+class CompositeGNNedgeBased(CompositeGNNnodeBased):
+    """Heterogeneous GNN for edge-focused problems: composite propagation,
+    per-arc readout [state_src, state_dst, arc_label] masked over arcs
+    (the composite counterpart of GNNedgeBased, GNN.py:286-302)."""
+
+    _focus = "a"
 
 
 class CompositeGNNgraphBased(CompositeGNNnodeBased):
