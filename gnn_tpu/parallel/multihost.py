@@ -42,3 +42,22 @@ def host_local_batch_indices(n_batches: int) -> List[int]:
     """Round-robin assignment of batch indices to this host (host-local data
     loading: each process materialises only its shard)."""
     return list(range(jax.process_index(), n_batches, jax.process_count()))
+
+
+def global_batch_from_local(local_stacked, mesh, axis: str = "data"):
+    """Assemble the global stacked GraphBatch from THIS process's local shard.
+
+    Each process stacks only its own batches (graphs/batch.stack_batches over
+    host_local_batch_indices picks) with leading dim = its local device count;
+    the returned pytree is a global jax.Array sharded P(axis) over the global
+    mesh — a drop-in input for make_dp_train_step. Single-process: equivalent
+    to data_parallel.shard_batches."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+
+    def assemble(x):
+        import numpy as np
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(assemble, local_stacked)
