@@ -149,7 +149,8 @@ def make_agg_closures(spec: GNNSpec, gb: GraphBatch):
 
     def agg(values_per_edge):
         # per-edge values (arc labels / once-off precomputes): XLA segment sum
-        strat = "segment" if spec.aggregation == "pallas" else spec.aggregation
+        strat = ("segment" if spec.aggregation in ("pallas", "fused")
+                 else spec.aggregation)
         return _psum(aggregate_to_nodes(values_per_edge, gb.edge_w, gb.dst, Np,
                                         strategy=strat,
                                         indices_sorted=gb.edges_sorted))
@@ -232,6 +233,55 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     step_rngs = jax.random.split(rng_loop, spec.max_iteration)
     thr = jnp.asarray(spec.threshold, dtype=jnp.float32)
 
+    # fused Pallas step (ops/pallas_fused.py): the whole iteration —
+    # adjacency bmm + concat + dense + activation (+ inference BN affine) —
+    # in one kernel, state resident in VMEM. Training-mode dropout/BN make
+    # the step non-fusable; those fall back to the XLA body below with
+    # identical semantics.
+    use_fused = spec.aggregation == "fused"
+    if use_fused:
+        from gnn_tpu.ops.pallas_fused import (FUSABLE_ACTIVATIONS,
+                                              bn_inference_affine,
+                                              fused_propagation_step,
+                                              supports_fused)
+        if gb.adj_blocks is None:
+            raise ValueError("aggregation='fused' needs a block-dense batch "
+                             "(graphs/batch.from_graphs_blocked)")
+        if spec.state_dim != 0 or spec.shard_axis is not None:
+            raise ValueError("aggregation='fused' implements state_dim=0, "
+                             "unsharded semantics")
+        if (spec.state_spec.num_layers != 1
+                or spec.state_spec.activations[0] not in FUSABLE_ACTIVATIONS):
+            raise ValueError(
+                "aggregation='fused' supports single-dense-layer state nets "
+                f"with activation in {FUSABLE_ACTIVATIONS}")
+        use_fused = supports_fused(spec.state_spec, training)
+    if use_fused:
+        Bb = gb.adj_blocks.shape[0]
+        fuse_group = max(d for d in range(1, 33) if Bb % d == 0)
+        has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
+        prec = (jax.lax.Precision.HIGHEST
+                if gb.adj_blocks.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        affine = None
+        if spec.state_spec.batch_normalization:
+            affine = bn_inference_affine(
+                params_state["bn"]["gamma"], params_state["bn"]["beta"],
+                bn_state["mean"], bn_state["var"])
+
+        def fused_new_state(state):
+            if has_res:
+                res_agg = jax.ops.segment_sum(
+                    jnp.take(state, gb.res_src, axis=0) * gb.res_w[:, None],
+                    gb.res_dst, num_segments=Np).astype(state.dtype)
+            else:
+                res_agg = jnp.zeros_like(state)
+            return fused_propagation_step(
+                gb.adj_blocks, state, res_agg, agg_arcs,
+                params_state["dense_0"]["w"], params_state["dense_0"]["b"],
+                affine, activation=spec.state_spec.activations[0],
+                group=fuse_group, precision=prec)
+
     def body(carry, step_rng):
         k, state, state_old, active, bn = carry
         # convergence predicate evaluated BEFORE the update (GNN.py:202-220);
@@ -242,9 +292,12 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         moving = (dist > thr * norm) & nm
         active = active & jnp.any(moving)
 
-        new_state, new_bn = mlp_apply(
-            spec.state_spec, params_state, bn, step_input(state),
-            training=training, rng=step_rng, stat_mask=nm)
+        if use_fused:
+            new_state, new_bn = fused_new_state(state), bn
+        else:
+            new_state, new_bn = mlp_apply(
+                spec.state_spec, params_state, bn, step_input(state),
+                training=training, rng=step_rng, stat_mask=nm)
         # keep the carry dtype stable under mixed precision (bf16 state with
         # f32 MLP params/accumulation promotes the output to f32)
         state_next = jnp.where(active, new_state.astype(state.dtype), state)

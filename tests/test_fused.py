@@ -1,0 +1,108 @@
+"""Fused Pallas propagation step (ops/pallas_fused.py): interpret-mode
+exactness against the XLA block-dense path, VJP correctness, and the
+propagate() integration gate."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tpu.graphs.batch import from_graphs_blocked
+from gnn_tpu.graphs.datasets import random_graph
+from gnn_tpu.models.core import GNNSpec, gnn_forward, gnn_init
+from gnn_tpu.ops.mlp import MLPSpec
+
+
+def blocked_workload(rng, bn=False, big_graph=True):
+    gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g", rng=rng)
+          for _ in range(12)]
+    if big_graph:  # spans multiple 32-node blocks -> real residual edges
+        gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
+    gb = from_graphs_blocked(gs, block_w=32, focus="g")
+    ss = MLPSpec(input_dim=13, units=(5,), activations="selu",
+                 kernel_initializer="lecun_normal",
+                 bias_initializer="lecun_normal", batch_normalization=bn)
+    os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                  batch_normalization=False)
+    spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_, max_iteration=4,
+                   threshold=0.01, aggregation="auto")
+    params, bnst = gnn_init(spec, jax.random.key(0))
+    return gb, spec, params, bnst
+
+
+class TestFusedExactness:
+    @pytest.mark.parametrize("bn", [False, True])
+    def test_eval_forward_matches_xla_path(self, rng, bn):
+        gb, spec, params, bnst = blocked_workload(rng, bn=bn)
+        if bn:  # non-trivial inference BN stats
+            bnst = {"state": {"mean": jnp.full((5,), 0.1),
+                              "var": jnp.full((5,), 0.8)},
+                    "output": bnst["output"]}
+        fused = dataclasses.replace(spec, aggregation="fused")
+        r_x = gnn_forward(spec, params, bnst, gb, jax.random.key(1))
+        r_f = gnn_forward(fused, params, bnst, gb, jax.random.key(1))
+        assert float(r_x["iters"]) == float(r_f["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r_f["out"]),
+                                   np.asarray(r_x["out"]), atol=1e-5)
+
+    def test_gradients_match_xla_path(self, rng):
+        """The custom VJP (XLA backward) must equal differentiating the XLA
+        forward — full loss grads through the masked scan."""
+        from gnn_tpu.models.core import evaluate_single
+        gb, spec, params, bnst = blocked_workload(rng)
+        fused = dataclasses.replace(spec, aggregation="fused")
+
+        def loss(sp):
+            def f(p):
+                _, l, _ = evaluate_single(sp, p, bnst, gb, jax.random.key(1),
+                                          "mse", {}, training=False)
+                return l
+            return jax.grad(f)(params)
+
+        g_x, g_f = loss(spec), loss(fused)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_training_mode_falls_back_when_not_fusable(self, rng):
+        """Dropout/BN in training mode are not fusable: propagate must fall
+        back to the XLA body (identical semantics incl. rng consumption)."""
+        gb, spec, params, bnst = blocked_workload(rng, bn=True)
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
+                                 dropout_pos=(0,), alphadropout=True)
+        base = dataclasses.replace(spec, state_spec=ss)
+        fused = dataclasses.replace(base, aggregation="fused")
+        r_x = gnn_forward(base, params, bnst, gb, jax.random.key(2),
+                          training=True)
+        r_f = gnn_forward(fused, params, bnst, gb, jax.random.key(2),
+                          training=True)
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=1e-6)
+
+    def test_rejects_non_blocked_batch(self, rng):
+        from gnn_tpu.graphs.batch import GraphBatch
+        g = random_graph(20, 5, 3, 2, 0.4, focus="n", rng=rng)
+        gb = GraphBatch.from_graph(g)
+        ss = MLPSpec(input_dim=13, units=(5,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       aggregation="fused")
+        params, bnst = gnn_init(spec, jax.random.key(0))
+        with pytest.raises(ValueError, match="block-dense"):
+            gnn_forward(spec, params, bnst, gb, jax.random.key(1))
+
+    def test_rejects_multilayer_state_net(self, rng):
+        gb, spec, params, bnst = blocked_workload(rng)
+        ss = MLPSpec(input_dim=13, units=(16, 5), activations="tanh",
+                     batch_normalization=False)
+        bad = dataclasses.replace(spec, state_spec=ss, aggregation="fused")
+        params2, bn2 = gnn_init(bad, jax.random.key(0))
+        with pytest.raises(ValueError, match="single-dense-layer"):
+            gnn_forward(bad, params2, bn2, gb, jax.random.key(1))
