@@ -69,8 +69,17 @@ class GNNSpec:
     # memory, exact at convergence — models/ift.py)
     grad_mode: str = "unroll"
     ift_backward_iters: int = 20
+    # mixed precision: carry the propagated state in this dtype while labels,
+    # params and readout stay at the data dtype. 'bfloat16' + a bf16-adjacency
+    # batch gives bf16-class step time WITHOUT quantising the label/
+    # augmentation stream — the fix for the LGNN bf16 cascade (NOTES_r1.md:
+    # layer augmentation amplifies rounding when labels themselves are bf16).
+    state_dtype: Optional[str] = None
 
     def __post_init__(self):
+        if self.state_dtype is not None and self.state_dtype not in (
+                "bfloat16", "float32"):
+            raise ValueError("state_dtype must be None, 'bfloat16' or 'float32'")
         if self.focus not in ("n", "a", "g"):
             raise ValueError("focus must be 'n', 'a' or 'g'")
         if self.state_dim < 0 or not isinstance(self.state_dim, int):
@@ -212,9 +221,12 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     agg_arcs = (gb.agg_arcs_cache if gb.agg_arcs_cache is not None
                 else agg(gb.arc_labels))
     rng, rng_init, rng_loop = jax.random.split(rng, 3)
+    sdt = jnp.dtype(spec.state_dtype) if spec.state_dtype else None
     if spec.state_dim > 0:
         state0 = 0.1 * jax.random.normal(rng_init, (Np, spec.state_dim), dtype=dt)
         state0 = state0 * nm[:, None].astype(dt)
+        if sdt is not None:
+            state0 = state0.astype(sdt)
         agg_nodes = (gb.agg_nodes_cache if gb.agg_nodes_cache is not None
                      else agg_state(gb.nodes))
         const_feats = jnp.concatenate([agg_nodes, agg_arcs], axis=1)
@@ -223,7 +235,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             return jnp.concatenate(
                 [state, gb.nodes, agg_state(state), const_feats], axis=1)
     else:
-        state0 = gb.nodes
+        state0 = gb.nodes if sdt is None else gb.nodes.astype(sdt)
 
         def step_input(state):
             return jnp.concatenate(

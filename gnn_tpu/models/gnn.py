@@ -39,8 +39,8 @@ class GNNnodeBased(BaseModel):
                  extra_metrics_arguments: Optional[dict] = None,
                  path_writer: str = "writer/", namespace: str = "GNN",
                  aggregation: str = "auto", grad_mode: str = "unroll",
-                 ift_backward_iters: int = 20, seed: Optional[int] = None,
-                 dtype=jnp.float32) -> None:
+                 ift_backward_iters: int = 20, state_dtype: Optional[str] = None,
+                 seed: Optional[int] = None, dtype=jnp.float32) -> None:
         super().__init__(optimizer, loss_function, loss_arguments, addressed_problem,
                          extra_metrics, extra_metrics_arguments, path_writer, namespace)
         if isinstance(net_state, dict):
@@ -51,7 +51,8 @@ class GNNnodeBased(BaseModel):
                             output_spec=net_output, state_dim=int(state_vect_dim),
                             max_iteration=int(max_iteration), threshold=float(threshold),
                             aggregation=aggregation, grad_mode=grad_mode,
-                            ift_backward_iters=int(ift_backward_iters))
+                            ift_backward_iters=int(ift_backward_iters),
+                            state_dtype=state_dtype)
         self.seed = seed
         self.dtype = dtype
         self._rng = jax.random.key(np.random.randint(2 ** 31) if seed is None else seed)
@@ -100,7 +101,8 @@ class GNNnodeBased(BaseModel):
             extra_metrics_arguments=self.mt_args, path_writer=path_writer,
             namespace=namespace, aggregation=self.spec.aggregation,
             grad_mode=self.spec.grad_mode,
-            ift_backward_iters=self.spec.ift_backward_iters, dtype=self.dtype)
+            ift_backward_iters=self.spec.ift_backward_iters,
+            state_dtype=self.spec.state_dtype, dtype=self.dtype)
         if copy_weights:
             new.params = jax.tree_util.tree_map(jnp.array, self.params)
             new.bn = jax.tree_util.tree_map(jnp.array, self.bn)
@@ -124,7 +126,8 @@ class GNNnodeBased(BaseModel):
                   "state_vect_dim": self.spec.state_dim,
                   "aggregation": self.spec.aggregation,
                   "grad_mode": self.spec.grad_mode,
-                  "ift_backward_iters": self.spec.ift_backward_iters}
+                  "ift_backward_iters": self.spec.ift_backward_iters,
+                  "state_dtype": self.spec.state_dtype}
         with open(f"{path}config.json", "w") as f:
             json.dump(config, f)
         tree_to_npz(f"{path}params.npz", self.params)
@@ -156,6 +159,7 @@ class GNNnodeBased(BaseModel):
                       aggregation=config.pop("aggregation", "auto"),
                       grad_mode=config.pop("grad_mode", "unroll"),
                       ift_backward_iters=config.pop("ift_backward_iters", 20),
+                      state_dtype=config.pop("state_dtype", None),
                       extra_metrics=extra_metrics,
                       extra_metrics_arguments=extra_metrics_arguments,
                       path_writer=path_writer, namespace=namespace)

@@ -425,3 +425,61 @@ class TestDimValidation:
         spec = self._spec((4, 3), (2,))
         params, bn = gnn_init(spec, jax.random.key(0))
         gnn_forward(spec, params, bn, gb, jax.random.key(1))
+
+
+class TestMixedStatePrecision:
+    """GNNSpec(state_dtype='bfloat16'): the propagation carry runs bf16 while
+    labels, params and readout stay f32 — the LGNN-safe mixed mode (layer
+    augmentation receives unquantised f32 values)."""
+
+    def test_bf16_state_close_to_f32_and_outputs_f32(self, rng):
+        import dataclasses
+        g = make_graph(rng, n=40, e=160)
+        gb = GraphBatch.from_graph(g)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01, aggregation="segment")
+        mixed = dataclasses.replace(spec, state_dtype="bfloat16")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        r32 = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        rmx = gnn_forward(mixed, params, bn, gb, jax.random.key(1))
+        assert rmx["state"].dtype == jnp.bfloat16
+        assert rmx["out"].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(rmx["state"], np.float32),
+                                   np.asarray(r32["state"]), atol=0.05)
+        # grads flow and stay finite through the mixed carry
+        def loss(p):
+            r = gnn_forward(mixed, p, bn, gb, jax.random.key(1), training=True)
+            return jnp.sum(r["out"] ** 2)
+        grads = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(grads))
+
+    def test_lgnn_augmentation_stays_f32(self, rng, tmp_path):
+        """The augmented labels written by update_graph must be f32 even when
+        every layer carries a bf16 state."""
+        from gnn_tpu.models.lgnn import LGNN
+        from gnn_tpu.models.gnn import GNNnodeBased
+        from gnn_tpu.ops.mlp import get_inout_dims
+        layers = []
+        for L in range(2):
+            ins, us = get_inout_dims("state", 3, 2, 2, "n", 0, None, layer=L,
+                                     get_state=True, get_output=False)
+            ino, uo = get_inout_dims("output", 3, 2, 2, "n", 0, None, layer=L,
+                                     get_state=True, get_output=False)
+            layers.append(GNNnodeBased(
+                MLPSpec(input_dim=ins, units=tuple(us), activations="tanh",
+                        batch_normalization=False),
+                MLPSpec(input_dim=ino, units=tuple(uo), activations="softmax",
+                        batch_normalization=False),
+                max_iteration=3, state_dtype="bfloat16",
+                loss_function="categorical_crossentropy",
+                path_writer=str(tmp_path / "w") + "/"))
+        lgnn = LGNN(layers, get_state=True, get_output=False,
+                    path_writer=str(tmp_path / "wl") + "/")
+        g = make_graph(rng, n=30, e=120)
+        batch = GraphBatch.from_graph(g)
+        lgnn.train(batch, epochs=2, update_freq=1, training_mode="serial",
+                   verbose=0)
+        out = lgnn(batch)
+        assert np.isfinite(out).all()
