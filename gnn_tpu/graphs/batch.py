@@ -89,6 +89,9 @@ class GraphBatch:
     # the state aggregation becomes ONE batched MXU matmul. Edges crossing
     # blocks (graphs larger than the block) live in the residual arrays.
     adj_blocks: Optional[jnp.ndarray] = None   # [B, W, W]
+    # transposed copy adjT[b, src, dst] for the feature-major fused kernel
+    # (ops/pallas_fused.py) — built by from_graphs_blocked(transposed_adj=True)
+    adjT_blocks: Optional[jnp.ndarray] = None  # [B, W, W]
     res_src: Optional[jnp.ndarray] = None      # [Er] int32
     res_dst: Optional[jnp.ndarray] = None      # [Er] int32
     res_w: Optional[jnp.ndarray] = None        # [Er] float
@@ -391,7 +394,7 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
                         aggregation_mode: Optional[str] = None,
                         target_pad: Optional[int] = None, edge_pad: Optional[int] = None,
                         min_blocks: Optional[int] = None, dtype=None,
-                        adj_dtype=None) -> GraphBatch:
+                        adj_dtype=None, transposed_adj: bool = False) -> GraphBatch:
     """Build a GraphBatch with graph-aligned node packing and a block-dense
     adjacency.
 
@@ -555,7 +558,10 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
         agg_arcs_cache=jnp.asarray(agg_arcs_c),
         agg_nodes_cache=jnp.asarray(agg_nodes_c),
         pool_starts=ps, pool_ends=pe,
-        adj_blocks=jnp.asarray(adj), res_src=jnp.asarray(res_src),
+        adj_blocks=jnp.asarray(adj),
+        adjT_blocks=(jnp.asarray(np.ascontiguousarray(
+            np.asarray(adj).transpose(0, 2, 1))) if transposed_adj else None),
+        res_src=jnp.asarray(res_src),
         res_dst=jnp.asarray(res_dst), res_w=jnp.asarray(res_w),
         node_types=(None if node_types is None else jnp.asarray(node_types)),
         focus=focus, edges_sorted=True,

@@ -247,14 +247,15 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
 
     # fused Pallas step (ops/pallas_fused.py): the whole iteration —
     # adjacency bmm + concat + dense + activation (+ inference BN affine) —
-    # in one kernel, state resident in VMEM. Training-mode dropout/BN make
-    # the step non-fusable; those fall back to the XLA body below with
-    # identical semantics.
+    # in ONE feature-major kernel, block states resident in VMEM. Training-
+    # mode dropout/BN make the step non-fusable; those fall back to the XLA
+    # body below with identical semantics.
     use_fused = spec.aggregation == "fused"
     if use_fused:
         from gnn_tpu.ops.pallas_fused import (FUSABLE_ACTIVATIONS,
                                               bn_inference_affine,
                                               fused_propagation_step,
+                                              pick_group, split_adjacency,
                                               supports_fused)
         if gb.adj_blocks is None:
             raise ValueError("aggregation='fused' needs a block-dense batch "
@@ -269,30 +270,65 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 f"with activation in {FUSABLE_ACTIVATIONS}")
         use_fused = supports_fused(spec.state_spec, training)
     if use_fused:
-        Bb = gb.adj_blocks.shape[0]
-        fuse_group = max(d for d in range(1, 33) if Bb % d == 0)
+        adjT = (gb.adjT_blocks if gb.adjT_blocks is not None
+                else jnp.swapaxes(gb.adj_blocks, 1, 2))
+        Bb, Wb, _ = adjT.shape
+        fuse_group = pick_group(Bb)
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
-        prec = (jax.lax.Precision.HIGHEST
-                if gb.adj_blocks.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
+        # f32 adjacency ships as stacked bf16 hi/lo halves (same bytes, XLA-
+        # class accuracy via 4-pass products); loop-invariant -> hoisted out
+        # of the scan by XLA
+        adjT_op = split_adjacency(adjT)
         affine = None
         if spec.state_spec.batch_normalization:
             affine = bn_inference_affine(
                 params_state["bn"]["gamma"], params_state["bn"]["beta"],
                 bn_state["mean"], bn_state["var"])
+        w1T = params_state["dense_0"]["w"].T
+        b1 = params_state["dense_0"]["b"]
+        D = state0.shape[1]
 
-        def fused_new_state(state):
+        def to3(x):     # [Np, K] node-major -> [B, K, Wb] feature-major blocks
+            return x.T.reshape(-1, Bb, Wb).transpose(1, 0, 2)
+
+        def from3(x3):  # [B, K, Wb] -> [Np, K]
+            return x3.transpose(1, 0, 2).reshape(x3.shape[1], -1).T
+
+        featsT3 = to3(agg_arcs.astype(state0.dtype))
+        nm3 = nm.reshape(Bb, Wb)
+
+        def fused_new_state(sT3):
             if has_res:
-                res_agg = jax.ops.segment_sum(
-                    jnp.take(state, gb.res_src, axis=0) * gb.res_w[:, None],
-                    gb.res_dst, num_segments=Np).astype(state.dtype)
+                flat = from3(sT3)
+                res = jax.ops.segment_sum(
+                    jnp.take(flat, gb.res_src, axis=0) * gb.res_w[:, None],
+                    gb.res_dst, num_segments=Np).astype(sT3.dtype)
+                rT3 = to3(res)
             else:
-                res_agg = jnp.zeros_like(state)
+                rT3 = jnp.zeros_like(sT3)
             return fused_propagation_step(
-                gb.adj_blocks, state, res_agg, agg_arcs,
-                params_state["dense_0"]["w"], params_state["dense_0"]["b"],
-                affine, activation=spec.state_spec.activations[0],
-                group=fuse_group, precision=prec)
+                adjT_op, sT3, rT3, featsT3, w1T, b1, affine,
+                activation=spec.state_spec.activations[0], group=fuse_group)
+
+        def bodyT(carry, step_rng):
+            k, sT3, sT3_old, active = carry
+            diff = (sT3 - sT3_old).astype(jnp.float32)
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))          # [B, Wb]
+            norm = jnp.sqrt(jnp.sum(jnp.square(sT3_old.astype(jnp.float32)),
+                                    axis=1))
+            moving = (dist > thr * norm) & nm3
+            active = active & jnp.any(moving)
+            new3 = fused_new_state(sT3)
+            sT3_next = jnp.where(active, new3.astype(sT3.dtype), sT3)
+            sT3_old_next = jnp.where(active, sT3, sT3_old)
+            return (k + active.astype(jnp.float32), sT3_next, sT3_old_next,
+                    active), None
+
+        s03 = to3(state0)
+        carry0T = (jnp.float32(0.0), s03, jnp.ones_like(s03), jnp.bool_(True))
+        (k, sT3, _, _), _ = jax.lax.scan(bodyT, carry0T, step_rngs)
+        # eval-mode only (supports_fused): BN state passes through unchanged
+        return k, from3(sT3), bn_state
 
     def body(carry, step_rng):
         k, state, state_old, active, bn = carry
@@ -304,12 +340,9 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         moving = (dist > thr * norm) & nm
         active = active & jnp.any(moving)
 
-        if use_fused:
-            new_state, new_bn = fused_new_state(state), bn
-        else:
-            new_state, new_bn = mlp_apply(
-                spec.state_spec, params_state, bn, step_input(state),
-                training=training, rng=step_rng, stat_mask=nm)
+        new_state, new_bn = mlp_apply(
+            spec.state_spec, params_state, bn, step_input(state),
+            training=training, rng=step_rng, stat_mask=nm)
         # keep the carry dtype stable under mixed precision (bf16 state with
         # f32 MLP params/accumulation promotes the output to f32)
         state_next = jnp.where(active, new_state.astype(state.dtype), state)

@@ -1,27 +1,29 @@
-"""Fused block-dense propagation step (Pallas TPU kernel).
+"""Fused block-dense propagation step (Pallas TPU kernel, feature-major).
 
 One kernel evaluates a full state-transition iteration for a group of
 128-node blocks without leaving VMEM (reference hot loop GNN.py:223-242):
 
-    agg_b   = adj_b @ state_b                  (MXU, block-diagonal adjacency)
-    inp_b   = [state_b | agg_b | feats_b]      (VMEM concat — never in HBM)
-    state'_b = act(inp_b @ W1 + b1)            (MXU + VPU)
+    aggT_b   = stateT_b @ adjT_b                (MXU, block-diagonal adjacency)
+    inpT_b   = [stateT_b ; aggT_b ; featsT_b]   (VMEM concat — never in HBM)
+    stateT'_b = act(W1ᵀ @ inpT_b + b1) · scale + shift
 
-The XLA path materialises agg and inp in HBM between fused groups
-(NOTES_r1.md roadmap #8); here each block group is streamed HBM→VMEM once,
-the adjacency is read exactly once per iteration, and only state' returns to
-HBM. pallas_call's BlockSpec pipeline double-buffers the streams.
+Layout is the whole trick: everything is TRANSPOSED (feature-major,
+[D, nodes]) so the 128 nodes of a block fill the 128 lanes and the small
+feature dims (D=14 on MUTAG) sit on sublanes. In node-major layout every
+[128, D] operand pads D→128 lanes (9× VMEM and vector work — measured 6.9 ms
+vs XLA's 3.7 ms in round 2); feature-major drops per-block VMEM from ~1.3 MB
+to ~90 KB and makes every MXU pass lane-full. The propagation scan carries
+the transposed state; only loop entry/exit transpose (2 relayouts per
+forward, not per iteration).
 
-Scope (the flagship bench shape): single-dense-layer state nets with
-labels-are-the-state semantics (get_inout_dims(hidden=None) — MLP.py:103-105).
-Batch-norm in INFERENCE mode is supported by folding the affine transform
-into (W1, b1) before the call (models/core.py does this); training-mode BN
-and dropout take the XLA path. Cross-block (residual) aggregation terms are
-added via the feats operand.
+The adjacency operand is adjT_blocks[b, src, dst] (graphs/batch.py builds it
+with transposed_adj=True) so stateT @ adjT is the natural MXU orientation.
+Mosaic ignores the dot precision attribute, so f32 exactness vs the XLA
+HIGHEST path is kept by a manual 3-pass bf16 split (hi/lo) matmul; bf16
+operands take the single-pass path.
 
-Gradients: fused_propagation_step carries a custom VJP whose backward is
-expressed in XLA dot_generals (adjacency-transpose bmm + dense transposes) —
-exact, and cheap relative to re-materialising the forward intermediates.
+Gradients: custom VJP with the backward expressed in XLA dot_generals —
+exact, used by training configs without dropout/batch-stat BN.
 """
 
 from __future__ import annotations
@@ -44,165 +46,190 @@ _ACTS = {
 FUSABLE_ACTIVATIONS = tuple(_ACTS)
 
 
-def _step_kernel(adj_ref, s_ref, r_ref, f_ref, w_ref, b_ref, aff_ref,
-                 out_ref, *, activation: str, precision):
-    g, wb, _ = adj_ref.shape
-    d = s_ref.shape[1]
-    s = s_ref[:]
-    agg = jax.lax.dot_general(
-        adj_ref[:], s.reshape(g, wb, d),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision).reshape(g * wb, d).astype(s.dtype)
-    # cross-block residual aggregation, computed per iteration by the caller
-    agg = agg + r_ref[:]
-    inp = jnp.concatenate([s, agg, f_ref[:]], axis=1)
-    h = jnp.dot(inp, w_ref[:], preferred_element_type=jnp.float32,
-                precision=precision) + b_ref[0].astype(jnp.float32)
-    y = _ACTS[activation](h)
-    # post-activation affine: inference-mode BatchNorm (the reference puts BN
-    # after the last dense+activation, MLP.py:63) — identity when absent
-    out_ref[:] = (y * aff_ref[0].astype(jnp.float32)
-                  + aff_ref[1].astype(jnp.float32)).astype(out_ref.dtype)
+def _split16(x):
+    """bf16 hi/lo decomposition: x ≈ hi + lo with ~16 mantissa bits kept."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
-def _fused_fwd_impl(adj_blocks, state, res_agg, feats, w1, b1, affine=None, *,
-                    activation: str, group: int, precision, interpret: bool):
-    if affine is None:
-        affine = jnp.stack([jnp.ones_like(b1), jnp.zeros_like(b1)])
-    B, Wb, _ = adj_blocks.shape
-    Np, D = state.shape
-    F = feats.shape[1]
-    H = w1.shape[1]
+def _step_kernel_T(adjT_ref, sT_ref, rT_ref, fT_ref, wT_ref, b_ref, aff_ref,
+                   out_ref, *, activation: str, group: int, block_w: int):
+    """One grouped fused iteration, fully batched over the g blocks.
+
+    adjT_ref is [n, g, Wb, Wb]: n == 2 ⇒ high-precision mode — the f32
+    adjacency arrives pre-split into bf16 hi/lo halves (same HBM bytes as one
+    f32 copy) and every matmul runs as a 4-pass bf16 hi/lo product, matching
+    XLA's f32 accuracy on the bf16 MXU; n == 1 ⇒ single-pass bf16 mode.
+    """
+    hp = adjT_ref.shape[0] == 2
+    bd = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                           preferred_element_type=jnp.float32)
+    sT3 = sT_ref[:]                                   # [g, D, Wb]
+    if hp:
+        s_hi, s_lo = _split16(sT3.astype(jnp.float32))
+        a_hi, a_lo = adjT_ref[0], adjT_ref[1]
+        agg = (bd(s_hi, a_hi) + bd(s_hi, a_lo)) \
+            + (bd(s_lo, a_hi) + bd(s_lo, a_lo))
+    else:
+        agg = bd(sT3, adjT_ref[0])
+    agg = agg + rT_ref[:].astype(jnp.float32)
+    inpT = jnp.concatenate(
+        [sT3.astype(jnp.float32), agg, fT_ref[:].astype(jnp.float32)],
+        axis=1)                                       # [g, In, Wb]
+    wT3 = jnp.broadcast_to(wT_ref[:][None], (group,) + wT_ref.shape)
+    if hp:
+        w_hi, w_lo = _split16(wT3.astype(jnp.float32))
+        i_hi, i_lo = _split16(inpT)
+        hT = (bd(w_hi, i_hi) + bd(w_hi, i_lo)) \
+            + (bd(w_lo, i_hi) + bd(w_lo, i_lo))
+    else:
+        hT = bd(wT3.astype(sT3.dtype), inpT.astype(sT3.dtype))
+    hT = hT + b_ref[:].astype(jnp.float32)            # [g, H, Wb] + [1, H, 1]
+    out_ref[:] = (_ACTS[activation](hT) * aff_ref[0:1].astype(jnp.float32)
+                  + aff_ref[1:2].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _fused_fwd_impl(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1,
+                    affine, *, activation: str, group: int, interpret):
+    n, B, Wb, _ = adjT_op.shape
+    _, D, _ = stateT3.shape
+    F = featsT3.shape[1]
+    H = w1T.shape[0]
     if B % group:
         raise ValueError(f"block count {B} not divisible by group {group}")
     if interpret is None:
-        # auto: compiled on TPU, interpreter on CPU (tests / virtual meshes)
         interpret = jax.default_backend() != "tpu"
-    grid = (B // group,)
-    kernel = functools.partial(_step_kernel, activation=activation,
-                               precision=precision)
+    kernel = functools.partial(_step_kernel_T, activation=activation,
+                               group=group, block_w=Wb)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(B // group,),
         in_specs=[
-            pl.BlockSpec((group, Wb, Wb), lambda i: (i, 0, 0),
+            pl.BlockSpec((n, group, Wb, Wb), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * Wb, D), lambda i: (i, 0),
+            pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * Wb, D), lambda i: (i, 0),
+            pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * Wb, F), lambda i: (i, 0),
+            pl.BlockSpec((group, F, Wb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w1.shape[0], H), lambda i: (0, 0),
+            pl.BlockSpec((H, w1T.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((group * Wb, H), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((group, H, Wb), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, H), state.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Wb), stateT3.dtype),
         interpret=interpret,
-    )(adj_blocks, state, res_agg, feats, w1, b1.reshape(1, H), affine)
+    )(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1.reshape(1, H, 1),
+      affine.reshape(2, H, 1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def fused_propagation_step(adj_blocks, state, res_agg, feats, w1, b1,
+def split_adjacency(adjT_blocks):
+    """Stack the adjacency for the kernel: f32 → [2, B, Wb, Wb] bf16 hi/lo
+    halves (high-precision mode, same total bytes); bf16 → [1, B, Wb, Wb]."""
+    if adjT_blocks.dtype == jnp.float32:
+        hi, lo = _split16(adjT_blocks)
+        return jnp.stack([hi, lo])
+    return adjT_blocks[None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_propagation_step(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1,
                            affine=None, activation: str = "tanh",
-                           group: int = 8,
-                           precision=jax.lax.Precision.HIGHEST,
+                           group: int = 9,
                            interpret: Optional[bool] = None):
-    """(act([state | adj@state | feats] @ W1 + b1)) · scale + shift — one
-    fused propagation iteration.
+    """One fused propagation iteration, feature-major blocked layout.
 
-    :param adj_blocks: [B, Wb, Wb] block-diagonal adjacency (graphs/batch.py).
-    :param state: [B·Wb, D] node states.
-    :param res_agg: [B·Wb, D] cross-block residual aggregation for the
-        CURRENT state (zeros when the batch has no block-crossing edges) —
-        added to the in-block aggregation before the concat.
-    :param feats: [B·Wb, F] per-node loop-constant features (Σ incoming arc
-        labels).
-    :param w1/b1: the single dense layer of the state net.
-    :param affine: optional [2, H] (scale; shift) applied AFTER the
+    :param adjT_op: [n, B, Wb, Wb] TRANSPOSED block adjacency stacked by
+        split_adjacency — n=2 bf16 hi/lo halves (f32-faithful mode) or n=1
+        (bf16 mode). adjT[b, src, dst] = w.
+    :param stateT3: [B, D, Wb] node states (block, feature, node-in-block).
+    :param res_aggT3: [B, D, Wb] cross-block residual aggregation for the
+        current state (zeros when no block-crossing edges).
+    :param featsT3: [B, F, Wb] loop-constant features (Σ incoming arc labels).
+    :param w1T: [H, 2D+F] TRANSPOSED dense weights; b1: [H].
+    :param affine: optional [2, H] (scale; shift) applied after the
         activation — the inference-mode BatchNorm affine. None = identity.
-    :param activation: one of FUSABLE_ACTIVATIONS.
-    :param group: blocks per grid step (VMEM budget knob; 8 → ~0.5 MB/buffer).
+    Returns new stateT3 [B, H, Wb].
     """
-    return _fused_fwd_impl(adj_blocks, state, res_agg, feats, w1, b1, affine,
-                           activation=activation, group=group,
-                           precision=precision, interpret=interpret)
+    aff = (jnp.stack([jnp.ones_like(b1), jnp.zeros_like(b1)])
+           if affine is None else affine)
+    return _fused_fwd_impl(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1,
+                           aff, activation=activation, group=group,
+                           interpret=interpret)
 
 
-def _fused_fwd_rule(adj_blocks, state, res_agg, feats, w1, b1, affine,
-                    activation, group, precision, interpret):
-    out = _fused_fwd_impl(adj_blocks, state, res_agg, feats, w1, b1, affine,
-                          activation=activation, group=group,
-                          precision=precision, interpret=interpret)
-    return out, (adj_blocks, state, res_agg, feats, w1, b1, affine)
+def _fused_fwd_rule(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1, affine,
+                    activation, group, interpret):
+    aff = (jnp.stack([jnp.ones_like(b1), jnp.zeros_like(b1)])
+           if affine is None else affine)
+    out = _fused_fwd_impl(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1,
+                          aff, activation=activation, group=group,
+                          interpret=interpret)
+    return out, (adjT_op, stateT3, res_aggT3, featsT3, w1T, b1, affine)
 
 
-def _fused_bwd_rule(activation, group, precision, interpret, res, g):
-    """XLA backward: recompute the (cheap) pre-activation, then standard
-    dense + adjacency-transpose backprop. adj is treated as a constant
-    (aggregation weights are data, not parameters)."""
-    adj_blocks, state, res_agg, feats, w1, b1, affine = res
-    if affine is not None:
-        scale = affine[0].astype(jnp.float32)
-        daffine_scale_pre = g.astype(jnp.float32)   # needs y; computed below
-        g = g * affine[0]
-    else:
-        scale = None
-    B, Wb, _ = adj_blocks.shape
-    Np, D = state.shape
-
-    agg = jax.lax.dot_general(
-        adj_blocks, state.reshape(B, Wb, D),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision).reshape(Np, D).astype(state.dtype) + res_agg
-    inp = jnp.concatenate([state, agg, feats], axis=1)
-    h = jnp.dot(inp, w1, preferred_element_type=jnp.float32,
-                precision=precision) + b1.astype(jnp.float32)
-
+def _act_grad(activation, h):
     if activation == "linear":
-        dh = g.astype(jnp.float32)
-    elif activation == "tanh":
+        return jnp.ones_like(h)
+    if activation == "tanh":
         t = jnp.tanh(h)
-        dh = g.astype(jnp.float32) * (1.0 - t * t)
-    elif activation == "relu":
-        dh = g.astype(jnp.float32) * (h > 0)
-    elif activation == "selu":
-        dh = g.astype(jnp.float32) * jnp.where(
-            h > 0, 1.0507009873554805,
-            1.0507009873554805 * 1.6732632423543772 * jnp.exp(h))
-    else:  # pragma: no cover
-        raise ValueError(activation)
+        return 1.0 - t * t
+    if activation == "relu":
+        return (h > 0).astype(h.dtype)
+    if activation == "selu":
+        return jnp.where(h > 0, 1.0507009873554805,
+                         1.0507009873554805 * 1.6732632423543772 * jnp.exp(h))
+    raise ValueError(activation)  # pragma: no cover
 
-    dw1 = jnp.dot(inp.astype(jnp.float32).T, dh,
-                  preferred_element_type=jnp.float32, precision=precision)
-    db1 = jnp.sum(dh, axis=0)
-    dinp = jnp.dot(dh, w1.astype(jnp.float32).T,
-                   preferred_element_type=jnp.float32, precision=precision)
-    F = feats.shape[1]
-    ds_direct = dinp[:, :D]
-    dagg = dinp[:, D:2 * D]
-    dfeats = dinp[:, 2 * D:2 * D + F].astype(feats.dtype)
-    # d/dstate of adj@state: adj^T bmm (block transpose, same block layout)
-    ds_agg = jax.lax.dot_general(
-        adj_blocks, dagg.reshape(B, Wb, D),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision).reshape(Np, D)
-    dstate = (ds_direct + ds_agg).astype(state.dtype)
-    dres = dagg.astype(res_agg.dtype)   # res_agg enters agg additively
-    if scale is not None:
-        y = _ACTS[activation](h)
-        daff = jnp.stack([jnp.sum(daffine_scale_pre * y, axis=0),
-                          jnp.sum(daffine_scale_pre, axis=0)]).astype(affine.dtype)
+
+def _fused_bwd_rule(activation, group, interpret, res, g):
+    """XLA backward: recompute the pre-activation, then dense + adjacency
+    backprop (adj is data, not a parameter — no cotangent)."""
+    adjT_op, sT3, rT3, fT3, w1T, b1, affine = res
+    f32 = jnp.float32
+    adjT = (adjT_op[0].astype(f32) + adjT_op[1].astype(f32)
+            if adjT_op.shape[0] == 2 else adjT_op[0].astype(f32))
+    had_affine = affine is not None
+    D = sT3.shape[1]
+    ein = functools.partial(jnp.einsum, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    s3 = sT3.astype(f32)
+    aggT = ein("bdj,bjw->bdw", s3, adjT) + rT3.astype(f32)
+    inpT = jnp.concatenate([s3, aggT, fT3.astype(f32)], axis=1)  # [B, In, Wb]
+    hT = ein("hi,biw->bhw", w1T.astype(f32), inpT) \
+        + b1.astype(f32)[None, :, None]
+
+    gy = g.astype(f32)
+    if had_affine:
+        gy = gy * affine[0].astype(f32)[None, :, None]
+    dhT = gy * _act_grad(activation, hT)                         # [B, H, Wb]
+
+    dw1T = ein("bhw,biw->hi", dhT, inpT)
+    db1 = jnp.sum(dhT, axis=(0, 2))
+    dinpT = ein("hi,bhw->biw", w1T.astype(f32), dhT)             # [B, In, Wb]
+    ds_direct = dinpT[:, :D]
+    daggT = dinpT[:, D:2 * D]
+    dfT3 = dinpT[:, 2 * D:].astype(fT3.dtype)
+    # d/dstateT of sT3 @ adjT (contract src): contract daggT's dst with adjT's
+    ds_agg = ein("bdw,bjw->bdj", daggT, adjT)
+    dsT3 = (ds_direct + ds_agg).astype(sT3.dtype)
+    if had_affine:
+        y = _ACTS[activation](hT)
+        daff = jnp.stack([jnp.sum(g.astype(f32) * y, axis=(0, 2)),
+                          jnp.sum(g.astype(f32), axis=(0, 2))]
+                         ).astype(affine.dtype)
     else:
         daff = None
-    return (None, dstate, dres, dfeats, dw1.astype(w1.dtype),
-            db1.astype(b1.dtype), daff)
+    return (None, dsT3, daggT.astype(rT3.dtype), dfT3,
+            dw1T.astype(w1T.dtype), db1.astype(b1.dtype), daff)
 
 
 fused_propagation_step.defvjp(_fused_fwd_rule, _fused_bwd_rule)
@@ -210,11 +237,17 @@ fused_propagation_step.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 def bn_inference_affine(gamma, beta, mean, var, eps: float = 1e-3):
     """[2, H] (scale; shift) for the post-activation inference BatchNorm:
-    y = act(h)·scale + shift with scale = γ·rsqrt(σ²+ε), shift = β - μ·scale
+    y = act(h)·scale + shift with scale = γ·rsqrt(σ²+ε), shift = β − μ·scale
     (ops/mlp.py::_batchnorm eval branch; the reference puts BN after the last
     dense+activation, MLP.py:63)."""
     scale = gamma * jax.lax.rsqrt(var + eps)
     return jnp.stack([scale, beta - mean * scale])
+
+
+def pick_group(n_blocks: int, cap: int = 45) -> int:
+    """Largest divisor of n_blocks within the VMEM budget (feature-major
+    blocks cost ~90 KB double-buffered; 45 blocks ≈ 8 MB of the 16 MB limit)."""
+    return max(d for d in range(1, cap + 1) if n_blocks % d == 0)
 
 
 def supports_fused(state_spec, training: bool) -> bool:
