@@ -28,8 +28,8 @@ import numpy as np
 from gnn_tpu.graphs.batch import from_graphs_blocked
 from gnn_tpu.graphs.datasets import load_mutag
 from gnn_tpu.ops.pallas_fused import (bn_inference_affine,
-                                      fused_propagation_step, pick_group,
-                                      split_adjacency)
+                                      fused_propagation_step, pack_adjacency,
+                                      pick_group)
 
 graphs = load_mutag(os.environ.get("MUTAG_PATH", "/root/reference/MUTAG_raw/"))
 gb = from_graphs_blocked(graphs, block_w=128)
@@ -49,7 +49,7 @@ b1 = jnp.zeros((H,), jnp.float32)
 affine = bn_inference_affine(jnp.ones((H,)), jnp.zeros((H,)),
                              jnp.zeros((H,)), jnp.ones((H,)))
 adjT = jnp.swapaxes(gb.adj_blocks, 1, 2)
-adjT_op = split_adjacency(adjT)
+adj_pack = pack_adjacency(adjT)
 thr = jnp.float32(0.01)
 nm3 = gb.node_mask.reshape(Bb, Wb)
 
@@ -66,16 +66,25 @@ featsT3 = to3(gb.agg_arcs_cache.astype(jnp.float32))
 s0 = to3(gb.nodes.astype(jnp.float32))
 
 
+w1T = w1.T
+Wa = w1T[:, D:2 * D]
+w2 = jnp.concatenate([w1T[:, :D], Wa], axis=0)
+fT3H = jnp.einsum("hf,bfw->bhw", w1T[:, 2 * D:], featsT3,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST) + b1[None, :, None]
+
+
 def fused_step(sT3, with_res):
     if with_res:
         flat = from3(sT3)
-        res = jax.ops.segment_sum(
-            jnp.take(flat, gb.res_src, axis=0) * gb.res_w[:, None],
+        vals = jnp.take(flat, gb.res_src, axis=0) * gb.res_w[:, None]
+        resH = jax.ops.segment_sum(
+            jnp.einsum("ed,hd->eh", vals.astype(jnp.float32), Wa),
             gb.res_dst, num_segments=Np).astype(sT3.dtype)
-        rT3 = to3(res)
+        rT3H = to3(resH)
     else:
-        rT3 = jnp.zeros_like(sT3)
-    return fused_propagation_step(adjT_op, sT3, rT3, featsT3, w1.T, b1,
+        rT3H = None
+    return fused_propagation_step(adj_pack, sT3, rT3H, fT3H, w2,
                                   affine, activation="selu", group=group)
 
 

@@ -89,12 +89,33 @@ class GraphBatch:
     # the state aggregation becomes ONE batched MXU matmul. Edges crossing
     # blocks (graphs larger than the block) live in the residual arrays.
     adj_blocks: Optional[jnp.ndarray] = None   # [B, W, W]
-    # transposed copy adjT[b, src, dst] for the feature-major fused kernel
-    # (ops/pallas_fused.py) — built by from_graphs_blocked(transposed_adj=True)
-    adjT_blocks: Optional[jnp.ndarray] = None  # [B, W, W]
     res_src: Optional[jnp.ndarray] = None      # [Er] int32
     res_dst: Optional[jnp.ndarray] = None      # [Er] int32
     res_w: Optional[jnp.ndarray] = None        # [Er] float
+
+    # --- fused-kernel layout (ops/pallas_fused.py) -----------------------
+    # Built by from_graphs_blocked(fused_layout=True). Blocks are partitioned
+    # into residual-free "loop" blocks (the whole K-iteration propagation runs
+    # inside one Pallas kernel with the adjacency streamed from HBM ONCE) and
+    # residual-coupled "dep" blocks (graphs larger than the block width; these
+    # iterate one step at a time because cross-block edges exchange state).
+    # Adjacencies are stored pre-transposed (adjT[b, src, dst]) and, for f32,
+    # pre-packed as bf16 [hi | lo] columns (same bytes as f32) so no per-call
+    # packing pass is paid on the forward.
+    # Loop blocks are zero-padded to a multiple of the kernel grid group;
+    # padded rows carry node-mask 0 so they never affect convergence, and
+    # block_perm never points at them.
+    adj_loop: Optional[jnp.ndarray] = None     # [Bi, W, 2W] (or [Bi, W, W] bf16)
+    loop_ids: Optional[jnp.ndarray] = None     # [Bi] int32 global block ids
+    loop_nm: Optional[jnp.ndarray] = None      # [Bi, W] f32 node mask (0 on pad)
+    adj_dep: Optional[jnp.ndarray] = None      # [Bd, W, 2W] packed, or None
+    dep_ids: Optional[jnp.ndarray] = None      # [Bd] int32
+    # residual edges remapped to dep-local flat node ids (pos_in_dep*W + off)
+    res_src_loc: Optional[jnp.ndarray] = None  # [Er] int32
+    res_dst_loc: Optional[jnp.ndarray] = None  # [Er] int32
+    # reconstruction: global block b lives at row block_perm[b] of
+    # concat([loop blocks (padded), dep blocks])
+    block_perm: Optional[jnp.ndarray] = None   # [B] int32
 
     # --- static ---
     focus: str = struct.field(pytree_node=False, default="n")
@@ -394,7 +415,7 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
                         aggregation_mode: Optional[str] = None,
                         target_pad: Optional[int] = None, edge_pad: Optional[int] = None,
                         min_blocks: Optional[int] = None, dtype=None,
-                        adj_dtype=None, transposed_adj: bool = False) -> GraphBatch:
+                        adj_dtype=None, fused_layout: bool = False) -> GraphBatch:
     """Build a GraphBatch with graph-aligned node packing and a block-dense
     adjacency.
 
@@ -469,13 +490,69 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
     intra = (src // W) == (dst // W)
     adj = np.zeros((B, W, W), dtype=dt)
     np.add.at(adj, (dst[intra] // W, dst[intra] % W, src[intra] % W), w[intra])
+    r_src = src[~intra].astype(np.int32)
+    r_dst = dst[~intra].astype(np.int32)
+    r_w = w[~intra]
+
+    # fused-kernel layout: partition blocks into residual-free "loop" blocks
+    # (whole propagation loop runs in VMEM, adjacency streamed once) and
+    # residual-coupled "dep" blocks; store transposed, (f32) hi/lo-packed
+    # copies so the forward pays no per-call packing pass (pallas_fused.py)
+    fl = {}
+    if fused_layout:
+        import ml_dtypes
+        bf16 = ml_dtypes.bfloat16
+        dep_set = np.unique(np.concatenate([r_src // W, r_dst // W])
+                            ).astype(np.int64)
+        loop_ids_np = np.setdiff1d(np.arange(B, dtype=np.int64), dep_set)
+        Bi = len(loop_ids_np)
+        if Bi == 0:
+            fl = {}  # nothing loopable: the per-step path handles everything
+        else:
+            adjT = np.ascontiguousarray(adj.transpose(0, 2, 1))
+            if adj_dtype is None and adj.dtype == np.float32:
+                hi = adjT.astype(bf16)
+                lo = (adjT - hi.astype(np.float32)).astype(bf16)
+                packed = np.concatenate([hi, lo], axis=2)     # [B, W, 2W]
+            else:
+                packed = adjT.astype(bf16)
+            # pad loop blocks to a multiple of the kernel grid group (24 keeps
+            # ~6 MB of VMEM per double-buffered grid step at W=128)
+            GRP = 24
+            Bi_pad = -(-Bi // GRP) * GRP if Bi > GRP else Bi
+            adj_loop = np.zeros((Bi_pad,) + packed.shape[1:], packed.dtype)
+            adj_loop[:Bi] = packed[loop_ids_np]
+            ids_pad = np.zeros(Bi_pad, np.int32)
+            ids_pad[:Bi] = loop_ids_np
+            nm_blocks = node_mask.reshape(B, W)
+            loop_nm = np.zeros((Bi_pad, W), np.float32)
+            loop_nm[:Bi] = nm_blocks[loop_ids_np]
+            fl["adj_loop"] = jnp.asarray(adj_loop)
+            fl["loop_ids"] = jnp.asarray(ids_pad)
+            fl["loop_nm"] = jnp.asarray(loop_nm)
+            perm = np.zeros(B, np.int32)
+            perm[loop_ids_np] = np.arange(Bi)
+            if len(dep_set):
+                perm[dep_set] = Bi_pad + np.arange(len(dep_set))
+                fl["adj_dep"] = jnp.asarray(packed[dep_set])
+                fl["dep_ids"] = jnp.asarray(dep_set.astype(np.int32))
+                # residual edges in dep-local flat ids (padding rows land on 0
+                # with weight 0, harmless under segment_sum); lengths/padding
+                # mirror res_src/res_dst so res_w aligns element-wise
+                pos = np.searchsorted(dep_set, r_src // W)
+                loc_src = (pos * W + r_src % W).astype(np.int32)
+                pos = np.searchsorted(dep_set, r_dst // W)
+                loc_dst = (pos * W + r_dst % W).astype(np.int32)
+                Er_ = max(-(-len(loc_src) // 128) * 128, 128)
+                fl["res_src_loc"] = jnp.asarray(
+                    np.pad(loc_src, (0, Er_ - len(loc_src))))
+                fl["res_dst_loc"] = jnp.asarray(
+                    np.pad(loc_dst, (0, Er_ - len(loc_dst))))
+            fl["block_perm"] = jnp.asarray(perm)
     if adj_dtype is not None:
         # opt-in low-precision adjacency: halves the dominant HBM stream in
         # the propagation bmm; weights (1/indeg etc.) round at ~0.4% relative
         adj = jnp.asarray(adj).astype(adj_dtype)
-    r_src = src[~intra].astype(np.int32)
-    r_dst = dst[~intra].astype(np.int32)
-    r_w = w[~intra]
     Er = max(-(-len(r_src) // 128) * 128, 128)
     res_src = np.zeros(Er, np.int32)
     res_dst = np.zeros(Er, np.int32)
@@ -559,9 +636,8 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
         agg_nodes_cache=jnp.asarray(agg_nodes_c),
         pool_starts=ps, pool_ends=pe,
         adj_blocks=jnp.asarray(adj),
-        adjT_blocks=(jnp.asarray(np.ascontiguousarray(
-            np.asarray(adj).transpose(0, 2, 1))) if transposed_adj else None),
         res_src=jnp.asarray(res_src),
+        **fl,
         res_dst=jnp.asarray(res_dst), res_w=jnp.asarray(res_w),
         node_types=(None if node_types is None else jnp.asarray(node_types)),
         focus=focus, edges_sorted=True,

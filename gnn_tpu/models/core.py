@@ -254,8 +254,9 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     if use_fused:
         from gnn_tpu.ops.pallas_fused import (FUSABLE_ACTIVATIONS,
                                               bn_inference_affine,
+                                              fused_propagation_loop,
                                               fused_propagation_step,
-                                              pick_group, split_adjacency,
+                                              pack_adjacency, pick_group,
                                               supports_fused)
         if gb.adj_blocks is None:
             raise ValueError("aggregation='fused' needs a block-dense batch "
@@ -270,15 +271,8 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 f"with activation in {FUSABLE_ACTIVATIONS}")
         use_fused = supports_fused(spec.state_spec, training)
     if use_fused:
-        adjT = (gb.adjT_blocks if gb.adjT_blocks is not None
-                else jnp.swapaxes(gb.adj_blocks, 1, 2))
-        Bb, Wb, _ = adjT.shape
-        fuse_group = pick_group(Bb)
+        Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
-        # f32 adjacency ships as stacked bf16 hi/lo halves (same bytes, XLA-
-        # class accuracy via 4-pass products); loop-invariant -> hoisted out
-        # of the scan by XLA
-        adjT_op = split_adjacency(adjT)
         affine = None
         if spec.state_spec.batch_normalization:
             affine = bn_inference_affine(
@@ -287,6 +281,14 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         w1T = params_state["dense_0"]["w"].T
         b1 = params_state["dense_0"]["b"]
         D = state0.shape[1]
+        # reassociate the dense through the aggregation (see pallas_fused.py):
+        # w2 = [Ws; Wa] enters the kernel; the feats term Wf@feats + b is
+        # loop-invariant and computed ONCE here; the residual term rides
+        # through Wa inside the per-iteration segment sum (linear => exact)
+        Wa = w1T[:, D:2 * D]
+        w2 = jnp.concatenate([w1T[:, :D], Wa], axis=0)    # [2H, D]
+        _hp = partial(jnp.einsum, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
         def to3(x):     # [Np, K] node-major -> [B, K, Wb] feature-major blocks
             return x.T.reshape(-1, Bb, Wb).transpose(1, 0, 2)
@@ -295,20 +297,100 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             return x3.transpose(1, 0, 2).reshape(x3.shape[1], -1).T
 
         featsT3 = to3(agg_arcs.astype(state0.dtype))
+        fT3H = (_hp("hf,bfw->bhw", w1T[:, 2 * D:], featsT3)
+                + b1[None, :, None]).astype(state0.dtype)
         nm3 = nm.reshape(Bb, Wb)
+        act_name = spec.state_spec.activations[0]
+        s03 = to3(state0)
+
+        if gb.adj_loop is not None:
+            # --- hybrid loop/dep path (from_graphs_blocked(fused_layout=True))
+            # Residual-free blocks run ALL K iterations inside one kernel with
+            # their adjacency streamed from HBM once; residual-coupled blocks
+            # iterate per step (cross-block edges exchange state each
+            # iteration). The kernel emits per-iteration snapshots + per-node
+            # movement flags, so the reference's GLOBAL early-stop (any node
+            # moving keeps every node iterating, GNN.py:202-220) is
+            # reproduced by selecting the snapshot at the realised count.
+            li = gb.loop_ids
+            Bi_pad = gb.adj_loop.shape[0]
+            traj, margins = fused_propagation_loop(
+                gb.adj_loop, jnp.take(s03, li, axis=0),
+                jnp.take(fT3H, li, axis=0), w2, affine, gb.loop_nm,
+                spec.max_iteration, float(spec.threshold), act_name,
+                group=pick_group(Bi_pad, cap=24))
+            loop_any = jnp.any(margins > 0.5, axis=(1, 2))         # [K] bool
+            has_dep = gb.adj_dep is not None
+            if has_dep:
+                di = gb.dep_ids
+                Bd = int(di.shape[0])
+                s0_dep = jnp.take(s03, di, axis=0)
+                fT_dep = jnp.take(fT3H, di, axis=0)
+                nm_dep = jnp.take(nm3, di, axis=0)
+                dep_group = pick_group(Bd)
+
+                def dep_new_state(sd):
+                    # dep-local flat node ids: residual edges only couple dep
+                    # blocks (a block touched by any cross edge is dep)
+                    flat = sd.transpose(1, 0, 2).reshape(sd.shape[1], -1).T
+                    vals = (jnp.take(flat, gb.res_src_loc, axis=0)
+                            * gb.res_w[:, None]).astype(jnp.float32)
+                    resH = jax.ops.segment_sum(
+                        _hp("ed,hd->eh", vals, Wa), gb.res_dst_loc,
+                        num_segments=Bd * Wb).astype(sd.dtype)
+                    rT3H = resH.T.reshape(-1, Bd, Wb).transpose(1, 0, 2)
+                    return fused_propagation_step(
+                        gb.adj_dep, sd, rT3H, fT_dep, w2, affine,
+                        activation=act_name, group=dep_group)
+
+                def body_dep(carry, loop_any_k):
+                    k, sd, sd_old, active = carry
+                    diff = (sd - sd_old).astype(jnp.float32)
+                    dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+                    normv = jnp.sqrt(jnp.sum(
+                        jnp.square(sd_old.astype(jnp.float32)), axis=1))
+                    moving = (dist > thr * normv) & nm_dep
+                    active = active & (loop_any_k | jnp.any(moving))
+                    new = dep_new_state(sd)
+                    sd_next = jnp.where(active, new.astype(sd.dtype), sd)
+                    sd_old_next = jnp.where(active, sd, sd_old)
+                    return (k + active.astype(jnp.float32), sd_next,
+                            sd_old_next, active), None
+
+                carry0d = (jnp.float32(0.0), s0_dep, jnp.ones_like(s0_dep),
+                           jnp.bool_(True))
+                (k, sdep_fin, _, _), _ = jax.lax.scan(body_dep, carry0d,
+                                                      loop_any)
+            else:
+                k = jnp.sum(jnp.cumprod(loop_any.astype(jnp.float32)))
+            idx = jnp.maximum(k.astype(jnp.int32) - 1, 0)
+            sel = jax.lax.dynamic_index_in_dim(traj, idx, 0, keepdims=False)
+            sel = jnp.where(k >= 1.0, sel, jnp.take(s03, li, axis=0))
+            full3 = jnp.concatenate([sel, sdep_fin], axis=0) if has_dep else sel
+            state3 = jnp.take(full3, gb.block_perm, axis=0)
+            # eval-mode only (supports_fused): BN state passes through
+            return k, from3(state3), bn_state
+
+        # --- per-step fused path (any block-dense batch) -------------------
+        # f32 adjacency ships packed as [a_hi | a_lo] bf16 columns (same
+        # bytes); loop-invariant -> hoisted out of the scan by XLA
+        adj_pack = pack_adjacency(jnp.swapaxes(gb.adj_blocks, 1, 2))
+        fuse_group = pick_group(Bb)
 
         def fused_new_state(sT3):
             if has_res:
                 flat = from3(sT3)
-                res = jax.ops.segment_sum(
-                    jnp.take(flat, gb.res_src, axis=0) * gb.res_w[:, None],
-                    gb.res_dst, num_segments=Np).astype(sT3.dtype)
-                rT3 = to3(res)
+                vals = (jnp.take(flat, gb.res_src, axis=0)
+                        * gb.res_w[:, None]).astype(jnp.float32)
+                resH = jax.ops.segment_sum(
+                    _hp("ed,hd->eh", vals, Wa), gb.res_dst,
+                    num_segments=Np).astype(sT3.dtype)
+                rT3H = to3(resH)
             else:
-                rT3 = jnp.zeros_like(sT3)
+                rT3H = None
             return fused_propagation_step(
-                adjT_op, sT3, rT3, featsT3, w1T, b1, affine,
-                activation=spec.state_spec.activations[0], group=fuse_group)
+                adj_pack, sT3, rT3H, fT3H, w2, affine,
+                activation=act_name, group=fuse_group)
 
         def bodyT(carry, step_rng):
             k, sT3, sT3_old, active = carry
@@ -324,7 +406,6 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             return (k + active.astype(jnp.float32), sT3_next, sT3_old_next,
                     active), None
 
-        s03 = to3(state0)
         carry0T = (jnp.float32(0.0), s03, jnp.ones_like(s03), jnp.bool_(True))
         (k, sT3, _, _), _ = jax.lax.scan(bodyT, carry0T, step_rngs)
         # eval-mode only (supports_fused): BN state passes through unchanged

@@ -1,26 +1,36 @@
 """Fused block-dense propagation step (Pallas TPU kernel, feature-major).
 
 One kernel evaluates a full state-transition iteration for a group of
-128-node blocks without leaving VMEM (reference hot loop GNN.py:223-242):
+128-node blocks without leaving VMEM (reference hot loop GNN.py:223-242).
+The dense layer is REASSOCIATED through the aggregation so the loop body
+collapses to two MXU issues per block:
 
-    aggT_b   = stateT_b @ adjT_b                (MXU, block-diagonal adjacency)
-    inpT_b   = [stateT_b ; aggT_b ; featsT_b]   (VMEM concat — never in HBM)
-    stateT'_b = act(W1ᵀ @ inpT_b + b1) · scale + shift
+    W1T @ [s ; agg ; feats] + b
+      = Ws@s + Wa@(s@adjT + res) + (Wf@feats + b)
+      = [Ws;Wa]@s  ->  U            (issue 1)
+        U[H:] @ adjT -> A           (issue 2)
+        act(U[:H] + A + rT' + fT') * scale + shift
 
-Layout is the whole trick: everything is TRANSPOSED (feature-major,
-[D, nodes]) so the 128 nodes of a block fill the 128 lanes and the small
-feature dims (D=14 on MUTAG) sit on sublanes. In node-major layout every
-[128, D] operand pads D→128 lanes (9× VMEM and vector work — measured 6.9 ms
-vs XLA's 3.7 ms in round 2); feature-major drops per-block VMEM from ~1.3 MB
-to ~90 KB and makes every MXU pass lane-full. The propagation scan carries
-the transposed state; only loop entry/exit transpose (2 relayouts per
-forward, not per iteration).
+with fT' = Wf@feats + b hoisted out of the scan (loop-invariant) and
+rT' = Wa@res folded into the residual-edge segment sum by the caller
+(both linear, so the reassociation is exact in real arithmetic).
 
-The adjacency operand is adjT_blocks[b, src, dst] (graphs/batch.py builds it
-with transposed_adj=True) so stateT @ adjT is the natural MXU orientation.
-Mosaic ignores the dot precision attribute, so f32 exactness vs the XLA
-HIGHEST path is kept by a manual 3-pass bf16 split (hi/lo) matmul; bf16
-operands take the single-pass path.
+Layout is feature-major ([D, nodes] per block): the 128 nodes of a block
+fill the 128 lanes and the small feature dims sit on sublanes. Mosaic
+ignores the dot precision attribute, so f32 exactness class is kept by
+bf16 hi/lo emulation — and the hi/lo passes are PACKED into the two
+issues instead of multiplying them:
+
+  * issue 1 stacks [W2_hi; W2_lo] on rows and [s_hi | s_lo] on columns:
+    one [4H, D] @ [D, 2Wb] product whose four H x Wb quadrants sum to
+    the exact 4-pass result.
+  * issue 2 stacks [Ua_hi; Ua_lo] on rows against the PRE-PACKED
+    adjacency [a_hi | a_lo] ([Wb, 2Wb], same HBM bytes as one f32 copy).
+
+This matters because the per-block products are tiny (D ~ 5-20 rows):
+the cost of the old 8-issue body was MXU issue latency, not FLOPs or
+HBM — measured 4.2 ms for a 5-iteration MUTAG scan vs ~0.5 ms of
+adjacency traffic at HBM speed.
 
 Gradients: custom VJP with the backward expressed in XLA dot_generals —
 exact, used by training configs without dropout/batch-stat BN.
@@ -53,126 +63,177 @@ def _split16(x):
     return hi, lo
 
 
-def _step_kernel_T(adjT_ref, sT_ref, rT_ref, fT_ref, wT_ref, b_ref, aff_ref,
-                   out_ref, *, activation: str, group: int, block_w: int):
-    """One grouped fused iteration, fully batched over the g blocks.
+_BD = functools.partial(jax.lax.dot_general,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
 
-    adjT_ref is [n, g, Wb, Wb]: n == 2 ⇒ high-precision mode — the f32
-    adjacency arrives pre-split into bf16 hi/lo halves (same HBM bytes as one
-    f32 copy) and every matmul runs as a 4-pass bf16 hi/lo product, matching
-    XLA's f32 accuracy on the bf16 MXU; n == 1 ⇒ single-pass bf16 mode.
-    """
-    hp = adjT_ref.shape[0] == 2
-    bd = functools.partial(jax.lax.dot_general,
-                           dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32)
-    sT3 = sT_ref[:]                                   # [g, D, Wb]
+
+def _iter_core(adj, sT3, w2v, *, hp: bool, group: int, Wb: int):
+    """Us + A for one iteration: U = [Ws;Wa]@s, A = U[H:]@adjT.
+
+    Two batched MXU issues per block. In hp mode the 4 bf16 hi/lo passes
+    of each product ride inside ONE issue as stacked rows/columns whose
+    four H x Wb quadrants sum to the exact 4-pass result."""
+    H2 = w2v.shape[0]
+    H = H2 // 2
     if hp:
+        # issue 1: [4H, D] @ [D, 2Wb]
+        w_hi, w_lo = _split16(w2v)
+        w4 = jnp.concatenate([w_hi, w_lo], axis=0)        # [4H, D]
+        w4 = jnp.broadcast_to(w4[None], (group,) + w4.shape)
         s_hi, s_lo = _split16(sT3.astype(jnp.float32))
-        a_hi, a_lo = adjT_ref[0], adjT_ref[1]
-        agg = (bd(s_hi, a_hi) + bd(s_hi, a_lo)) \
-            + (bd(s_lo, a_hi) + bd(s_lo, a_lo))
+        s2 = jnp.concatenate([s_hi, s_lo], axis=2)        # [g, D, 2Wb]
+        u4 = _BD(w4, s2)                                  # [g, 4H, 2Wb] f32
+        u = ((u4[:, :H2, :Wb] + u4[:, :H2, Wb:])
+             + (u4[:, H2:, :Wb] + u4[:, H2:, Wb:]))       # [g, 2H, Wb]
+        # issue 2: [2H, Wb] @ [Wb, 2Wb] against pre-packed [a_hi | a_lo]
+        ua_hi, ua_lo = _split16(u[:, H:])
+        ua2 = jnp.concatenate([ua_hi, ua_lo], axis=1)     # [g, 2H, Wb]
+        a4 = _BD(ua2, adj)                                # [g, 2H, 2Wb] f32
+        a = ((a4[:, :H, :Wb] + a4[:, :H, Wb:])
+             + (a4[:, H:, :Wb] + a4[:, H:, Wb:]))         # [g, H, Wb]
+        return u[:, :H] + a
+    cdt = adj.dtype
+    w2b = jnp.broadcast_to(w2v.astype(cdt)[None], (group,) + w2v.shape)
+    u = _BD(w2b, sT3.astype(cdt))                         # [g, 2H, Wb] f32
+    return u[:, :H] + _BD(u[:, H:].astype(cdt), adj)
+
+
+def _step_kernel_T(refs, *, activation: str, hp: bool, has_res: bool,
+                   group: int, block_w: int):
+    """One grouped fused iteration, two batched MXU issues per block."""
+    if has_res:
+        adj_ref, sT_ref, rT_ref, fT_ref, w2_ref, aff_ref, out_ref = refs
     else:
-        agg = bd(sT3, adjT_ref[0])
-    agg = agg + rT_ref[:].astype(jnp.float32)
-    inpT = jnp.concatenate(
-        [sT3.astype(jnp.float32), agg, fT_ref[:].astype(jnp.float32)],
-        axis=1)                                       # [g, In, Wb]
-    wT3 = jnp.broadcast_to(wT_ref[:][None], (group,) + wT_ref.shape)
-    if hp:
-        w_hi, w_lo = _split16(wT3.astype(jnp.float32))
-        i_hi, i_lo = _split16(inpT)
-        hT = (bd(w_hi, i_hi) + bd(w_hi, i_lo)) \
-            + (bd(w_lo, i_hi) + bd(w_lo, i_lo))
-    else:
-        hT = bd(wT3.astype(sT3.dtype), inpT.astype(sT3.dtype))
-    hT = hT + b_ref[:].astype(jnp.float32)            # [g, H, Wb] + [1, H, 1]
-    out_ref[:] = (_ACTS[activation](hT) * aff_ref[0:1].astype(jnp.float32)
+        adj_ref, sT_ref, fT_ref, w2_ref, aff_ref, out_ref = refs
+        rT_ref = None
+    h = (_iter_core(adj_ref[:], sT_ref[:], w2_ref[:].astype(jnp.float32),
+                    hp=hp, group=group, Wb=block_w)
+         + fT_ref[:].astype(jnp.float32))
+    if has_res:
+        h = h + rT_ref[:].astype(jnp.float32)
+    out_ref[:] = (_ACTS[activation](h) * aff_ref[0:1].astype(jnp.float32)
                   + aff_ref[1:2].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def _fused_fwd_impl(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1,
-                    affine, *, activation: str, group: int, interpret):
-    n, B, Wb, _ = adjT_op.shape
-    _, D, _ = stateT3.shape
-    F = featsT3.shape[1]
-    H = w1T.shape[0]
+def _loop_kernel_T(refs, *, activation: str, hp: bool, K: int, thr: float,
+                   group: int, block_w: int):
+    """The WHOLE K-iteration propagation loop for a group of residual-free
+    blocks: the adjacency is DMA'd into VMEM once and all K state updates
+    run on it (reference loop GNN.py:202-242). Emits the state snapshot
+    after every iteration plus the per-node pre-update convergence flags, so
+    the caller can reproduce the reference's global early-stop semantics
+    exactly (select snapshot k*, count realised iterations) without the
+    kernel needing cross-block communication."""
+    adj_ref, s_ref, fT_ref, w2_ref, aff_ref, nm_ref, traj_ref, marg_ref = refs
+    adj = adj_ref[:]
+    w2v = w2_ref[:].astype(jnp.float32)
+    fT = fT_ref[:].astype(jnp.float32)
+    aff0 = aff_ref[0:1].astype(jnp.float32)
+    aff1 = aff_ref[1:2].astype(jnp.float32)
+    nm = nm_ref[:]                                        # [g, Wb] f32 1/0
+    thrf = jnp.float32(thr)
+    s = s_ref[:]
+    s_old = jnp.ones_like(s)
+    for k in range(K):
+        diff = (s - s_old).astype(jnp.float32)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))     # [g, Wb]
+        norm = jnp.sqrt(jnp.sum(jnp.square(s_old.astype(jnp.float32)),
+                                axis=1))
+        marg_ref[k] = jnp.where(dist > thrf * norm, 1.0, 0.0) * nm
+        h = _iter_core(adj, s, w2v, hp=hp, group=group, Wb=block_w) + fT
+        y = _ACTS[activation](h) * aff0 + aff1
+        s_old = s
+        s = y.astype(s.dtype)
+        traj_ref[k] = s
+
+
+def _fused_fwd_impl(adj_pack, stateT3, resT3H, featsT3H, w2, aff, *,
+                    activation: str, group: int, interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = stateT3.shape[1]
+    H = w2.shape[0] // 2
     if B % group:
         raise ValueError(f"block count {B} not divisible by group {group}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    kernel = functools.partial(_step_kernel_T, activation=activation,
-                               group=group, block_w=Wb)
+    has_res = resT3H is not None
+    kernel = functools.partial(_step_kernel_T, activation=activation, hp=hp,
+                               has_res=has_res, group=group, block_w=Wb)
+    in_specs = [
+        pl.BlockSpec((group, Wb, Wp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, H, Wb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * H, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, H, 1), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [adj_pack, stateT3, featsT3H, w2, aff.reshape(2, H, 1)]
+    if has_res:
+        in_specs.insert(2, pl.BlockSpec((group, H, Wb), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(2, resT3H)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
     return pl.pallas_call(
-        kernel,
+        wrapped,
         grid=(B // group,),
-        in_specs=[
-            pl.BlockSpec((n, group, Wb, Wb), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, F, Wb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, w1T.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, 1), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, H, 1), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((group, H, Wb), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Wb), stateT3.dtype),
         interpret=interpret,
-    )(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1.reshape(1, H, 1),
-      affine.reshape(2, H, 1))
+    )(*operands)
 
 
-def split_adjacency(adjT_blocks):
-    """Stack the adjacency for the kernel: f32 → [2, B, Wb, Wb] bf16 hi/lo
-    halves (high-precision mode, same total bytes); bf16 → [1, B, Wb, Wb]."""
+def pack_adjacency(adjT_blocks):
+    """Pack the transposed block adjacency for the kernel: f32 →
+    [B, Wb, 2Wb] bf16 [hi | lo] columns (high-precision mode, same total
+    bytes as the f32 original); bf16 → [B, Wb, Wb] unchanged."""
     if adjT_blocks.dtype == jnp.float32:
         hi, lo = _split16(adjT_blocks)
-        return jnp.stack([hi, lo])
-    return adjT_blocks[None]
+        return jnp.concatenate([hi, lo], axis=2)
+    return adjT_blocks
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def fused_propagation_step(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_propagation_step(adj_pack, stateT3, resT3H, featsT3H, w2,
                            affine=None, activation: str = "tanh",
                            group: int = 9,
                            interpret: Optional[bool] = None):
     """One fused propagation iteration, feature-major blocked layout.
 
-    :param adjT_op: [n, B, Wb, Wb] TRANSPOSED block adjacency stacked by
-        split_adjacency — n=2 bf16 hi/lo halves (f32-faithful mode) or n=1
-        (bf16 mode). adjT[b, src, dst] = w.
+    :param adj_pack: pack_adjacency output — [B, Wb, 2Wb] bf16 hi/lo
+        (f32-faithful mode) or [B, Wb, Wb] bf16. adjT[b, src, dst] = w.
     :param stateT3: [B, D, Wb] node states (block, feature, node-in-block).
-    :param res_aggT3: [B, D, Wb] cross-block residual aggregation for the
-        current state (zeros when no block-crossing edges).
-    :param featsT3: [B, F, Wb] loop-constant features (Σ incoming arc labels).
-    :param w1T: [H, 2D+F] TRANSPOSED dense weights; b1: [H].
+    :param resT3H: [B, H, Wb] cross-block residual term ALREADY passed
+        through Wa (= Wa @ res_agg), or None when no block-crossing edges.
+    :param featsT3H: [B, H, Wb] hoisted loop-invariant term Wf@feats + b.
+    :param w2: [2H, D] stacked dense rows [Ws; Wa] (w1T column split).
     :param affine: optional [2, H] (scale; shift) applied after the
         activation — the inference-mode BatchNorm affine. None = identity.
     Returns new stateT3 [B, H, Wb].
     """
-    aff = (jnp.stack([jnp.ones_like(b1), jnp.zeros_like(b1)])
+    H = w2.shape[0] // 2
+    aff = (jnp.stack([jnp.ones((H,), w2.dtype), jnp.zeros((H,), w2.dtype)])
            if affine is None else affine)
-    return _fused_fwd_impl(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1,
-                           aff, activation=activation, group=group,
+    return _fused_fwd_impl(adj_pack, stateT3, resT3H, featsT3H, w2, aff,
+                           activation=activation, group=group,
                            interpret=interpret)
 
 
-def _fused_fwd_rule(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1, affine,
+def _fused_fwd_rule(adj_pack, stateT3, resT3H, featsT3H, w2, affine,
                     activation, group, interpret):
-    aff = (jnp.stack([jnp.ones_like(b1), jnp.zeros_like(b1)])
+    H = w2.shape[0] // 2
+    aff = (jnp.stack([jnp.ones((H,), w2.dtype), jnp.zeros((H,), w2.dtype)])
            if affine is None else affine)
-    out = _fused_fwd_impl(adjT_op, stateT3, res_aggT3, featsT3, w1T, b1,
-                          aff, activation=activation, group=group,
+    out = _fused_fwd_impl(adj_pack, stateT3, resT3H, featsT3H, w2, aff,
+                          activation=activation, group=group,
                           interpret=interpret)
-    return out, (adjT_op, stateT3, res_aggT3, featsT3, w1T, b1, affine)
+    return out, (adj_pack, stateT3, resT3H, featsT3H, w2, affine)
 
 
 def _act_grad(activation, h):
@@ -190,49 +251,188 @@ def _act_grad(activation, h):
 
 
 def _fused_bwd_rule(activation, group, interpret, res, g):
-    """XLA backward: recompute the pre-activation, then dense + adjacency
-    backprop (adj is data, not a parameter — no cotangent)."""
-    adjT_op, sT3, rT3, fT3, w1T, b1, affine = res
+    """XLA backward: recompute the pre-activation with the same
+    reassociated algebra, then dense + adjacency backprop (adj is data,
+    not a parameter — no cotangent)."""
+    adj_pack, sT3, rT3H, fT3H, w2, affine = res
     f32 = jnp.float32
-    adjT = (adjT_op[0].astype(f32) + adjT_op[1].astype(f32)
-            if adjT_op.shape[0] == 2 else adjT_op[0].astype(f32))
+    Wb = adj_pack.shape[1]
+    hp = adj_pack.shape[2] == 2 * Wb
+    adjT = (adj_pack[..., :Wb].astype(f32) + adj_pack[..., Wb:].astype(f32)
+            if hp else adj_pack.astype(f32))
     had_affine = affine is not None
-    D = sT3.shape[1]
+    has_res = rT3H is not None
+    H = w2.shape[0] // 2
     ein = functools.partial(jnp.einsum, preferred_element_type=f32,
                             precision=jax.lax.Precision.HIGHEST)
 
     s3 = sT3.astype(f32)
-    aggT = ein("bdj,bjw->bdw", s3, adjT) + rT3.astype(f32)
-    inpT = jnp.concatenate([s3, aggT, fT3.astype(f32)], axis=1)  # [B, In, Wb]
-    hT = ein("hi,biw->bhw", w1T.astype(f32), inpT) \
-        + b1.astype(f32)[None, :, None]
+    u = ein("kd,bdw->bkw", w2.astype(f32), s3)            # [B, 2H, Wb]
+    a = ein("bhs,bsd->bhd", u[:, H:], adjT)               # [B, H, Wb]
+    h = u[:, :H] + a + fT3H.astype(f32)
+    if has_res:
+        h = h + rT3H.astype(f32)
 
     gy = g.astype(f32)
     if had_affine:
         gy = gy * affine[0].astype(f32)[None, :, None]
-    dhT = gy * _act_grad(activation, hT)                         # [B, H, Wb]
+    dhT = gy * _act_grad(activation, h)                   # [B, H, Wb]
 
-    dw1T = ein("bhw,biw->hi", dhT, inpT)
-    db1 = jnp.sum(dhT, axis=(0, 2))
-    dinpT = ein("hi,bhw->biw", w1T.astype(f32), dhT)             # [B, In, Wb]
-    ds_direct = dinpT[:, :D]
-    daggT = dinpT[:, D:2 * D]
-    dfT3 = dinpT[:, 2 * D:].astype(fT3.dtype)
-    # d/dstateT of sT3 @ adjT (contract src): contract daggT's dst with adjT's
-    ds_agg = ein("bdw,bjw->bdj", daggT, adjT)
-    dsT3 = (ds_direct + ds_agg).astype(sT3.dtype)
+    dua = ein("bhd,bsd->bhs", dhT, adjT)                  # contract dst
+    du = jnp.concatenate([dhT, dua], axis=1)              # [B, 2H, Wb]
+    dw2 = ein("bkw,bdw->kd", du, s3).astype(w2.dtype)
+    dsT3 = ein("kd,bkw->bdw", w2.astype(f32), du).astype(sT3.dtype)
+    dfT3H = dhT.astype(fT3H.dtype)
+    drT3H = dhT.astype(rT3H.dtype) if has_res else None
     if had_affine:
-        y = _ACTS[activation](hT)
+        y = _ACTS[activation](h)
         daff = jnp.stack([jnp.sum(g.astype(f32) * y, axis=(0, 2)),
                           jnp.sum(g.astype(f32), axis=(0, 2))]
                          ).astype(affine.dtype)
     else:
         daff = None
-    return (None, dsT3, daggT.astype(rT3.dtype), dfT3,
-            dw1T.astype(w1T.dtype), db1.astype(b1.dtype), daff)
+    return (None, dsT3, drT3H, dfT3H, dw2, daff)
 
 
 fused_propagation_step.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+def _ident_affine(H, dtype):
+    return jnp.stack([jnp.ones((H,), dtype), jnp.zeros((H,), dtype)])
+
+
+def _fused_loop_impl(adj_pack, s0, fT3H, w2, aff, nmf, *, K: int,
+                     threshold: float, activation: str, group: int,
+                     interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = s0.shape[1]
+    H = w2.shape[0] // 2
+    if H != D:
+        raise ValueError(f"loop kernel needs state width H == D ({H} != {D})")
+    if B % group:
+        raise ValueError(f"block count {B} not divisible by group {group}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_loop_kernel_T, activation=activation, hp=hp,
+                               K=K, thr=threshold, group=group, block_w=Wb)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    return pl.pallas_call(
+        wrapped,
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec((group, Wb, Wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, H, Wb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * H, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, Wb), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, group, H, Wb), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, Wb), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, B, H, Wb), s0.dtype),
+            jax.ShapeDtypeStruct((K, B, Wb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adj_pack, s0, fT3H, w2, aff.reshape(2, H, 1), nmf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def fused_propagation_loop(adj_pack, s0, fT3H, w2, affine, nmf, K: int,
+                           threshold: float, activation: str = "tanh",
+                           group: int = 9,
+                           interpret: Optional[bool] = None):
+    """The full K-iteration propagation loop over residual-free blocks,
+    adjacency streamed from HBM once (not once per iteration).
+
+    :param adj_pack: pack_adjacency output for the loop blocks.
+    :param s0: [B, D, Wb] initial states (feature-major blocks).
+    :param fT3H: [B, H, Wb] hoisted loop-invariant term Wf@feats + b.
+    :param w2: [2H, D] stacked dense rows [Ws; Wa]; needs H == D.
+    :param affine: optional [2, H] post-activation (scale; shift).
+    :param nmf: [B, Wb] float node mask (1 real / 0 pad) for the
+        convergence flags.
+    Returns (traj [K, B, H, Wb], margins [K, B, Wb]) where margins[k] is
+    1.0 where node moved (pre-update check of iteration k), else 0.
+    """
+    H = w2.shape[0] // 2
+    aff = _ident_affine(H, w2.dtype) if affine is None else affine
+    return _fused_loop_impl(adj_pack, s0, fT3H, w2, aff, nmf, K=K,
+                            threshold=threshold, activation=activation,
+                            group=group, interpret=interpret)
+
+
+def _fused_loop_fwd(adj_pack, s0, fT3H, w2, affine, nmf, K, threshold,
+                    activation, group, interpret):
+    H = w2.shape[0] // 2
+    aff = _ident_affine(H, w2.dtype) if affine is None else affine
+    traj, margins = _fused_loop_impl(adj_pack, s0, fT3H, w2, aff, nmf, K=K,
+                                     threshold=threshold,
+                                     activation=activation, group=group,
+                                     interpret=interpret)
+    return (traj, margins), (adj_pack, s0, fT3H, w2, affine, traj)
+
+
+def _fused_loop_bwd(K, threshold, activation, group, interpret, res, g):
+    """XLA backward: reverse the unrolled loop using the stored snapshots
+    (same reassociated algebra as _fused_bwd_rule, accumulated over k)."""
+    g_traj, _ = g                                         # margins: non-diff
+    adj_pack, s0, fT3H, w2, affine, traj = res
+    f32 = jnp.float32
+    Wb = adj_pack.shape[1]
+    hp = adj_pack.shape[2] == 2 * Wb
+    adjT = (adj_pack[..., :Wb].astype(f32) + adj_pack[..., Wb:].astype(f32)
+            if hp else adj_pack.astype(f32))
+    had_affine = affine is not None
+    H = w2.shape[0] // 2
+    ein = functools.partial(jnp.einsum, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
+    w2f = w2.astype(f32)
+
+    gs = jnp.zeros(s0.shape, f32)
+    dw2 = jnp.zeros(w2.shape, f32)
+    dfT = jnp.zeros(fT3H.shape, f32)
+    daff_s = daff_b = None
+    if had_affine:
+        daff_s = jnp.zeros((H,), f32)
+        daff_b = jnp.zeros((H,), f32)
+    for k in reversed(range(K)):
+        s_in = (traj[k - 1] if k else s0).astype(f32)
+        u = ein("kd,bdw->bkw", w2f, s_in)
+        a = ein("bhs,bsd->bhd", u[:, H:], adjT)
+        h = u[:, :H] + a + fT3H.astype(f32)
+        gy_raw = g_traj[k].astype(f32) + gs
+        if had_affine:
+            daff_s = daff_s + jnp.sum(gy_raw * _ACTS[activation](h),
+                                      axis=(0, 2))
+            daff_b = daff_b + jnp.sum(gy_raw, axis=(0, 2))
+            gy = gy_raw * affine[0].astype(f32)[None, :, None]
+        else:
+            gy = gy_raw
+        dhT = gy * _act_grad(activation, h)
+        dfT = dfT + dhT
+        dua = ein("bhd,bsd->bhs", dhT, adjT)
+        du = jnp.concatenate([dhT, dua], axis=1)
+        dw2 = dw2 + ein("bkw,bdw->kd", du, s_in)
+        gs = ein("kd,bkw->bdw", w2f, du)
+    daff = (jnp.stack([daff_s, daff_b]).astype(affine.dtype)
+            if had_affine else None)
+    return (None, gs.astype(s0.dtype), dfT.astype(fT3H.dtype),
+            dw2.astype(w2.dtype), daff, None)
+
+
+fused_propagation_loop.defvjp(_fused_loop_fwd, _fused_loop_bwd)
 
 
 def bn_inference_affine(gamma, beta, mean, var, eps: float = 1e-3):

@@ -32,6 +32,25 @@ def blocked_workload(rng, bn=False, big_graph=True):
     return gb, spec, params, bnst
 
 
+def hybrid_workload(rng):
+    """Same shape as blocked_workload but built twice from one graph list:
+    plain block-dense batch + fused_layout batch (loop AND dep blocks)."""
+    gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
+                       rng=rng) for _ in range(12)]
+    gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
+    gb = from_graphs_blocked(gs, block_w=32, focus="g")
+    gbf = from_graphs_blocked(gs, block_w=32, focus="g", fused_layout=True)
+    ss = MLPSpec(input_dim=13, units=(5,), activations="selu",
+                 kernel_initializer="lecun_normal",
+                 bias_initializer="lecun_normal", batch_normalization=False)
+    os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                  batch_normalization=False)
+    spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_, max_iteration=4,
+                   threshold=0.01, aggregation="auto")
+    params, bnst = gnn_init(spec, jax.random.key(0))
+    return gb, gbf, spec, params, bnst
+
+
 class TestFusedExactness:
     @pytest.mark.parametrize("bn", [False, True])
     def test_eval_forward_matches_xla_path(self, rng, bn):
@@ -99,6 +118,73 @@ class TestFusedExactness:
         params, bnst = gnn_init(spec, jax.random.key(0))
         with pytest.raises(ValueError, match="block-dense"):
             gnn_forward(spec, params, bnst, gb, jax.random.key(1))
+
+    def test_fused_layout_hybrid_matches_xla_path(self, rng):
+        """from_graphs_blocked(fused_layout=True): residual-free blocks run
+        the whole loop in one kernel (adjacency streamed once), residual-
+        coupled blocks iterate per step — must equal the XLA path exactly."""
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        assert gbf.adj_loop is not None and gbf.adj_dep is not None
+        fused = dataclasses.replace(spec, aggregation="fused")
+        r_x = gnn_forward(spec, params, bnst, gb, jax.random.key(1))
+        r_f = gnn_forward(fused, params, bnst, gbf, jax.random.key(1))
+        assert float(r_x["iters"]) == float(r_f["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(r_f["out"]),
+                                   np.asarray(r_x["out"]), atol=3e-5)
+
+    def test_fused_layout_no_dep_blocks(self, rng):
+        gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
+                           rng=rng) for _ in range(10)]
+        gb = from_graphs_blocked(gs, block_w=32, focus="g")
+        gbf = from_graphs_blocked(gs, block_w=32, focus="g", fused_layout=True)
+        assert gbf.adj_loop is not None and gbf.adj_dep is None
+        ss = MLPSpec(input_dim=13, units=(5,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01, aggregation="auto")
+        params, bnst = gnn_init(spec, jax.random.key(0))
+        fused = dataclasses.replace(spec, aggregation="fused")
+        r_x = gnn_forward(spec, params, bnst, gb, jax.random.key(1))
+        r_f = gnn_forward(fused, params, bnst, gbf, jax.random.key(1))
+        assert float(r_x["iters"]) == float(r_f["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=3e-5)
+
+    def test_fused_layout_dynamic_iteration_count(self, rng):
+        """Global early-stop semantics (GNN.py:202-220): a coarse threshold
+        realises fewer than max_iteration steps; the snapshot selected from
+        the loop kernel must equal the XLA masked-scan state."""
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        for th in (0.4, 1.5, 1e9):
+            sx = dataclasses.replace(spec, threshold=th, max_iteration=6)
+            sf = dataclasses.replace(sx, aggregation="fused")
+            r_x = gnn_forward(sx, params, bnst, gb, jax.random.key(2))
+            r_f = gnn_forward(sf, params, bnst, gbf, jax.random.key(2))
+            assert float(r_x["iters"]) == float(r_f["iters"])
+            np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                       np.asarray(r_x["state"]), atol=3e-5)
+
+    def test_fused_layout_gradients_match_xla_path(self, rng):
+        from gnn_tpu.models.core import evaluate_single
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        fused = dataclasses.replace(spec, aggregation="fused")
+
+        def loss(sp, b):
+            def f(p):
+                _, l, _ = evaluate_single(sp, p, bnst, b, jax.random.key(1),
+                                          "mse", {}, training=False)
+                return l
+            return jax.grad(f)(params)
+
+        g_x, g_f = loss(spec, gb), loss(fused, gbf)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
 
     def test_rejects_multilayer_state_net(self, rng):
         gb, spec, params, bnst = blocked_workload(rng)
