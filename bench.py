@@ -48,7 +48,8 @@ def build_workload():
         adj_dtype = {"bfloat16": jnp.bfloat16,
                      "float32": jnp.float32}[os.environ["BENCH_ADJ_DTYPE"]]
     gb = from_graphs_blocked(graphs, block_w=int(os.environ.get("BENCH_BLOCK_W", "128")),
-                             adj_dtype=adj_dtype)
+                             adj_dtype=adj_dtype,
+                             fused_layout=os.environ.get("BENCH_AGG") == "fused")
     return merged, gb
 
 

@@ -251,13 +251,16 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     # mode dropout/BN make the step non-fusable; those fall back to the XLA
     # body below with identical semantics.
     use_fused = spec.aggregation == "fused"
+    fused_train = False
     if use_fused:
         from gnn_tpu.ops.pallas_fused import (FUSABLE_ACTIVATIONS,
                                               bn_inference_affine,
                                               fused_propagation_loop,
                                               fused_propagation_step,
+                                              fused_train_step,
                                               pack_adjacency, pick_group,
-                                              supports_fused)
+                                              supports_fused,
+                                              supports_fused_train)
         if gb.adj_blocks is None:
             raise ValueError("aggregation='fused' needs a block-dense batch "
                              "(graphs/batch.from_graphs_blocked)")
@@ -270,6 +273,8 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 "aggregation='fused' supports single-dense-layer state nets "
                 f"with activation in {FUSABLE_ACTIVATIONS}")
         use_fused = supports_fused(spec.state_spec, training)
+        fused_train = (training and not use_fused
+                       and supports_fused_train(spec.state_spec))
     if use_fused:
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
@@ -410,6 +415,110 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         (k, sT3, _, _), _ = jax.lax.scan(bodyT, carry0T, step_rngs)
         # eval-mode only (supports_fused): BN state passes through unchanged
         return k, from3(sT3), bn_state
+
+    if fused_train:
+        # --- fused TRAINING path (ops/pallas_fused.py::fused_train_step) ---
+        # Dropout/batch-stat BN make the eval kernels' dense-through-
+        # aggregation reassociation illegal (dropout sits between them,
+        # mlp_apply pos-0 semantics), so the training kernel computes the
+        # aggregation first and applies the aggregated slice's keep-mask
+        # in-VMEM; the state/feature slices are pre-dropped outside with the
+        # SAME bernoulli stream as the XLA body, and the trailing BN (a
+        # global cross-block reduction) runs outside in XLA per iteration.
+        from gnn_tpu.ops.mlp import _ALPHA_P, _batchnorm
+        Bb, Wb, _ = gb.adj_blocks.shape
+        has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
+        w1T = params_state["dense_0"]["w"].T          # [H, in_dim]
+        b1 = params_state["dense_0"]["b"]
+        D = state0.shape[1]
+        in_dim = spec.state_spec.input_dim            # = 2D + arc-label dim
+        w_cat = w1T[:, :2 * D]                        # [H, 2D] = [Ws | Wa]
+        Wf = w1T[:, 2 * D:]                           # [H, AL]
+        act_name = spec.state_spec.activations[0]
+        drop = dict(zip(spec.state_spec.dropout_pos,
+                        spec.state_spec.dropout_rate))
+        rate = float(drop.get(0, 0.0))
+        alpha = spec.state_spec.alphadropout
+        has_bn = spec.state_spec.batch_normalization
+        _hp = partial(jnp.einsum, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+        def to3(x):     # [Np, K] node-major -> [B, K, Wb] feature-major
+            return x.T.reshape(-1, Bb, Wb).transpose(1, 0, 2)
+
+        def from3(x3):  # [B, K, Wb] -> [Np, K]
+            return x3.transpose(1, 0, 2).reshape(x3.shape[1], -1).T
+
+        adj_pack = pack_adjacency(jnp.swapaxes(gb.adj_blocks, 1, 2))
+        fuse_group = pick_group(Bb)
+        nm3 = nm.reshape(Bb, Wb)
+        featsT3 = to3(agg_arcs.astype(state0.dtype))   # [B, AL, Wb]
+        fT3H_clean = (_hp("hf,bfw->bhw", Wf, featsT3)
+                      + b1[None, :, None]).astype(state0.dtype)
+        if rate > 0.0 and alpha:
+            a_c = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
+            b_c = -a_c * _ALPHA_P * rate
+
+        def drop_half(x3, keep3):
+            # ops/mlp.py::_dropout applied to a pre-sliced input half
+            if alpha:
+                return a_c * jnp.where(keep3 > 0.5, x3, _ALPHA_P) + b_c
+            return jnp.where(keep3 > 0.5, x3 * (1.0 / (1.0 - rate)), 0.0)
+
+        def body_ft(carry, step_rng):
+            k, sT3, sT3_old, active, bn = carry
+            diff = (sT3 - sT3_old).astype(jnp.float32)
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))        # [B, Wb]
+            norm = jnp.sqrt(jnp.sum(
+                jnp.square(sT3_old.astype(jnp.float32)), axis=1))
+            moving = (dist > thr * norm) & nm3
+            active = active & jnp.any(moving)
+            if rate > 0.0:
+                # bit-identical mask stream to the XLA body: mlp_apply does
+                # one split per step and one bernoulli over the full
+                # [state, agg, agg_arcs] input row
+                sub = jax.random.split(step_rng)[1]
+                keep = jax.random.bernoulli(sub, 1.0 - rate, (Np, in_dim))
+                keepf = keep.astype(jnp.float32)
+                keep_a3 = to3(keepf[:, D:2 * D])
+                sd3 = drop_half(sT3.astype(jnp.float32),
+                                to3(keepf[:, :D])).astype(sT3.dtype)
+                featsd = drop_half(featsT3.astype(jnp.float32),
+                                   to3(keepf[:, 2 * D:]))
+                fT3H = (_hp("hf,bfw->bhw", Wf, featsd)
+                        + b1[None, :, None]).astype(state0.dtype)
+            else:
+                keep_a3 = jnp.ones(sT3.shape, jnp.float32)  # unread (rate=0)
+                sd3 = sT3
+                fT3H = fT3H_clean
+            if has_res:
+                flat = from3(sT3)
+                resD = jax.ops.segment_sum(
+                    (jnp.take(flat, gb.res_src, axis=0)
+                     * gb.res_w[:, None]).astype(jnp.float32),
+                    gb.res_dst, num_segments=Np)
+                rT3 = to3(resD)
+            else:
+                rT3 = None
+            y3, _ = fused_train_step(adj_pack, sT3, sd3, keep_a3, rT3, fT3H,
+                                     w_cat, act_name, alpha, rate, fuse_group)
+            if has_bn:
+                yflat, bn_new = _batchnorm(params_state["bn"], bn, from3(y3),
+                                           True, nm)
+                new3 = to3(yflat)
+            else:
+                new3, bn_new = y3, bn
+            sT3_next = jnp.where(active, new3.astype(sT3.dtype), sT3)
+            sT3_old_next = jnp.where(active, sT3, sT3_old)
+            bn_next = _tree_where(active, bn_new, bn)
+            return (k + active.astype(jnp.float32), sT3_next, sT3_old_next,
+                    active, bn_next), None
+
+        s03 = to3(state0)
+        carry0f = (jnp.float32(0.0), s03, jnp.ones_like(s03), jnp.bool_(True),
+                   bn_state)
+        (k, sT3, _, _, bn_out), _ = jax.lax.scan(body_ft, carry0f, step_rngs)
+        return k, from3(sT3), bn_out
 
     def body(carry, step_rng):
         k, state, state_old, active, bn = carry

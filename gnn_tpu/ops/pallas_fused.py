@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gnn_tpu.ops.mlp import _ALPHA_P
+
 _ACTS = {
     "linear": lambda x: x,
     "tanh": jnp.tanh,
@@ -435,6 +437,208 @@ def _fused_loop_bwd(K, threshold, activation, group, interpret, res, g):
 fused_propagation_loop.defvjp(_fused_loop_fwd, _fused_loop_bwd)
 
 
+# --------------------------------------------------------------- training step
+def _train_kernel_T(refs, *, activation: str, hp: bool, has_res: bool,
+                    alpha_drop: bool, rate: float, group: int, block_w: int):
+    """One TRAINING propagation iteration for a group of blocks: adjacency
+    bmm + residual + dropout-on-the-aggregation + dense + activation, two MXU
+    issues per block. Dropout masks are generated OUTSIDE (bit-identical to
+    the XLA body's jax.random stream); the state/feature halves of the input
+    arrive pre-dropped (sdT3 / the fT3H term), only the aggregated half —
+    which is computed in-kernel — gets its mask applied here. BatchNorm (the
+    trailing layer, MLP.py:63) runs outside in XLA: its training-mode moments
+    are a global cross-block reduction."""
+    Wb = block_w
+    if has_res:
+        adj_ref, s_ref, sd_ref, m_ref, r_ref, f_ref, w_ref, y_ref, agg_ref = refs
+    else:
+        adj_ref, s_ref, sd_ref, m_ref, f_ref, w_ref, y_ref, agg_ref = refs
+        r_ref = None
+    adj = adj_ref[:]
+    s = s_ref[:]
+    D = s.shape[1]
+    # issue 1: agg = s @ adjT (bf16 hi/lo rows when the adjacency is packed)
+    if hp:
+        s_hi, s_lo = _split16(s.astype(jnp.float32))
+        s2 = jnp.concatenate([s_hi, s_lo], axis=1)         # [g, 2D, Wb]
+        r4 = _BD(s2, adj)                                  # [g, 2D, 2Wb]
+        agg = ((r4[:, :D, :Wb] + r4[:, :D, Wb:])
+               + (r4[:, D:, :Wb] + r4[:, D:, Wb:]))        # [g, D, Wb] f32
+    else:
+        agg = _BD(s.astype(adj.dtype), adj)
+    if has_res:
+        agg = agg + r_ref[:].astype(jnp.float32)
+    agg_ref[:] = agg.astype(agg_ref.dtype)
+    if rate > 0.0:
+        m = m_ref[:]
+        if alpha_drop:
+            a = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
+            b = -a * _ALPHA_P * rate
+            d_agg = a * jnp.where(m > 0.5, agg, _ALPHA_P) + b
+        else:
+            d_agg = jnp.where(m > 0.5, agg * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        d_agg = agg
+    x2 = jnp.concatenate([sd_ref[:].astype(jnp.float32), d_agg], axis=1)
+    w = w_ref[:].astype(jnp.float32)                       # [H, 2D]
+    H = w.shape[0]
+    # issue 2: h = [Ws | Wa] @ [s_dropped ; agg_dropped] (+ hoisted feats term)
+    if hp:
+        w_hi, w_lo = _split16(w)
+        w4 = jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
+                              (group, 2 * H, 2 * D))
+        x_hi, x_lo = _split16(x2)
+        xp = jnp.concatenate([x_hi, x_lo], axis=2)         # [g, 2D, 2Wb]
+        u4 = _BD(w4, xp)                                   # [g, 2H, 2Wb]
+        h = ((u4[:, :H, :Wb] + u4[:, :H, Wb:])
+             + (u4[:, H:, :Wb] + u4[:, H:, Wb:]))
+    else:
+        wb_ = jnp.broadcast_to(w.astype(adj.dtype)[None], (group, H, 2 * D))
+        h = _BD(wb_, x2.astype(adj.dtype))
+    h = h + f_ref[:].astype(jnp.float32)
+    y_ref[:] = _ACTS[activation](h).astype(y_ref.dtype)
+
+
+def _train_fwd_impl(adj_pack, sT3, sdT3, mT3, rT3, fT3H, w_cat, *,
+                    activation: str, alpha_drop: bool, rate: float,
+                    group: int, interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = sT3.shape[1]
+    H = w_cat.shape[0]
+    if B % group:
+        raise ValueError(f"block count {B} not divisible by group {group}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    has_res = rT3 is not None
+    kernel = functools.partial(_train_kernel_T, activation=activation, hp=hp,
+                               has_res=has_res, alpha_drop=alpha_drop,
+                               rate=rate, group=group, block_w=Wb)
+    in_specs = [
+        pl.BlockSpec((group, Wb, Wp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, H, Wb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 2 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [adj_pack, sT3, sdT3, mT3, fT3H, w_cat]
+    if has_res:
+        in_specs.insert(4, pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(4, rT3)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    return pl.pallas_call(
+        wrapped,
+        grid=(B // group,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((group, H, Wb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Wb), sT3.dtype),
+            jax.ShapeDtypeStruct((B, D, Wb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def fused_train_step(adj_pack, sT3, sdT3, mT3, rT3, fT3H, w_cat,
+                     activation: str = "tanh", alpha_drop: bool = True,
+                     rate: float = 0.0, group: int = 9,
+                     interpret: Optional[bool] = None):
+    """One fused TRAINING propagation iteration (dropout-aware, pre-BN).
+
+    :param adj_pack: pack_adjacency output (transposed blocks).
+    :param sT3: [B, D, Wb] raw node states (feed the aggregation).
+    :param sdT3: [B, D, Wb] states with the input-dropout already applied
+        (the state slice of the XLA body's mask).
+    :param mT3: [B, D, Wb] f32 keep-mask for the AGGREGATED input slice
+        (1 keep / 0 drop) — applied in-kernel, after the bmm + residual.
+    :param rT3: [B, D, Wb] RAW cross-block residual aggregation (NOT through
+        the dense — dropout must see the complete aggregation), or None.
+    :param fT3H: [B, H, Wb] this iteration's feature term
+        Wf @ dropout(agg_arc_labels) + b (fresh mask per iteration, so it is
+        computed per step outside — it is no longer loop-invariant).
+    :param w_cat: [H, 2D] dense columns [Ws | Wa] for the state/agg slices.
+    :param rate / alpha_drop: the spec's input-dropout config (static).
+    Returns (y [B, H, Wb] = act(h), agg [B, D, Wb] pre-dropout aggregation —
+    saved for the backward, treat as an auxiliary output).
+    """
+    return _train_fwd_impl(adj_pack, sT3, sdT3, mT3, rT3, fT3H, w_cat,
+                           activation=activation, alpha_drop=alpha_drop,
+                           rate=rate, group=group, interpret=interpret)
+
+
+def _train_fwd_rule(adj_pack, sT3, sdT3, mT3, rT3, fT3H, w_cat, activation,
+                    alpha_drop, rate, group, interpret):
+    y, agg = _train_fwd_impl(adj_pack, sT3, sdT3, mT3, rT3, fT3H, w_cat,
+                             activation=activation, alpha_drop=alpha_drop,
+                             rate=rate, group=group, interpret=interpret)
+    res_tag = None if rT3 is None else jnp.zeros((), rT3.dtype)
+    return (y, agg), (adj_pack, sdT3, mT3, fT3H, w_cat, agg, res_tag)
+
+
+def _train_bwd_rule(activation, alpha_drop, rate, group, interpret, res, g):
+    """XLA backward: the pre-dropout aggregation was saved by the forward, so
+    h is recomputed without touching the adjacency; the only adjacency-sized
+    product is the dagg -> ds chain rule."""
+    gy, g_agg = g
+    adj_pack, sdT3, mT3, fT3H, w_cat, agg, res_tag = res
+    f32 = jnp.float32
+    Wb = adj_pack.shape[1]
+    hp = adj_pack.shape[2] == 2 * Wb
+    adjT = (adj_pack[..., :Wb].astype(f32) + adj_pack[..., Wb:].astype(f32)
+            if hp else adj_pack.astype(f32))
+    D = sdT3.shape[1]
+    H = w_cat.shape[0]
+    ein = functools.partial(jnp.einsum, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    if rate > 0.0:
+        if alpha_drop:
+            a = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
+            b = -a * _ALPHA_P * rate
+            d_agg = a * jnp.where(mT3 > 0.5, agg, _ALPHA_P) + b
+            dmask = a * (mT3 > 0.5).astype(f32)
+        else:
+            inv = 1.0 / (1.0 - rate)
+            d_agg = jnp.where(mT3 > 0.5, agg * inv, 0.0)
+            dmask = inv * (mT3 > 0.5).astype(f32)
+    else:
+        d_agg = agg
+        dmask = None
+    x2 = jnp.concatenate([sdT3.astype(f32), d_agg], axis=1)   # [B, 2D, Wb]
+    h = ein("kd,bdw->bkw", w_cat.astype(f32), x2) + fT3H.astype(f32)
+
+    dh = gy.astype(f32) * _act_grad(activation, h)            # [B, H, Wb]
+    dfT3H = dh.astype(fT3H.dtype)
+    dw_cat = ein("bhw,bdw->hd", dh, x2).astype(w_cat.dtype)
+    dx2 = ein("kd,bkw->bdw", w_cat.astype(f32), dh)           # [B, 2D, Wb]
+    dsdT3 = dx2[:, :D].astype(sdT3.dtype)
+    dagg = dx2[:, D:] if dmask is None else dx2[:, D:] * dmask
+    if g_agg is not None and not isinstance(
+            g_agg, jax.custom_derivatives.SymbolicZero):
+        dagg = dagg + g_agg.astype(f32)
+    # residual enters the aggregation raw, so its cotangent IS dagg
+    drT3 = None if res_tag is None else dagg.astype(res_tag.dtype)
+    # chain through the aggregation: ds[b, d, src] = sum_dst dagg*adjT[src,dst]
+    dsT3 = ein("bhd,bsd->bhs", dagg, adjT).astype(sdT3.dtype)
+    return (None, dsT3, dsdT3, None, drT3, dfT3H, dw_cat)
+
+
+fused_train_step.defvjp(_train_fwd_rule, _train_bwd_rule)
+
+
 def bn_inference_affine(gamma, beta, mean, var, eps: float = 1e-3):
     """[2, H] (scale; shift) for the post-activation inference BatchNorm:
     y = act(h)·scale + shift with scale = γ·rsqrt(σ²+ε), shift = β − μ·scale
@@ -451,11 +655,28 @@ def pick_group(n_blocks: int, cap: int = 45) -> int:
 
 
 def supports_fused(state_spec, training: bool) -> bool:
-    """Static eligibility of the fused kernel for a state MLPSpec."""
+    """Static eligibility of the EVAL fused kernel (fused_propagation_step /
+    _loop) for a state MLPSpec — training-mode dropout/batch-stat BN need the
+    training kernel instead (supports_fused_train)."""
     if state_spec.num_layers != 1:
         return False
     if state_spec.activations[0] not in FUSABLE_ACTIVATIONS:
         return False
     if training and (state_spec.dropout_rate or state_spec.batch_normalization):
+        return False
+    return True
+
+
+def supports_fused_train(state_spec) -> bool:
+    """Static eligibility of the TRAINING fused kernel (fused_train_step):
+    single dense layer, fusable activation, dropout only at the input
+    (pos 0 — the kernel applies the aggregated slice's mask in-VMEM, the
+    caller pre-drops the rest); the trailing BatchNorm is allowed because its
+    training-mode moments run outside in XLA (global reduction)."""
+    if state_spec.num_layers != 1:
+        return False
+    if state_spec.activations[0] not in FUSABLE_ACTIVATIONS:
+        return False
+    if any(p != 0 for p in state_spec.dropout_pos):
         return False
     return True

@@ -90,12 +90,65 @@ class TestFusedExactness:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-5)
 
-    def test_training_mode_falls_back_when_not_fusable(self, rng):
-        """Dropout/BN in training mode are not fusable: propagate must fall
-        back to the XLA body (identical semantics incl. rng consumption)."""
+    @pytest.mark.parametrize("bn,alpha,rate", [
+        (True, True, 0.1),    # the flagship config: alpha-dropout + BN
+        (False, True, 0.2),
+        (True, False, 0.15),  # standard dropout
+        (True, True, 0.0),    # BN only (batch-stat moments outside)
+    ])
+    def test_training_kernel_matches_xla_body(self, rng, bn, alpha, rate):
+        """Training-mode dropout/BN route to fused_train_step: the kernel's
+        in-VMEM mask application + outside BN must equal the XLA body under
+        the SAME rng stream (the bernoulli masks are bit-identical)."""
+        gb, spec, params, bnst = blocked_workload(rng, bn=bn)
+        dr = ((rate,), (0,)) if rate > 0.0 else ((), ())
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=dr[0],
+                                 dropout_pos=dr[1], alphadropout=alpha)
+        base = dataclasses.replace(spec, state_spec=ss)
+        fused = dataclasses.replace(base, aggregation="fused")
+        r_x = gnn_forward(base, params, bnst, gb, jax.random.key(2),
+                          training=True)
+        r_f = gnn_forward(fused, params, bnst, gb, jax.random.key(2),
+                          training=True)
+        assert float(r_x["iters"]) == float(r_f["iters"])
+        # BN normalisation re-amplifies the hi/lo emulation rounding across
+        # iterations — agreement to ~1e-4 absolute
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(r_x["bn"]),
+                        jax.tree_util.tree_leaves(r_f["bn"])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4)
+
+    def test_training_kernel_gradients_match_xla_body(self, rng):
+        """Full training-loss grads (dropout + batch-stat BN + scan) through
+        the custom VJP must equal differentiating the XLA body."""
+        from gnn_tpu.models.core import evaluate_single
         gb, spec, params, bnst = blocked_workload(rng, bn=True)
         ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
                                  dropout_pos=(0,), alphadropout=True)
+        base = dataclasses.replace(spec, state_spec=ss)
+        fused = dataclasses.replace(base, aggregation="fused")
+
+        def grads(sp):
+            def f(p):
+                _, l, _ = evaluate_single(sp, p, bnst, gb, jax.random.key(3),
+                                          "mse", {}, training=True)
+                return l
+            return jax.grad(f)(params)
+
+        g_x, g_f = grads(base), grads(fused)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_training_mode_falls_back_when_not_fusable(self, rng):
+        """Dropout at a non-input position is outside the training kernel's
+        contract: propagate must fall back to the XLA body exactly."""
+        gb, spec, params, bnst = blocked_workload(rng, bn=True)
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
+                                 dropout_pos=(1,), alphadropout=True)
         base = dataclasses.replace(spec, state_spec=ss)
         fused = dataclasses.replace(base, aggregation="fused")
         r_x = gnn_forward(base, params, bnst, gb, jax.random.key(2),
