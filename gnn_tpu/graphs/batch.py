@@ -105,6 +105,9 @@ class GraphBatch:
     # Loop blocks are zero-padded to a multiple of the kernel grid group;
     # padded rows carry node-mask 0 so they never affect convergence, and
     # block_perm never points at them.
+    # full packed transposed adjacency (ALL blocks, global order) for the
+    # per-step kernels — saves the per-train-step packing pass
+    adj_packT: Optional[jnp.ndarray] = None    # [B, W, 2W] (or [B, W, W] bf16)
     adj_loop: Optional[jnp.ndarray] = None     # [Bi, W, 2W] (or [Bi, W, W] bf16)
     loop_ids: Optional[jnp.ndarray] = None     # [Bi] int32 global block ids
     loop_nm: Optional[jnp.ndarray] = None      # [Bi, W] f32 node mask (0 on pad)
@@ -506,16 +509,17 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
                             ).astype(np.int64)
         loop_ids_np = np.setdiff1d(np.arange(B, dtype=np.int64), dep_set)
         Bi = len(loop_ids_np)
-        if Bi == 0:
-            fl = {}  # nothing loopable: the per-step path handles everything
+        adjT = np.ascontiguousarray(adj.transpose(0, 2, 1))
+        if adj_dtype is None and adj.dtype == np.float32:
+            hi = adjT.astype(bf16)
+            lo = (adjT - hi.astype(np.float32)).astype(bf16)
+            packed = np.concatenate([hi, lo], axis=2)     # [B, W, 2W]
         else:
-            adjT = np.ascontiguousarray(adj.transpose(0, 2, 1))
-            if adj_dtype is None and adj.dtype == np.float32:
-                hi = adjT.astype(bf16)
-                lo = (adjT - hi.astype(np.float32)).astype(bf16)
-                packed = np.concatenate([hi, lo], axis=2)     # [B, W, 2W]
-            else:
-                packed = adjT.astype(bf16)
+            packed = adjT.astype(bf16)
+        # the per-step kernels (training / dep-block iteration) read the
+        # full packed adjacency in global block order
+        fl["adj_packT"] = jnp.asarray(packed)
+        if Bi > 0:
             # pad loop blocks to a multiple of the kernel grid group (24 keeps
             # ~6 MB of VMEM per double-buffered grid step at W=128)
             GRP = 24

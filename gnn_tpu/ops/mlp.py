@@ -216,6 +216,26 @@ def _batchnorm(params, bn_state, x, training: bool, stat_mask, axis_name=None):
     return y.astype(x.dtype), new_state
 
 
+def _batchnorm_fm(params, bn_state, y3, nm3):
+    """Training-mode BatchNorm on feature-major blocks y3 [B, H, Wb] with node
+    mask nm3 [B, Wb] — same masked moments as _batchnorm on the node-major
+    [N, H] view, computed without the [B, H, Wb] -> [N, H] layout flip (the
+    fused training path's scan stays feature-major end to end)."""
+    gamma, beta = params["gamma"], params["beta"]
+    w = nm3.astype(jnp.float32)[:, None, :]
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    y = y3.astype(jnp.float32)
+    mean = jnp.sum(y * w, axis=(0, 2)) / cnt                         # [H]
+    var = jnp.sum(jnp.square(y - mean[None, :, None]) * w, axis=(0, 2)) / cnt
+    new_state = {
+        "mean": bn_state["mean"] * _BN_MOMENTUM + mean * (1.0 - _BN_MOMENTUM),
+        "var": bn_state["var"] * _BN_MOMENTUM + var * (1.0 - _BN_MOMENTUM),
+    }
+    out = ((y - mean[None, :, None]) * jax.lax.rsqrt(var + _BN_EPS)[None, :, None]
+           * gamma[None, :, None] + beta[None, :, None])
+    return out.astype(y3.dtype), new_state
+
+
 def mlp_apply(spec: MLPSpec, params, bn_state, x, *, training: bool = False,
               rng: Optional[jax.Array] = None, stat_mask=None, axis_name=None):
     """Apply the MLP. Returns (y, new_bn_state).

@@ -639,6 +639,228 @@ def _train_bwd_rule(activation, alpha_drop, rate, group, interpret, res, g):
 fused_train_step.defvjp(_train_fwd_rule, _train_bwd_rule)
 
 
+# ------------------------------------------------------- looped training loop
+def _drop_coeffs(alpha_drop: bool, rate: float):
+    """(a, b) such that dropout(x, m) = a·where(m, x, α') + b (alpha mode)
+    or a·where(m, x, 0) (standard mode, b = 0) — ops/mlp.py::_dropout."""
+    if alpha_drop:
+        a = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
+        return a, -a * _ALPHA_P * rate
+    return 1.0 / (1.0 - rate), 0.0
+
+
+def _loop_train_kernel_T(refs, *, activation: str, hp: bool, K: int,
+                         thr: float, group: int, block_w: int,
+                         alpha_drop: bool, rate: float):
+    """The WHOLE K-iteration TRAINING propagation loop for a group of
+    residual-free blocks: adjacency DMA'd to VMEM once, per-iteration dropout
+    masks streamed in and applied in-VMEM (state and aggregated slices; the
+    feature slice rides pre-dropped inside fT[k]). Emits per-iteration state
+    snapshots, convergence margins AND the pre-dropout aggregations (the
+    backward reuses them so it never recomputes the adjacency bmm)."""
+    Wb = block_w
+    (adj_ref, s_ref, ms_ref, ma_ref, fT_ref, w_ref, nm_ref,
+     traj_ref, marg_ref, agg_ref) = refs
+    adj = adj_ref[:]
+    w = w_ref[:].astype(jnp.float32)                      # [H, 2D]
+    H = w.shape[0]
+    nm = nm_ref[:]
+    thrf = jnp.float32(thr)
+    s = s_ref[:]
+    D = s.shape[1]
+    s_old = jnp.ones_like(s)
+    if rate > 0.0:
+        a_c, b_c = _drop_coeffs(alpha_drop, rate)
+    if hp:
+        w_hi, w_lo = _split16(w)
+        w4 = jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
+                              (group, 2 * H, 2 * D))
+    else:
+        w_b = jnp.broadcast_to(w.astype(adj.dtype)[None], (group, H, 2 * D))
+
+    def drop(x, m):
+        if rate <= 0.0:
+            return x
+        if alpha_drop:
+            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
+        return jnp.where(m > 0.5, a_c * x, 0.0)
+
+    for k in range(K):
+        diff = (s - s_old).astype(jnp.float32)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))     # [g, Wb]
+        norm = jnp.sqrt(jnp.sum(jnp.square(s_old.astype(jnp.float32)),
+                                axis=1))
+        marg_ref[k] = jnp.where(dist > thrf * norm, 1.0, 0.0) * nm
+        # issue 1: agg = s @ adjT (hi/lo packed when the adjacency is f32)
+        if hp:
+            s_hi, s_lo = _split16(s.astype(jnp.float32))
+            s2 = jnp.concatenate([s_hi, s_lo], axis=1)    # [g, 2D, Wb]
+            r4 = _BD(s2, adj)                             # [g, 2D, 2Wb]
+            agg = ((r4[:, :D, :Wb] + r4[:, :D, Wb:])
+                   + (r4[:, D:, :Wb] + r4[:, D:, Wb:]))   # [g, D, Wb] f32
+        else:
+            agg = _BD(s.astype(adj.dtype), adj)
+        agg_ref[k] = agg.astype(agg_ref.dtype)
+        d_agg = drop(agg, ma_ref[k])
+        sd = drop(s.astype(jnp.float32), ms_ref[k])
+        x2 = jnp.concatenate([sd, d_agg], axis=1)         # [g, 2D, Wb] f32
+        # issue 2: h = [Ws | Wa] @ [s_drop ; agg_drop] + fT[k]
+        if hp:
+            x_hi, x_lo = _split16(x2)
+            xp = jnp.concatenate([x_hi, x_lo], axis=2)    # [g, 2D, 2Wb]
+            u4 = _BD(w4, xp)                              # [g, 2H, 2Wb]
+            h = ((u4[:, :H, :Wb] + u4[:, :H, Wb:])
+                 + (u4[:, H:, :Wb] + u4[:, H:, Wb:]))
+        else:
+            h = _BD(w_b, x2.astype(adj.dtype))
+        h = h + fT_ref[k].astype(jnp.float32)
+        s_old = s
+        s = _ACTS[activation](h).astype(s.dtype)
+        traj_ref[k] = s
+
+
+def _loop_train_impl(adj_pack, s0, ms, ma, fT, w_cat, nmf, *, K: int,
+                     threshold: float, activation: str, alpha_drop: bool,
+                     rate: float, group: int, interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = s0.shape[1]
+    H = w_cat.shape[0]
+    if H != D:
+        raise ValueError(f"loop kernel needs state width H == D ({H} != {D})")
+    if B % group:
+        raise ValueError(f"block count {B} not divisible by group {group}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_loop_train_kernel_T, activation=activation,
+                               hp=hp, K=K, thr=threshold, group=group,
+                               block_w=Wb, alpha_drop=alpha_drop, rate=rate)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    return pl.pallas_call(
+        wrapped,
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec((group, Wb, Wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, D, Wb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, H, Wb), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 2 * D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, Wb), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, group, H, Wb), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, Wb), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, B, H, Wb), s0.dtype),
+            jax.ShapeDtypeStruct((K, B, Wb), jnp.float32),
+            jax.ShapeDtypeStruct((K, B, D, Wb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adj_pack, s0, ms, ma, fT, w_cat, nmf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def fused_train_loop(adj_pack, s0, ms, ma, fT, w_cat, nmf, K: int,
+                     threshold: float, activation: str = "tanh",
+                     alpha_drop: bool = True, rate: float = 0.0,
+                     group: int = 12, interpret: Optional[bool] = None):
+    """The full K-iteration TRAINING propagation loop over residual-free
+    blocks (dropout at the MLP input, NO BatchNorm — BN's training moments
+    are a global cross-block reduction and force per-step iteration).
+
+    :param adj_pack: pack_adjacency output for the loop blocks.
+    :param s0: [B, D, Wb] initial states (feature-major blocks).
+    :param ms: [K, B, D, Wb] f32 keep-masks for the STATE input slice.
+    :param ma: [K, B, D, Wb] f32 keep-masks for the AGGREGATED slice
+        (applied in-VMEM after the adjacency bmm).
+    :param fT: [K, B, H, Wb] per-iteration feature term
+        Wf @ dropout_k(agg_arc_labels) + b (fresh mask per iteration).
+    :param w_cat: [H, 2D] dense columns [Ws | Wa].
+    :param nmf: [B, Wb] float node mask for the convergence flags.
+    Returns (traj [K, B, H, Wb], margins [K, B, Wb])."""
+    traj, margins, _ = _loop_train_impl(
+        adj_pack, s0, ms, ma, fT, w_cat, nmf, K=K, threshold=threshold,
+        activation=activation, alpha_drop=alpha_drop, rate=rate, group=group,
+        interpret=interpret)
+    return traj, margins
+
+
+def _loop_train_fwd(adj_pack, s0, ms, ma, fT, w_cat, nmf, K, threshold,
+                    activation, alpha_drop, rate, group, interpret):
+    traj, margins, agg = _loop_train_impl(
+        adj_pack, s0, ms, ma, fT, w_cat, nmf, K=K, threshold=threshold,
+        activation=activation, alpha_drop=alpha_drop, rate=rate, group=group,
+        interpret=interpret)
+    return (traj, margins), (adj_pack, s0, ms, ma, fT, w_cat, traj, agg)
+
+
+def _loop_train_bwd(K, threshold, activation, alpha_drop, rate, group,
+                    interpret, res, g):
+    """XLA backward: the forward saved every iteration's pre-dropout
+    aggregation, so h is recomputed without any forward adjacency bmm; the
+    only adjacency-sized product per iteration is the dagg -> ds chain."""
+    g_traj, _ = g                                         # margins: non-diff
+    adj_pack, s0, ms, ma, fT, w_cat, traj, agg = res
+    f32 = jnp.float32
+    Wb = adj_pack.shape[1]
+    hp = adj_pack.shape[2] == 2 * Wb
+    adjT = (adj_pack[..., :Wb].astype(f32) + adj_pack[..., Wb:].astype(f32)
+            if hp else adj_pack.astype(f32))
+    D = s0.shape[1]
+    ein = functools.partial(jnp.einsum, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
+    w_f = w_cat.astype(f32)
+    if rate > 0.0:
+        a_c, b_c = _drop_coeffs(alpha_drop, rate)
+
+    def drop(x, m):
+        if rate <= 0.0:
+            return x
+        if alpha_drop:
+            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
+        return jnp.where(m > 0.5, a_c * x, 0.0)
+
+    def dmask(m):
+        if rate <= 0.0:
+            return jnp.ones_like(m)
+        return a_c * (m > 0.5).astype(f32)
+
+    gs = jnp.zeros(s0.shape, f32)
+    dw = jnp.zeros(w_cat.shape, f32)
+    dfT = []
+    for k in reversed(range(K)):
+        s_in = (traj[k - 1] if k else s0).astype(f32)
+        x2 = jnp.concatenate([drop(s_in, ms[k]), drop(agg[k], ma[k])],
+                             axis=1)                      # [B, 2D, Wb]
+        h = ein("kd,bdw->bkw", w_f, x2) + fT[k].astype(f32)
+        gy = g_traj[k].astype(f32) + gs
+        dh = gy * _act_grad(activation, h)                # [B, H, Wb]
+        dfT.append(dh)
+        dw = dw + ein("bkw,bdw->kd", dh, x2)
+        dx2 = ein("kd,bkw->bdw", w_f, dh)                 # [B, 2D, Wb]
+        dagg = dx2[:, D:] * dmask(ma[k])
+        gs = dx2[:, :D] * dmask(ms[k]) + ein("bhd,bsd->bhs", dagg, adjT)
+    dfT_full = jnp.stack(dfT[::-1]).astype(fT.dtype)
+    return (None, gs.astype(s0.dtype), None, None, dfT_full,
+            dw.astype(w_cat.dtype), None)
+
+
+fused_train_loop.defvjp(_loop_train_fwd, _loop_train_bwd)
+
+
 def bn_inference_affine(gamma, beta, mean, var, eps: float = 1e-3):
     """[2, H] (scale; shift) for the post-activation inference BatchNorm:
     y = act(h)·scale + shift with scale = γ·rsqrt(σ²+ε), shift = β − μ·scale

@@ -230,6 +230,32 @@ class TestTraining:
         _, l1, *_ = ev(p, b, gb, jax.random.key(9))
         assert float(l1) < 0.7 * float(l0)
 
+    def test_train_loop_matches_sequential_steps(self, rng):
+        """make_train_loop(n_steps=N) == N make_train_step calls with
+        split(rng, N) keys — one device dispatch, identical trajectory."""
+        from gnn_tpu.models.core import make_train_loop
+        g = make_graph(rng, n=40, e=160)
+        ss, os_ = plain_spec(3, 2, 2, "n")
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        gb = GraphBatch.from_graph(g)
+        cfg = optimizer_config("adam", learning_rate=1e-2)
+        opt = make_optimizer(cfg)
+        o0 = opt.init(params)
+        step = make_train_step(spec, "mse", None, cfg, mean=True)
+        loop = make_train_loop(spec, "mse", None, cfg, mean=True, n_steps=4)
+        base = jax.random.key(7)
+        pl_, bl, ol, its = loop(params, bn, o0, gb, base)
+        assert its.shape == (4,)
+        p, b, o = params, bn, o0
+        for r in jax.random.split(base, 4):
+            p, b, o, it = step(p, b, o, gb, r)
+        for a, c in zip(jax.tree_util.tree_leaves((pl_, bl, ol)),
+                        jax.tree_util.tree_leaves((p, b, o))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-6, atol=1e-7)
+
     def test_mean_flag_divides_state_grads(self, rng):
         """mean=True divides state-net updates by iteration count
         (GNN_BaseClass.py:239-241) — verify via SGD single step."""

@@ -239,6 +239,130 @@ class TestFusedExactness:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_auto_dispatches_to_hybrid_kernel_on_fused_layout(self, rng):
+        """aggregation='auto' + fused_layout batch rides the looped kernel in
+        eval (jaxpr contains the pallas call) and matches the XLA path; an
+        ineligible spec (multi-layer state net) silently keeps the XLA body
+        instead of raising like the explicit 'fused' gate does."""
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(spec, p, bnst, gbf, jax.random.key(1)))(
+                params))
+        assert "pallas" in jx
+        r_x = gnn_forward(spec, params, bnst, gb, jax.random.key(1))
+        r_a = gnn_forward(spec, params, bnst, gbf, jax.random.key(1))
+        assert float(r_x["iters"]) == float(r_a["iters"])
+        np.testing.assert_allclose(np.asarray(r_a["state"]),
+                                   np.asarray(r_x["state"]), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(r_a["out"]),
+                                   np.asarray(r_x["out"]), atol=3e-5)
+        # ineligible spec: falls back, no raise
+        ss2 = MLPSpec(input_dim=13, units=(16, 5), activations="tanh",
+                      batch_normalization=False)
+        multi = dataclasses.replace(spec, state_spec=ss2)
+        params2, bn2 = gnn_init(multi, jax.random.key(0))
+        r_m = gnn_forward(multi, params2, bn2, gbf, jax.random.key(1))
+        r_mx = gnn_forward(multi, params2, bn2, gb, jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(r_m["out"]),
+                                   np.asarray(r_mx["out"]), atol=3e-5)
+
+    def test_auto_training_dispatch_on_fused_layout(self, rng):
+        """Under 'auto' + fused-layout batch, BN-free training configs ride
+        the looped kernels: clean specs via fused_propagation_loop (exact
+        custom VJP), dropout specs via fused_train_loop. BN configs keep the
+        XLA body (test_hybrid_training_bn_config_keeps_xla_body)."""
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        # clean spec: eval loop kernel used in training as well
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(spec, p, bnst, gbf, jax.random.key(1),
+                                  training=True))(params))
+        assert "pallas" in jx
+        r_x = gnn_forward(spec, params, bnst, gb, jax.random.key(1),
+                          training=True)
+        r_a = gnn_forward(spec, params, bnst, gbf, jax.random.key(1),
+                          training=True)
+        np.testing.assert_allclose(np.asarray(r_a["state"]),
+                                   np.asarray(r_x["state"]), atol=3e-5)
+
+    @pytest.mark.parametrize("alpha,rate", [(True, 0.2), (False, 0.15)])
+    def test_hybrid_training_loop_matches_xla_body(self, rng, alpha, rate):
+        """Dropout training configs (no BN) on a fused-layout batch ride the
+        looped TRAINING kernel under 'auto' (fused_train_loop: adjacency
+        streamed once, in-VMEM dropout): trajectories must equal the XLA body
+        under the SAME rng stream, and the jaxpr must show the kernel."""
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(rate,),
+                                 dropout_pos=(0,), alphadropout=alpha)
+        base = dataclasses.replace(spec, state_spec=ss)
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(base, p, bnst, gbf, jax.random.key(2),
+                                  training=True))(params))
+        assert "pallas" in jx
+        r_x = gnn_forward(base, params, bnst, gb, jax.random.key(2),
+                          training=True)
+        r_f = gnn_forward(base, params, bnst, gbf, jax.random.key(2),
+                          training=True)
+        assert float(r_x["iters"]) == float(r_f["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=1e-4)
+
+    def test_hybrid_training_loop_gradients_match_xla_body(self, rng):
+        """Full training-loss grads through fused_train_loop's custom VJP
+        (saved per-iteration aggregations) == differentiating the XLA body."""
+        from gnn_tpu.models.core import evaluate_single
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
+                                 dropout_pos=(0,), alphadropout=True)
+        base = dataclasses.replace(spec, state_spec=ss)
+
+        def grads(b):
+            def f(p):
+                _, l, _ = evaluate_single(base, p, bnst, b, jax.random.key(3),
+                                          "mse", {}, training=True)
+                return l
+            return jax.grad(f)(params)
+
+        g_x, g_f = grads(gb), grads(gbf)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_hybrid_training_loop_dynamic_iteration_count(self, rng):
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
+                                 dropout_pos=(0,), alphadropout=True)
+        for th in (0.4, 1.5, 1e9):
+            base = dataclasses.replace(spec, state_spec=ss, threshold=th,
+                                       max_iteration=6)
+            r_x = gnn_forward(base, params, bnst, gb, jax.random.key(4),
+                              training=True)
+            r_f = gnn_forward(base, params, bnst, gbf, jax.random.key(4),
+                              training=True)
+            assert float(r_x["iters"]) == float(r_f["iters"])
+            np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                       np.asarray(r_x["state"]), atol=1e-4)
+
+    def test_hybrid_training_bn_config_keeps_xla_body(self, rng):
+        """BN training configs must NOT ride the looped kernel under 'auto'
+        (global batch moments every iteration) — XLA body, exact match."""
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
+                                 dropout_pos=(0,), alphadropout=True,
+                                 batch_normalization=True)
+        base = dataclasses.replace(spec, state_spec=ss)
+        params2, bn2 = gnn_init(base, jax.random.key(0))
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(2),
+                                  training=True))(params2))
+        assert "pallas" not in jx
+        r_x = gnn_forward(base, params2, bn2, gb, jax.random.key(2),
+                          training=True)
+        r_f = gnn_forward(base, params2, bn2, gbf, jax.random.key(2),
+                          training=True)
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=1e-6)
+
     def test_rejects_multilayer_state_net(self, rng):
         gb, spec, params, bnst = blocked_workload(rng)
         ss = MLPSpec(input_dim=13, units=(16, 5), activations="tanh",
