@@ -46,13 +46,15 @@ chunks = [tr[i:i + 32] for i in range(0, len(tr), 32)]
 probe = [from_graphs_blocked(c, block_w=128, target_pad=128, edge_pad=4096)
          for c in chunks]
 max_b = max(b.adj_blocks.shape[0] for b in probe)
+# fused_layout: BN-free dropout-free layers ride the looped Pallas kernel in
+# BOTH training and eval under aggregation='auto'
 mk = dict(block_w=128, target_pad=128, edge_pad=4096, min_blocks=max_b,
-          adj_dtype=adj_dtype)
+          adj_dtype=adj_dtype, fused_layout=True)
 gTr = [from_graphs_blocked(c, **mk) for c in chunks]
 gVa = from_graphs_blocked([graphs[i] for i in iVa], block_w=128,
-                          adj_dtype=adj_dtype)
+                          adj_dtype=adj_dtype, fused_layout=True)
 gTe = from_graphs_blocked([graphs[i] for i in iTe], block_w=128,
-                          adj_dtype=adj_dtype)
+                          adj_dtype=adj_dtype, fused_layout=True)
 
 get_state, get_output = False, True
 gnns = []
