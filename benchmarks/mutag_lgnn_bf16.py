@@ -6,6 +6,9 @@ Target: >= 0.79 at bf16-class step time.
 
 Run on the chip:  PYTHONUNBUFFERED=1 python benchmarks/mutag_lgnn_bf16.py
 Env: LGNN_BF16_MODE=mixed (default) | f32 | bf16   LGNN_LAYERS=3  EPOCHS=200
+     LGNN_BF16_ADJ=f32|bf16 (mixed mode only; default f32 — round-1 data
+     shows a bf16 adjacency stream alone costs ~0.013 accuracy)
+     SPLIT_SEED=7
 """
 
 import os
@@ -36,11 +39,13 @@ if MODE == "bf16":
     from gnn_tpu.config import set_floatx
     set_floatx("bfloat16")
 
-adj_dtype = jnp.bfloat16 if MODE == "mixed" else None
+ADJ = os.environ.get("LGNN_BF16_ADJ", "f32")
+adj_dtype = jnp.bfloat16 if (MODE == "mixed" and ADJ == "bf16") else None
 state_dtype = "bfloat16" if MODE == "mixed" else None
+SPLIT_SEED = int(os.environ.get("SPLIT_SEED", "7"))
 
 graphs = load_mutag(MUTAG)
-iTr, iTe, iVa = utils.getindices(len(graphs), 0.7, 0.1, seed=7)
+iTr, iTe, iVa = utils.getindices(len(graphs), 0.7, 0.1, seed=SPLIT_SEED)
 tr = [graphs[i] for i in iTr]
 chunks = [tr[i:i + 32] for i in range(0, len(tr), 32)]
 probe = [from_graphs_blocked(c, block_w=128, target_pad=128, edge_pad=4096)
@@ -91,5 +96,6 @@ lgnn.train(gTr, epochs=EPOCHS, gVa=gVa, update_freq=20, max_fails=6,
            verbose=0)
 dt = time.perf_counter() - t0
 res = lgnn.test(gTe)
-print(f"\nMODE={MODE} LAYERS={LAYERS} EPOCHS={EPOCHS} wall={dt:.0f}s "
+print(f"\nMODE={MODE} ADJ={ADJ} LAYERS={LAYERS} EPOCHS={EPOCHS} "
+      f"SPLIT_SEED={SPLIT_SEED} wall={dt:.0f}s "
       f"TEST={ {k: round(float(v), 4) for k, v in res.items()} }", flush=True)

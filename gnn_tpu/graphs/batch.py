@@ -278,21 +278,34 @@ class GraphBatch:
         sorted when sort_edges was used — masks/labels stay consistent, like
         the reference reconstructing from its reordered sparse tensors). The
         aggregation mode is inferred from the stored edge weights unless given
-        explicitly. Blocked batches pack nodes non-contiguously and are not
-        reconstructible."""
-        if self.adj_blocks is not None:
-            raise ValueError("blocked batches (from_graphs_blocked) cannot be "
-                             "reconstructed — keep the original graph list")
+        explicitly. Blocked batches (from_graphs_blocked) reconstruct too:
+        graphs are packed sequentially, so real nodes in mask order are in
+        original merged order — pad gaps compress out and edge endpoints remap
+        through the compression."""
         N, E, T = (int(x) for x in np.asarray(self.n_real))
-        src = np.asarray(self.src)[:E].astype(np.float64)
-        dst = np.asarray(self.dst)[:E].astype(np.float64)
+        src = np.asarray(self.src)[:E].astype(np.int64)
+        dst = np.asarray(self.dst)[:E].astype(np.int64)
+        if self.adj_blocks is not None:
+            # blocked packing interleaves pad slots between graphs; compress
+            # node ids over the mask (packing preserves graph order)
+            nm = np.asarray(self.node_mask)
+            new_id = np.cumsum(nm) - 1          # old padded id -> compact id
+            src = new_id[src]
+            dst = new_id[dst]
+            node_rows = np.nonzero(nm)[0]
+        else:
+            node_rows = np.arange(N)
         arcs = np.concatenate(
-            [src[:, None], dst[:, None], np.asarray(self.arc_labels)[:E]], axis=1)
-        nodes = np.asarray(self.nodes)[:N]
+            [src.astype(np.float64)[:, None], dst.astype(np.float64)[:, None],
+             np.asarray(self.arc_labels)[:E]], axis=1)
+        nodes = np.asarray(self.nodes)[node_rows]
         targets = np.asarray(self.targets)[:T]
-        m_len = E if self.focus == "a" else N
-        set_mask = np.asarray(self.set_mask)[:m_len]
-        output_mask = np.asarray(self.output_mask)[:m_len]
+        if self.focus == "a":
+            set_mask = np.asarray(self.set_mask)[:E]
+            output_mask = np.asarray(self.output_mask)[:E]
+        else:
+            set_mask = np.asarray(self.set_mask)[node_rows]
+            output_mask = np.asarray(self.output_mask)[node_rows]
         sample_weights = np.asarray(self.sample_weights)[:T]
         if self.focus == "a" and T:
             # targets are stored in the ORIGINAL entity order while arcs/masks
@@ -313,15 +326,15 @@ class GraphBatch:
 
         node_graph = None
         if self.focus == "g":
-            gid = np.asarray(self.graph_ids)[:N].astype(np.int64)
+            gid = np.asarray(self.graph_ids)[node_rows].astype(np.int64)
             node_graph = np.zeros((N, T), dtype=nodes.dtype)
-            node_graph[np.arange(N), gid] = np.asarray(self.pool_w)[:N]
+            node_graph[np.arange(N), gid] = np.asarray(self.pool_w)[node_rows]
         return Graph(arcs=arcs, nodes=nodes, targets=targets, focus=self.focus,
                      set_mask=set_mask, output_mask=output_mask,
                      sample_weights=sample_weights, node_graph=node_graph,
                      aggregation_mode=aggregation_mode,
                      node_types=(None if self.node_types is None
-                                 else np.asarray(self.node_types)[:N]))
+                                 else np.asarray(self.node_types)[node_rows]))
 
     def pad_shapes(self) -> Tuple[int, int, int]:
         return (self.n_node_pad, self.n_edge_pad, self.n_target_pad)

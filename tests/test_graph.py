@@ -224,16 +224,51 @@ class TestToGraph:
                            np.concatenate([o2, t2], 1)[k2], atol=1e-6)
         assert T == int(np.asarray(gb2.n_real)[2])
 
-    def test_infers_aggregation_and_rejects_blocked(self, rng):
+    def test_infers_aggregation(self, rng):
         g = random_graph(rng, n=20, e=60, agg="sum")
         assert GraphBatch.from_graph(g).to_graph().aggregation_mode == "sum"
         g2 = random_graph(rng, n=20, e=60, agg="normalized")
         assert GraphBatch.from_graph(g2).to_graph().aggregation_mode == "normalized"
-        gs = [random_graph(rng, n=12, e=30, focus="g") for _ in range(3)]
+
+    @pytest.mark.parametrize("focus", ["n", "a", "g"])
+    def test_blocked_roundtrip(self, rng, focus):
+        """from_graphs_blocked packs graphs sequentially with pad gaps;
+        to_graph compresses them out and must agree with Graph.merge."""
         from gnn_tpu.graphs.batch import from_graphs_blocked
+        # one graph bigger than the block width -> residual (cross-block) edges
+        gs = [random_graph(rng, n=n, e=3 * n, focus=focus)
+              for n in (12, 80, 9, 30)]
+        merged = Graph.merge(gs, focus=focus, aggregation_mode="average")
         gbb = from_graphs_blocked(gs, block_w=64)
-        with pytest.raises(ValueError):
-            gbb.to_graph()
+        g2 = gbb.to_graph()
+        assert g2.focus == focus
+        assert g2.n_nodes == merged.n_nodes and g2.n_arcs == merged.n_arcs
+        # node rows come back in original merged order
+        assert np.allclose(g2.nodes, merged.nodes, atol=1e-6)
+        # edges as canonical (src, dst, labels) sets
+        def canon(g):
+            a = np.asarray(g.arcs, dtype=np.float64)
+            return a[np.lexsort(a.T[::-1])]
+        assert np.allclose(canon(g2), canon(merged), atol=1e-6)
+        if focus == "a":
+            # arc targets ride the stored (dst-sorted) arc order; compare
+            # them keyed by the supervised arc, not by row position
+            def arc_targets(g):
+                rows = np.nonzero(g.output_mask)[0]
+                key = np.asarray(g.arcs, np.float64)[rows]
+                order = np.lexsort(key.T[::-1])
+                return key[order], np.asarray(g.targets)[order]
+            k2, t2 = arc_targets(g2)
+            km, tm = arc_targets(merged)
+            assert np.allclose(k2, km, atol=1e-6)
+            assert np.allclose(t2, tm, atol=1e-6)
+        else:
+            assert np.allclose(g2.targets, merged.targets, atol=1e-6)
+        if focus == "g":
+            assert np.allclose(g2.NodeGraph, merged.NodeGraph, atol=1e-6)
+        if focus != "a":
+            assert np.array_equal(g2.set_mask, merged.set_mask)
+            assert np.array_equal(g2.output_mask, merged.output_mask)
 
     def test_graph_focus_pooling_preserved(self, rng):
         gs = [random_graph(rng, n=8 + i, e=20, focus="g") for i in range(3)]
