@@ -27,9 +27,9 @@ import numpy as np
 
 from gnn_tpu.graphs.batch import from_graphs_blocked
 from gnn_tpu.graphs.datasets import load_mutag
-from gnn_tpu.ops.pallas_fused import (bn_inference_affine,
+from gnn_tpu.ops.pallas_fused import (bn_inference_affine, from_blocks_fm,
                                       fused_propagation_step, pack_adjacency,
-                                      pick_group)
+                                      pick_group, to_blocks_fm)
 
 graphs = load_mutag(os.environ.get("MUTAG_PATH", "/root/reference/MUTAG_raw/"))
 gb = from_graphs_blocked(graphs, block_w=128)
@@ -55,11 +55,10 @@ nm3 = gb.node_mask.reshape(Bb, Wb)
 
 
 def to3(x):
-    return x.T.reshape(-1, Bb, Wb).transpose(1, 0, 2)
+    return to_blocks_fm(x, Wb)
 
 
-def from3(x3):
-    return x3.transpose(1, 0, 2).reshape(x3.shape[1], -1).T
+from3 = from_blocks_fm
 
 
 featsT3 = to3(gb.agg_arcs_cache.astype(jnp.float32))

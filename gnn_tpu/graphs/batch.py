@@ -523,9 +523,14 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
         loop_ids_np = np.setdiff1d(np.arange(B, dtype=np.int64), dep_set)
         Bi = len(loop_ids_np)
         adjT = np.ascontiguousarray(adj.transpose(0, 2, 1))
-        if adj_dtype is None and adj.dtype == np.float32:
-            hi = adjT.astype(bf16)
-            lo = (adjT - hi.astype(np.float32)).astype(bf16)
+        # hi/lo-pack whenever the EFFECTIVE adjacency precision is above
+        # bf16 (adj_dtype=None keeps the batch dtype; an explicit f32/f64
+        # request must not silently degrade the fused path to single bf16)
+        eff_dt = np.dtype(adj_dtype) if adj_dtype is not None else adj.dtype
+        if eff_dt != np.dtype(bf16):
+            a32 = adjT.astype(np.float32)
+            hi = a32.astype(bf16)
+            lo = (a32 - hi.astype(np.float32)).astype(bf16)
             packed = np.concatenate([hi, lo], axis=2)     # [B, W, 2W]
         else:
             packed = adjT.astype(bf16)

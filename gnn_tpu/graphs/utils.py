@@ -35,7 +35,8 @@ def getindices(len_dataset: int, perc_Train: float = 0.7, perc_Valid: float = 0.
         raise ValueError("Error - percentage must stay in [0-1] and their sum must be <= 1")
     order = np.arange(len_dataset)
     if seed is not False:
-        np.random.default_rng(seed if seed else None).shuffle(order)
+        # seed=0 is a valid deterministic seed — only None means fresh entropy
+        np.random.default_rng(None if seed is None else seed).shuffle(order)
     n_test = round(len_dataset * (1 - perc_Train - perc_Valid))
     n_valid = round(len_dataset * perc_Valid)
     test_idx, valid_idx, train_idx = np.split(order, [n_test, n_test + n_valid])

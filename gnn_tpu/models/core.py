@@ -262,9 +262,13 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         from gnn_tpu.ops.pallas_fused import supports_fused as _sf
         from gnn_tpu.ops.pallas_fused import supports_fused_train as _sft
         D0 = gb.nodes.shape[1]
+        # grad_mode='ift' opts into the implicit adjoint installed after the
+        # XLA body below — the fused kernels' unrolled custom VJPs would
+        # silently override it, so ift specs never dispatch to them
         eligible = (spec.state_dim == 0 and spec.shard_axis is None
                     and spec.state_spec.num_layers == 1
-                    and spec.state_spec.units[-1] == D0)
+                    and spec.state_spec.units[-1] == D0
+                    and spec.grad_mode != "ift")
         use_fused = eligible and _sf(spec.state_spec, training)
         # dropout-only training configs (no BN) ride the looped TRAINING
         # kernel; BN configs keep the XLA body (BN's batch moments are a
@@ -275,14 +279,17 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                        and _sft(spec.state_spec))
     if use_fused or fused_train or spec.aggregation == "fused":
         from gnn_tpu.ops.pallas_fused import (FUSABLE_ACTIVATIONS,
+                                              _drop_coeffs,
                                               bn_inference_affine,
+                                              from_blocks_fm,
                                               fused_propagation_loop,
                                               fused_propagation_step,
                                               fused_train_loop,
                                               fused_train_step,
                                               pack_adjacency, pick_group,
                                               supports_fused,
-                                              supports_fused_train)
+                                              supports_fused_train,
+                                              to_blocks_fm)
     if spec.aggregation == "fused":
         if gb.adj_blocks is None:
             raise ValueError("aggregation='fused' needs a block-dense batch "
@@ -290,6 +297,10 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         if spec.state_dim != 0 or spec.shard_axis is not None:
             raise ValueError("aggregation='fused' implements state_dim=0, "
                              "unsharded semantics")
+        if spec.grad_mode == "ift":
+            raise ValueError("aggregation='fused' uses the kernels' unrolled "
+                             "custom VJPs — incompatible with grad_mode='ift' "
+                             "(use aggregation='auto' or 'blocked')")
         if (spec.state_spec.num_layers != 1
                 or spec.state_spec.activations[0] not in FUSABLE_ACTIVATIONS):
             raise ValueError(
@@ -318,11 +329,8 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         _hp = partial(jnp.einsum, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
 
-        def to3(x):     # [Np, K] node-major -> [B, K, Wb] feature-major blocks
-            return x.T.reshape(-1, Bb, Wb).transpose(1, 0, 2)
-
-        def from3(x3):  # [B, K, Wb] -> [Np, K]
-            return x3.transpose(1, 0, 2).reshape(x3.shape[1], -1).T
+        to3 = partial(to_blocks_fm, block_w=Wb)
+        from3 = from_blocks_fm
 
         featsT3 = to3(agg_arcs.astype(state0.dtype))
         fT3H = (_hp("hf,bfw->bhw", w1T[:, 2 * D:], featsT3)
@@ -466,12 +474,8 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         has_bn = spec.state_spec.batch_normalization
         _hp = partial(jnp.einsum, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-
-        def to3(x):     # [Np, K] node-major -> [B, K, Wb] feature-major
-            return x.T.reshape(-1, Bb, Wb).transpose(1, 0, 2)
-
-        def from3(x3):  # [B, K, Wb] -> [Np, K]
-            return x3.transpose(1, 0, 2).reshape(x3.shape[1], -1).T
+        to3 = partial(to_blocks_fm, block_w=Wb)
+        from3 = from_blocks_fm
 
         adj_pack = (gb.adj_packT if gb.adj_packT is not None
                     else pack_adjacency(jnp.swapaxes(gb.adj_blocks, 1, 2)))
@@ -480,15 +484,14 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         featsT3 = to3(agg_arcs.astype(state0.dtype))   # [B, AL, Wb]
         fT3H_clean = (_hp("hf,bfw->bhw", Wf, featsT3)
                       + b1[None, :, None]).astype(state0.dtype)
-        if rate > 0.0 and alpha:
-            a_c = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
-            b_c = -a_c * _ALPHA_P * rate
+        if rate > 0.0:
+            a_c, b_c = _drop_coeffs(alpha, rate)
 
         def drop_half(x3, keep3):
             # ops/mlp.py::_dropout applied to a pre-sliced input half
             if alpha:
                 return a_c * jnp.where(keep3 > 0.5, x3, _ALPHA_P) + b_c
-            return jnp.where(keep3 > 0.5, x3 * (1.0 / (1.0 - rate)), 0.0)
+            return jnp.where(keep3 > 0.5, a_c * x3, 0.0)
 
         if gb.adj_loop is not None and not has_bn:
             # --- hybrid looped TRAINING path (fused_layout batch, no BN) ----

@@ -106,6 +106,10 @@ class ScalarWriter:
                 self.tb.histogram(f"{scope}/{net_name} {layer}", np.asarray(arr), step)
             self.tb.flush()
 
+    def close(self) -> None:
+        if self.tb is not None:
+            self.tb.close()
+
 
 class BaseModel(ABC):
     """Abstract engine; concrete models define the device computation."""
@@ -363,6 +367,10 @@ class BaseModel(ABC):
 
         for ns, net, leaves in self._weight_summaries():
             (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
+        for w in (netS_writer, netO_writer, training_writer):
+            w.close()
+        if gVa:
+            validation_writer.close()
 
     # ----------------------------------------------------------------- test
     def test(self, gTe, *, rocdir: str = "", micro_and_macro: bool = False,

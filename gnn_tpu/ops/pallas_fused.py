@@ -191,6 +191,18 @@ def _fused_fwd_impl(adj_pack, stateT3, resT3H, featsT3H, w2, aff, *,
     )(*operands)
 
 
+def to_blocks_fm(x, block_w: int):
+    """[Np, K] node-major -> [B, K, Wb] feature-major blocks (the kernels'
+    layout: a block's 128 nodes fill the lanes, features sit on sublanes)."""
+    B = x.shape[0] // block_w
+    return x.T.reshape(-1, B, block_w).transpose(1, 0, 2)
+
+
+def from_blocks_fm(x3):
+    """[B, K, Wb] feature-major blocks -> [Np, K] node-major."""
+    return x3.transpose(1, 0, 2).reshape(x3.shape[1], -1).T
+
+
 def pack_adjacency(adjT_blocks):
     """Pack the transposed block adjacency for the kernel: f32 →
     [B, Wb, 2Wb] bf16 [hi | lo] columns (high-precision mode, same total

@@ -135,11 +135,15 @@ class TBEventFile:
     tf.name_scope(scope) + tf.summary.scalar(name) would produce.
     """
 
+    _seq = 0  # per-process uniquifier: second-resolution timestamps collide
+
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
-        fname = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+        TBEventFile._seq += 1
+        fname = (f"events.out.tfevents.{int(time.time())}."
+                 f"{socket.gethostname()}.{os.getpid()}.{TBEventFile._seq}")
         self.path = os.path.join(logdir, fname)
-        self._f = open(self.path, "ab")
+        self._f = open(self.path, "wb")
         self._record(_event(file_version="brain.Event:2"))
 
     def _record(self, payload: bytes) -> None:

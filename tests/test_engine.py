@@ -131,6 +131,10 @@ class TestUtils:
         assert len(tr) == 70 and len(te) == 20 and len(va) == 10
         assert sorted(tr + te + va) == list(range(100))
 
+    def test_getindices_seed_zero_deterministic(self):
+        # seed=0 is falsy but must still be a deterministic seed
+        assert getindices(50, 0.6, 0.2, seed=0) == getindices(50, 0.6, 0.2, seed=0)
+
     def test_getindices_no_shuffle(self):
         tr, te, va = getindices(10, 0.5, 0.2, seed=False)
         assert te == [0, 1, 2] and va == [3, 4] and tr == [5, 6, 7, 8, 9]

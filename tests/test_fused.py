@@ -371,3 +371,18 @@ class TestFusedExactness:
         params2, bn2 = gnn_init(bad, jax.random.key(0))
         with pytest.raises(ValueError, match="single-dense-layer"):
             gnn_forward(bad, params2, bn2, gb, jax.random.key(1))
+
+    def test_ift_spec_never_dispatches_to_kernels(self, rng):
+        """grad_mode='ift' installs the implicit adjoint AFTER the XLA body;
+        the fused kernels' unrolled custom VJPs would silently override it,
+        so ift specs must keep the XLA body under 'auto' and be rejected by
+        explicit aggregation='fused'."""
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        ift = dataclasses.replace(spec, grad_mode="ift")
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(ift, p, bnst, gbf, jax.random.key(2)))(params))
+        assert "pallas" not in jx
+        fused_ift = dataclasses.replace(spec, aggregation="fused",
+                                        grad_mode="ift")
+        with pytest.raises(ValueError, match="ift"):
+            gnn_forward(fused_ift, params, bnst, gb, jax.random.key(1))
