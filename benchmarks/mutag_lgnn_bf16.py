@@ -8,7 +8,7 @@ Run on the chip:  PYTHONUNBUFFERED=1 python benchmarks/mutag_lgnn_bf16.py
 Env: LGNN_BF16_MODE=mixed (default) | f32 | bf16   LGNN_LAYERS=3  EPOCHS=200
      LGNN_BF16_ADJ=f32|bf16 (mixed mode only; default f32 — round-1 data
      shows a bf16 adjacency stream alone costs ~0.013 accuracy)
-     SPLIT_SEED=7
+     SPLIT_SEED=7   LGNN_FUSED=1|0 (fused-layout batches -> Pallas kernels)
 """
 
 import os
@@ -43,6 +43,7 @@ ADJ = os.environ.get("LGNN_BF16_ADJ", "f32")
 adj_dtype = jnp.bfloat16 if (MODE == "mixed" and ADJ == "bf16") else None
 state_dtype = "bfloat16" if MODE == "mixed" else None
 SPLIT_SEED = int(os.environ.get("SPLIT_SEED", "7"))
+FUSED = os.environ.get("LGNN_FUSED", "1") != "0"
 
 graphs = load_mutag(MUTAG)
 iTr, iTe, iVa = utils.getindices(len(graphs), 0.7, 0.1, seed=SPLIT_SEED)
@@ -54,12 +55,12 @@ max_b = max(b.adj_blocks.shape[0] for b in probe)
 # fused_layout: BN-free dropout-free layers ride the looped Pallas kernel in
 # BOTH training and eval under aggregation='auto'
 mk = dict(block_w=128, target_pad=128, edge_pad=4096, min_blocks=max_b,
-          adj_dtype=adj_dtype, fused_layout=True)
+          adj_dtype=adj_dtype, fused_layout=FUSED)
 gTr = [from_graphs_blocked(c, **mk) for c in chunks]
 gVa = from_graphs_blocked([graphs[i] for i in iVa], block_w=128,
-                          adj_dtype=adj_dtype, fused_layout=True)
+                          adj_dtype=adj_dtype, fused_layout=FUSED)
 gTe = from_graphs_blocked([graphs[i] for i in iTe], block_w=128,
-                          adj_dtype=adj_dtype, fused_layout=True)
+                          adj_dtype=adj_dtype, fused_layout=FUSED)
 
 get_state, get_output = False, True
 gnns = []
@@ -96,6 +97,6 @@ lgnn.train(gTr, epochs=EPOCHS, gVa=gVa, update_freq=20, max_fails=6,
            verbose=0)
 dt = time.perf_counter() - t0
 res = lgnn.test(gTe)
-print(f"\nMODE={MODE} ADJ={ADJ} LAYERS={LAYERS} EPOCHS={EPOCHS} "
+print(f"\nMODE={MODE} ADJ={ADJ} FUSED={FUSED} LAYERS={LAYERS} EPOCHS={EPOCHS} "
       f"SPLIT_SEED={SPLIT_SEED} wall={dt:.0f}s "
       f"TEST={ {k: round(float(v), 4) for k, v in res.items()} }", flush=True)
