@@ -419,10 +419,9 @@ def _host_agg(values, weights, dst, num_nodes):
 
 
 def _build_plan(src, dst, edge_w, num_nodes):
-    # v1 chunk-grid kernel: correct on hardware and compiles in seconds.
-    # (The v2 manual-DMA kernel is exact in interpret mode but its Mosaic
-    # compile is currently pathological through the remote-compile path —
-    # kept experimental via build_agg_plan_v2.)
+    # chunk-grid Pallas segment kernel: correct on hardware, compiles in
+    # seconds (ops/pallas_segment.py; the block-dense fused kernels in
+    # ops/pallas_fused.py are the faster production path for blocked batches)
     from gnn_tpu.ops.pallas_segment import build_agg_plan
     return build_agg_plan(src, dst, edge_w, num_nodes)
 

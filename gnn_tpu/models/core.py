@@ -190,14 +190,11 @@ def make_agg_closures(spec: GNNSpec, gb: GraphBatch):
                     gb.res_dst, num_segments=Np)
             return _psum(r)
     elif use_plan:
-        from gnn_tpu.ops.pallas_segment import (AggPlanV2Pair, block_aggregate,
-                                                block_aggregate_v2)
-        _agg_fn = (block_aggregate_v2 if isinstance(gb.agg_plan, AggPlanV2Pair)
-                   else block_aggregate)
+        from gnn_tpu.ops.pallas_segment import block_aggregate
 
         def agg_state(s):
             # fused gather + weighted segment sum on the MXU (the hot op)
-            return _psum(_agg_fn(s, gb.agg_plan))
+            return _psum(block_aggregate(s, gb.agg_plan))
     else:
         def agg_state(s):
             return agg(jnp.take(s, gb.src, axis=0))

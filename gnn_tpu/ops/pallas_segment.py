@@ -284,196 +284,3 @@ def block_aggregate(state: jnp.ndarray, plans: AggPlanPair) -> jnp.ndarray:
     statics = (plans.fwd.block_w, plans.fwd.chunk_c)
     return _block_aggregate(statics, state, _plan_to_leaves(plans.fwd),
                             _plan_to_leaves(plans.bwd))
-
-
-# ===========================================================================
-# Kernel v2 — grid over destination node blocks, inner double-buffered DMA
-# loop over each block's chunks. Removes the per-chunk grid-step overhead
-# that bounds v1 (~1.7 us/step): steps shrink from n_chunks to n_blocks and
-# chunk data (state block + packed edge page) streams via async copies
-# overlapped with the one-hot matmuls.
-# ===========================================================================
-
-@struct.dataclass
-class AggPlanV2:
-    """Block-major execution plan for the v2 kernel (one direction)."""
-    edges: jnp.ndarray          # [K, 8, C] int32 — rows 0:src_local 1:dst_local
-                                #   2: edge weight bitcast to int32 (rows 3-7 pad)
-    chunk_src_blk: jnp.ndarray  # [K] int32
-    blk_ptr: jnp.ndarray        # [B+1] int32 — chunk range per dst block
-    block_w: int = struct.field(pytree_node=False, default=256)
-    chunk_c: int = struct.field(pytree_node=False, default=256)
-    n_blocks: int = struct.field(pytree_node=False, default=0)
-
-
-@struct.dataclass
-class AggPlanV2Pair:
-    fwd: AggPlanV2
-    bwd: AggPlanV2
-
-
-def _to_v2(plan: AggPlan, num_nodes: int) -> AggPlanV2:
-    """Convert a chunk plan (already sorted by dst block) to block-major v2."""
-    W, C = plan.block_w, plan.chunk_c
-    B = num_nodes // W
-    src_local = np.asarray(plan.src_local)
-    dst_local = np.asarray(plan.dst_local)
-    w = np.asarray(plan.w)
-    csb = np.asarray(plan.chunk_src_blk)
-    cdb = np.asarray(plan.chunk_dst_blk)
-
-    # drop alignment padding chunks (all-zero weights repeated at the tail
-    # are harmless but waste DMA) — keep it simple: keep all chunks.
-    K = src_local.shape[0]
-    edges = np.zeros((K, 8, C), np.int32)
-    edges[:, 0, :] = src_local
-    edges[:, 1, :] = dst_local
-    edges[:, 2, :] = w.astype(np.float32).view(np.int32)
-    counts = np.bincount(cdb, minlength=B)
-    blk_ptr = np.zeros(B + 1, np.int32)
-    np.cumsum(counts, out=blk_ptr[1:])
-    return AggPlanV2(edges=jnp.asarray(edges), chunk_src_blk=jnp.asarray(csb),
-                     blk_ptr=jnp.asarray(blk_ptr), block_w=W, chunk_c=C,
-                     n_blocks=B)
-
-
-def build_agg_plan_v2(src, dst, weights, num_nodes: int, *, block_w: int = 256,
-                      chunk_c: int = 256) -> AggPlanV2Pair:
-    pair = build_agg_plan(src, dst, weights, num_nodes, block_w=block_w,
-                          chunk_c=chunk_c)
-    return AggPlanV2Pair(fwd=_to_v2(pair.fwd, num_nodes),
-                         bwd=_to_v2(pair.bwd, num_nodes))
-
-
-def _agg_kernel_v2(blk_ptr_ref, csb_ref, state_hbm, edges_hbm, out_ref,
-                   st_buf, ed_buf, sems, *, C: int, W: int, D: int):
-    # Feature-major layout: state_hbm [D, N], out [D, W] per block — node-block
-    # slices along the lane dimension are 128-aligned, so manual DMA works for
-    # any feature dim D.
-    b = pl.program_id(0)
-    lo = blk_ptr_ref[b]
-    hi = blk_ptr_ref[b + 1]
-    out_ref[:] = jnp.zeros_like(out_ref)
-
-    prec = (jax.lax.Precision.HIGHEST if st_buf.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-
-    def state_dma(k, slot):
-        return pltpu.make_async_copy(
-            state_hbm.at[:, pl.ds(csb_ref[k] * W, W)], st_buf.at[slot],
-            sems.at[slot, 0])
-
-    def edge_dma(k, slot):
-        return pltpu.make_async_copy(edges_hbm.at[k], ed_buf.at[slot],
-                                     sems.at[slot, 1])
-
-    @pl.when(lo < hi)
-    def _():
-        state_dma(lo, 0).start()
-        edge_dma(lo, 0).start()
-
-    def body(k, _):
-        slot = jax.lax.rem(k - lo, 2)
-        nxt = 1 - slot
-
-        @pl.when(k + 1 < hi)
-        def _():
-            state_dma(k + 1, nxt).start()
-            edge_dma(k + 1, nxt).start()
-
-        state_dma(k, slot).wait()
-        edge_dma(k, slot).wait()
-
-        src_local = ed_buf[slot, 0, :]
-        dst_local = ed_buf[slot, 1, :]
-        w = pltpu.bitcast(ed_buf[slot, 2:3, :], jnp.float32)[0, :]
-
-        # gather: msgs [D, C] = state_blk [D, W] · G^T, G[e,i] = (src_e == i)
-        G = (src_local[:, None] ==
-             jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)).astype(st_buf.dtype)
-        msgs = jax.lax.dot_general(st_buf[slot], G, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=prec)
-        # scatter: out [D, W] += msgs [D, C] · S^T, S[i,e] = w_e·(dst_e == i)
-        S = (dst_local[None, :] ==
-             jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)).astype(st_buf.dtype) \
-            * w[None, :]
-        out_ref[:] += jax.lax.dot_general(
-            msgs.astype(st_buf.dtype), S, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec).astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(lo, hi, body, 0)
-
-
-def _run_plan_v2(state: jnp.ndarray, plan: AggPlanV2, interpret: bool) -> jnp.ndarray:
-    N, D = state.shape
-    W, C, B = plan.block_w, plan.chunk_c, plan.n_blocks
-    D8 = -(-D // 8) * 8  # sublane-align the feature axis for manual DMA
-    kernel = functools.partial(_agg_kernel_v2, C=C, W=W, D=D8)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # blk_ptr, chunk_src_blk
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # state [D8, N] (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # edges (manual DMA)
-        ],
-        out_specs=pl.BlockSpec((D8, W), lambda b, ptr, csb: (0, b)),
-        scratch_shapes=[
-            pltpu.VMEM((2, D8, W), state.dtype),
-            pltpu.VMEM((2, 8, C), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    state_t = state.T
-    if D8 != D:
-        state_t = jnp.concatenate(
-            [state_t, jnp.zeros((D8 - D, N), state.dtype)], axis=0)
-    out_t = pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D8, N), state.dtype),
-        interpret=interpret,
-    )(plan.blk_ptr, plan.chunk_src_blk, state_t, plan.edges)
-    return out_t[:D].T
-
-
-def _v2_leaves(plan: AggPlanV2):
-    return (plan.edges, plan.chunk_src_blk, plan.blk_ptr)
-
-
-def _v2_from_leaves(leaves, statics) -> AggPlanV2:
-    W, C, B = statics
-    return AggPlanV2(edges=leaves[0], chunk_src_blk=leaves[1], blk_ptr=leaves[2],
-                     block_w=W, chunk_c=C, n_blocks=B)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _block_aggregate_v2(statics, state, fwd_leaves, bwd_leaves):
-    return _run_plan_v2(state, _v2_from_leaves(fwd_leaves, statics),
-                        _should_interpret())
-
-
-def _ba2_fwd(statics, state, fwd_leaves, bwd_leaves):
-    return _block_aggregate_v2(statics, state, fwd_leaves, bwd_leaves), \
-        (fwd_leaves, bwd_leaves)
-
-
-def _ba2_bwd(statics, res, ct):
-    fwd_leaves, bwd_leaves = res
-    d_state = _run_plan_v2(ct, _v2_from_leaves(bwd_leaves, statics),
-                           _should_interpret())
-    return (d_state,
-            tuple(_zero_ct(x) for x in fwd_leaves),
-            tuple(_zero_ct(x) for x in bwd_leaves))
-
-
-_block_aggregate_v2.defvjp(_ba2_fwd, _ba2_bwd)
-
-
-def block_aggregate_v2(state: jnp.ndarray, plans: AggPlanV2Pair) -> jnp.ndarray:
-    """v2 fused aggregation (block-major grid + manual DMA pipeline)."""
-    statics = (plans.fwd.block_w, plans.fwd.chunk_c, plans.fwd.n_blocks)
-    return _block_aggregate_v2(statics, state, _v2_leaves(plans.fwd),
-                               _v2_leaves(plans.bwd))
