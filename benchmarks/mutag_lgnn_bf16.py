@@ -76,8 +76,6 @@ for layer in range(LAYERS):
                           batch_normalization=False),
         net_output=MLPSpec(input_dim=in_o, units=tuple(l_o),
                            activations=("selu", "softmax"),
-                           kernel_initializer="glorot_normal",
-                           bias_initializer="glorot_normal",
                            batch_normalization=False),
         optimizer="adam", loss_function="categorical_crossentropy",
         loss_arguments={"from_logits": False}, max_iteration=5, threshold=0.01,

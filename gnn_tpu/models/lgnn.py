@@ -152,6 +152,69 @@ def _lgnn_eval_impl(specs, params, bns, gb, rng, *, loss_name, loss_args_t,
     return jnp.stack(iters), loss, tuple(outs), state
 
 
+def make_lgnn_dp_train_step(specs, loss_name: str, loss_args: Optional[dict],
+                            optimizer_cfg: dict, mesh, axis: str = "data",
+                            mean: bool = True, get_state: bool = False,
+                            get_output: bool = True,
+                            training_mode: str = "parallel"):
+    """Data-parallel LGNN training step (mirrors
+    parallel/data_parallel.make_dp_train_step for the layer stack): one
+    stacked GraphBatch shard per device, per-replica stack grads pmean-ed
+    over ICI, replicated update. Covers the 'parallel' and 'residual' loss
+    formulations (LGNN.py:304-307); 'serial' trains layers standalone —
+    use the per-layer DP step for that.
+
+    step(params, bns, opt_state, stacked_gb, rngs) with params/bns tuples of
+    per-layer pytrees; build stacked_gb with parallel.shard_batches."""
+    from jax.sharding import PartitionSpec as P
+
+    if training_mode not in ("parallel", "residual"):
+        raise ValueError("DP LGNN step covers 'parallel'/'residual' modes")
+    specs = tuple(specs)
+    loss_args = dict(loss_args or {})
+    opt = make_optimizer(optimizer_cfg)
+
+    def per_replica(params, bns, gb, rng):
+        gb = jax.tree_util.tree_map(lambda x: x[0], gb)
+        rng = rng[0]
+
+        def loss_fn(p):
+            iters, outs, _, new_bns = lgnn_forward(specs, p, bns, gb, rng,
+                                                   True, get_state, get_output)
+            loss = _lgnn_loss(specs, loss_name, loss_args, gb, outs,
+                              training_mode)
+            loss = loss + sum(_reg_any(s, pi) for s, pi in zip(specs, p))
+            return loss, (iters, new_bns)
+
+        grads, (iters, new_bns) = jax.grad(loss_fn, has_aux=True)(params)
+        if mean:
+            # per-layer division of state-net grads by that layer's realised
+            # iteration count (GNN_BaseClass.py:239-241 applied per layer)
+            grads = tuple(
+                {**g, "state": jax.tree_util.tree_map(
+                    lambda x: x / jnp.maximum(it, 1.0), g["state"])}
+                for g, it in zip(grads, iters))
+        grads = jax.lax.pmean(grads, axis)
+        new_bns = jax.lax.pmean(new_bns, axis)
+        iters = jax.lax.pmean(jnp.stack(iters), axis)
+        return grads, new_bns, iters
+
+    mapped = jax.shard_map(
+        per_replica, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, bns, opt_state, stacked_gb, rngs):
+        grads, new_bns, iters = mapped(params, bns, stacked_gb, rngs)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return params, new_bns, opt_state, iters
+
+    return step
+
+
 class LGNN(BaseModel):
     """Stack of L homogeneous GNNs (reference LGNN.py:13)."""
 

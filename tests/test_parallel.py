@@ -286,3 +286,63 @@ class TestNodeSharded:
         g2 = random_graph(40, 3, 1, 2, 0.4, focus="n", rng=rng)
         with pytest.raises(ValueError):
             shard_nodes(GraphBatch.from_graph(g2, sort_edges=False), mesh)
+
+
+class TestLGNNDataParallel:
+    """make_lgnn_dp_train_step: stack grads pmean-ed over the data axis equal
+    the mean of per-batch LGNN gradients (parallel loss formulation)."""
+
+    @pytest.mark.parametrize("training_mode", ["parallel", "residual"])
+    def test_dp_equals_mean_of_per_batch_grads(self, training_mode):
+        from gnn_tpu.models.lgnn import (_lgnn_loss, _reg_any, lgnn_forward,
+                                         make_lgnn_dp_train_step)
+        from gnn_tpu.ops.mlp import get_inout_dims
+        rng = np.random.default_rng(7)
+        nl, al, dt = 3, 1, 2
+        specs, params, bns = [], [], []
+        for layer in range(2):
+            in_s, l_s = get_inout_dims("state", nl, al, dt, "n", 0, None,
+                                       layer=layer, get_state=False,
+                                       get_output=True)
+            in_o, l_o = get_inout_dims("output", nl, al, dt, "n", 0, None,
+                                       layer=layer, get_state=False,
+                                       get_output=True)
+            ss = MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
+                         batch_normalization=False)
+            os_ = MLPSpec(input_dim=in_o, units=tuple(l_o),
+                          activations="softmax", batch_normalization=False)
+            sp = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                         max_iteration=4, threshold=0.01,
+                         aggregation="segment")
+            p, b = gnn_init(sp, jax.random.key(layer))
+            specs.append(sp)
+            params.append(p)
+            bns.append(b)
+        specs, params, bns = tuple(specs), tuple(params), tuple(bns)
+
+        mesh = make_mesh({"data": 8})
+        gs = [random_graph(20, nl, al, dt, 0.5, focus="n", rng=rng)
+              for _ in range(8)]
+        batches = [GraphBatch.from_graph(g, node_pad=128, edge_pad=256,
+                                         target_pad=128) for g in gs]
+        stacked = shard_batches(batches, mesh)
+        rngs = jax.random.split(jax.random.key(1), 8)
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        dp = make_lgnn_dp_train_step(specs, "mse", None, sgd, mesh,
+                                     mean=False, training_mode=training_mode)
+        opt = make_optimizer(sgd)
+        p_dp, _, _, iters = dp(params, bns, opt.init(params), stacked, rngs)
+
+        gsum = None
+        for gb, rk in zip(batches, rngs):
+            def f(p, gb=gb, rk=rk):
+                _, outs, _, _ = lgnn_forward(specs, p, bns, gb, rk, True,
+                                             False, True)
+                loss = _lgnn_loss(specs, "mse", {}, gb, outs, training_mode)
+                return loss + sum(_reg_any(s, pi) for s, pi in zip(specs, p))
+            g1 = jax.grad(f)(params)
+            gsum = g1 if gsum is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, gsum, g1)
+        expect = jax.tree_util.tree_map(lambda p, g: p - g / 8, params, gsum)
+        assert leaves_close(p_dp, expect, atol=1e-5)
+        assert iters.shape == (2,)
