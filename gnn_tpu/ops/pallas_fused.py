@@ -884,7 +884,22 @@ def bn_inference_affine(gamma, beta, mean, var, eps: float = 1e-3):
 
 def pick_group(n_blocks: int, cap: int = 45) -> int:
     """Largest divisor of n_blocks within the VMEM budget (feature-major
-    blocks cost ~90 KB double-buffered; 45 blocks ≈ 8 MB of the 16 MB limit)."""
+    blocks cost ~90 KB double-buffered; 45 blocks ≈ 8 MB of the 16 MB limit).
+
+    Mosaic requires the last two dims of every block shape to be divisible by
+    (8, 128) or equal to the array dims. The loop kernels carry 2-D [B, Wb]
+    node-mask and 3-D [K, B, Wb] margin arrays whose second-to-last block dim
+    IS the group, so the group must be a multiple of 8 — or the whole array
+    (n_blocks ≤ cap). Loop-block counts are padded to multiples of 24 when
+    above cap (from_graphs_blocked), so a valid choice always exists there;
+    the plain-divisor fallback serves the per-step kernels, whose blocks are
+    all ≥3-D with full trailing dims (any group lowers fine)."""
+    if n_blocks <= cap:
+        return n_blocks
+    ok = [d for d in range(1, cap + 1)
+          if n_blocks % d == 0 and d % 8 == 0]
+    if ok:
+        return max(ok)
     return max(d for d in range(1, cap + 1) if n_blocks % d == 0)
 
 

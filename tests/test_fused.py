@@ -386,3 +386,17 @@ class TestFusedExactness:
                                         grad_mode="ift")
         with pytest.raises(ValueError, match="ift"):
             gnn_forward(fused_ift, params, bnst, gb, jax.random.key(1))
+
+
+class TestPickGroup:
+    def test_mosaic_divisibility_contract(self):
+        """Groups above cap must be multiples of 8 (Mosaic block rule for the
+        loop kernels' [B, Wb] mask / [K, B, Wb] margin arrays) whenever such a
+        divisor exists; full-array groups are always legal."""
+        from gnn_tpu.ops.pallas_fused import pick_group
+        assert pick_group(18, cap=45) == 18            # full array
+        assert pick_group(1224, cap=12) == 8           # NOT 12 (12 % 8 != 0)
+        assert pick_group(1224, cap=24) == 24
+        assert pick_group(1200, cap=45) == 40
+        g = pick_group(1027, cap=45)                   # 13*79: no mult-of-8
+        assert 1027 % g == 0                           # step-kernel fallback

@@ -433,3 +433,128 @@ class TestMutagParity:
             mismatch_vs_ref += int((ref_lab != want).any())
         assert mismatch_vs_ref > 0, (
             "reference loader no longer misaligns labels — drop this deviation")
+
+
+# ----------------------------------------------------------------- LGNN parity
+def build_lgnn_pair(g: Graph, *, focus: str, get_state: bool, get_output: bool,
+                    layers: int = 2, hidden: int = 8, tmpdir: str = "/tmp"):
+    """Per-layer reference GNNs + our (specs, params, bns) with identical
+    weights; dims follow the LGNN augmentation growth (MLP.py:93-100)."""
+    from GNN.LGNN import LGNN as RefLGNN
+    from gnn_tpu.ops.mlp import get_inout_dims
+
+    nl, al, dt = g.DIM_NODE_LABEL, g.DIM_ARC_LABEL, g.DIM_TARGET
+    cls = {"n": GNNnodeBased, "a": GNNedgeBased, "g": GNNgraphBased}[focus]
+    tf.keras.utils.set_random_seed(11)
+    ref_gnns, specs, params, bns = [], [], [], []
+    for layer in range(layers):
+        in_s, l_s = get_inout_dims("state", nl, al, dt, focus, 0, hidden,
+                                   layer=layer, get_state=get_state,
+                                   get_output=get_output)
+        in_o, l_o = get_inout_dims("output", nl, al, dt, focus, 0, hidden,
+                                   layer=layer, get_state=get_state,
+                                   get_output=get_output)
+        ref_state = RefMLP(input_dim=in_s, layers=list(l_s),
+                           activations="tanh",
+                           kernel_initializer="glorot_normal",
+                           bias_initializer="glorot_normal",
+                           batch_normalization=False)
+        ref_out = RefMLP(input_dim=in_o, layers=list(l_o),
+                         activations=["tanh"] * (len(l_o) - 1) + ["linear"],
+                         kernel_initializer="glorot_normal",
+                         bias_initializer="glorot_normal",
+                         batch_normalization=False)
+        ref_out.build((None, in_o))
+        ref_gnns.append(cls(
+            ref_state, ref_out, optimizer=tf.keras.optimizers.Adam(1e-3),
+            loss_function=tf.keras.losses.MeanSquaredError(reduction="none"),
+            loss_arguments=None, state_vect_dim=0, max_iteration=4,
+            threshold=0.01, addressed_problem="c",
+            path_writer=f"{tmpdir}/ref_lgnn_w{layer}/"))
+        ss = MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=in_o, units=tuple(l_o),
+                      activations=("tanh",) * (len(l_o) - 1) + ("linear",),
+                      batch_normalization=False)
+        specs.append(GNNSpec(focus=focus, state_spec=ss, output_spec=os_,
+                             max_iteration=4, threshold=0.01))
+        ps, _ = inject(ss, ref_state)
+        po, _ = inject(os_, ref_out)
+        params.append({"state": ps, "output": po})
+        bns.append({"state": {}, "output": {}})
+    from GNN.LGNN import LGNN as _RefLGNN
+    ref_lgnn = _RefLGNN(
+        ref_gnns, get_state=get_state, get_output=get_output,
+        optimizer=tf.keras.optimizers.Adam(1e-3),
+        loss_function=tf.keras.losses.MeanSquaredError(reduction="none"),
+        loss_arguments=None, addressed_problem="c",
+        path_writer=f"{tmpdir}/ref_lgnn_writer/")
+    return ref_lgnn, tuple(specs), tuple(params), tuple(bns)
+
+
+class TestLGNNParity:
+    """The layer stack vs the reference LGNN executing under TF: per-layer
+    outputs through update_graph augmentation (LGNN.py:227-290) and the
+    parallel/residual loss formulations (LGNN.py:201-222)."""
+
+    @pytest.mark.parametrize("get_state,get_output",
+                             [(True, False), (False, True), (True, True)])
+    def test_node_focus_layer_outputs(self, tmp_path, get_state, get_output):
+        from gnn_tpu.models.lgnn import lgnn_forward
+        g = simple_graph("n", aggregation_mode="average")
+        g.set_mask[1] = False  # exercise the masked output scatter
+        ref_lgnn, specs, params, bns = build_lgnn_pair(
+            g, focus="n", get_state=get_state, get_output=get_output,
+            tmpdir=str(tmp_path))
+        ks_ref, _, outs_ref = ref_lgnn.Loop(ref_graph(g), training=False)
+        gb = batch_of(g)
+        iters, outs, _, _ = lgnn_forward(specs, params, bns, gb,
+                                         jax.random.PRNGKey(0), False,
+                                         get_state, get_output)
+        assert [float(k) for k in ks_ref] == [float(i) for i in iters]
+        # the reference's per-layer outs are pre-filtered by set∧output
+        # (GNN.py:245-248); ours keep every target row and select at loss
+        # time via sel_mask — compare on the selected rows
+        sel = np.asarray(gb.sel_mask)
+        for o_ref, o_my in zip(outs_ref, outs):
+            np.testing.assert_allclose(np.asarray(o_my)[sel],
+                                       np.asarray(o_ref), rtol=1e-4,
+                                       atol=1e-5)
+
+    def test_graph_focus_midstack_pooling(self, tmp_path):
+        """Graph-based mid-stack layers augment with NODE-level outputs while
+        contributing POOLED outputs to the loss (LGNN.py:274-278)."""
+        from gnn_tpu.models.lgnn import lgnn_forward
+        gs = [simple_graph("g", aggregation_mode="average") for _ in range(3)]
+        rng = np.random.default_rng(1)
+        for i, gg in enumerate(gs):
+            gg.nodes[:] = gg.nodes + rng.standard_normal(gg.nodes.shape) * (i + 1)
+        m = Graph.merge(gs, focus="g")
+        ref_lgnn, specs, params, bns = build_lgnn_pair(
+            m, focus="g", get_state=False, get_output=True,
+            tmpdir=str(tmp_path))
+        ks_ref, _, outs_ref = ref_lgnn.Loop(ref_graph(m), training=False)
+        iters, outs, _, _ = lgnn_forward(specs, params, bns, batch_of(m),
+                                         jax.random.PRNGKey(0), False,
+                                         False, True)
+        assert [float(k) for k in ks_ref] == [float(i) for i in iters]
+        for o_ref, o_my in zip(outs_ref, outs):
+            assert np.asarray(o_ref).shape == (3, m.DIM_TARGET)
+            np.testing.assert_allclose(np.asarray(o_my), np.asarray(o_ref),
+                                       rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["parallel", "residual"])
+    def test_training_loss_formulations(self, tmp_path, mode):
+        from gnn_tpu.models.lgnn import _lgnn_loss, lgnn_forward
+        g = simple_graph("n", aggregation_mode="sum")
+        ref_lgnn, specs, params, bns = build_lgnn_pair(
+            g, focus="n", get_state=True, get_output=True,
+            tmpdir=str(tmp_path))
+        ref_lgnn.training_mode = mode
+        gt = GraphTensor.fromGraphObject(ref_graph(g))
+        _, loss_ref, *_ = ref_lgnn.evaluate_single_graph(gt, training=True)
+        gb = batch_of(g)
+        _, outs, _, _ = lgnn_forward(specs, params, bns, gb,
+                                     jax.random.PRNGKey(0), True, True, True)
+        loss_my = _lgnn_loss(specs, "mse", {}, gb, outs, mode)
+        np.testing.assert_allclose(float(loss_my), float(loss_ref), rtol=1e-5)
