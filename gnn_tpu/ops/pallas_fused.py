@@ -819,22 +819,22 @@ def _loop_train_fwd(adj_pack, s0, ms, ma, fT, w_cat, nmf, K, threshold,
     return (traj, margins), (adj_pack, s0, ms, ma, fT, w_cat, traj, agg)
 
 
-def _loop_train_bwd(K, threshold, activation, alpha_drop, rate, group,
-                    interpret, res, g):
-    """XLA backward: the forward saved every iteration's pre-dropout
-    aggregation, so h is recomputed without any forward adjacency bmm; the
-    only adjacency-sized product per iteration is the dagg -> ds chain."""
-    g_traj, _ = g                                         # margins: non-diff
-    adj_pack, s0, ms, ma, fT, w_cat, traj, agg = res
-    f32 = jnp.float32
-    Wb = adj_pack.shape[1]
-    hp = adj_pack.shape[2] == 2 * Wb
-    adjT = (adj_pack[..., :Wb].astype(f32) + adj_pack[..., Wb:].astype(f32)
-            if hp else adj_pack.astype(f32))
-    D = s0.shape[1]
-    ein = functools.partial(jnp.einsum, preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
-    w_f = w_cat.astype(f32)
+def _loop_train_bwd_kernel(refs, *, activation: str, hp: bool, K: int,
+                           group: int, block_w: int, alpha_drop: bool,
+                           rate: float):
+    """ALL K reverse iterations of the training-loop backward for a group of
+    blocks in one kernel: the adjacency is DMA'd to VMEM once and every
+    reverse step's recompute (dropout + dense pre-activation), dh, dw
+    accumulation and the dagg -> ds adjacency chain run in VMEM. Mirrors
+    _loop_train_kernel_T's structure; the per-group dw partials are summed by
+    the caller (tiny [G, H, 2D])."""
+    Wb = block_w
+    (adj_ref, s0_ref, traj_ref, agg_ref, ms_ref, ma_ref, fT_ref, w_ref,
+     gt_ref, gs_ref, dw_ref, dfT_ref) = refs
+    adj = adj_ref[:]
+    w = w_ref[:].astype(jnp.float32)                      # [H, 2D]
+    H = w.shape[0]
+    D = s0_ref.shape[1]
     if rate > 0.0:
         a_c, b_c = _drop_coeffs(alpha_drop, rate)
 
@@ -847,26 +847,138 @@ def _loop_train_bwd(K, threshold, activation, alpha_drop, rate, group,
 
     def dmask(m):
         if rate <= 0.0:
-            return jnp.ones_like(m)
-        return a_c * (m > 0.5).astype(f32)
+            return jnp.float32(1.0)
+        return a_c * (m > 0.5).astype(jnp.float32)
 
-    gs = jnp.zeros(s0.shape, f32)
-    dw = jnp.zeros(w_cat.shape, f32)
-    dfT = []
+    if hp:
+        w_hi, w_lo = _split16(w)
+        w4 = jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
+                              (group, 2 * H, 2 * D))
+        wT_hi, wT_lo = _split16(w.T)                      # [2D, H]
+        wT4 = jnp.broadcast_to(jnp.concatenate([wT_hi, wT_lo], axis=0)[None],
+                               (group, 4 * D, H))
+    else:
+        w_b = jnp.broadcast_to(w.astype(adj.dtype)[None], (group, H, 2 * D))
+        wT_b = jnp.broadcast_to(w.T.astype(adj.dtype)[None],
+                                (group, 2 * D, H))
+
+    gs = jnp.zeros((group, D, Wb), jnp.float32)
+    dw = jnp.zeros((H, 2 * D), jnp.float32)
     for k in reversed(range(K)):
-        s_in = (traj[k - 1] if k else s0).astype(f32)
-        x2 = jnp.concatenate([drop(s_in, ms[k]), drop(agg[k], ma[k])],
-                             axis=1)                      # [B, 2D, Wb]
-        h = ein("kd,bdw->bkw", w_f, x2) + fT[k].astype(f32)
-        gy = g_traj[k].astype(f32) + gs
-        dh = gy * _act_grad(activation, h)                # [B, H, Wb]
-        dfT.append(dh)
-        dw = dw + ein("bkw,bdw->kd", dh, x2)
-        dx2 = ein("kd,bkw->bdw", w_f, dh)                 # [B, 2D, Wb]
-        dagg = dx2[:, D:] * dmask(ma[k])
-        gs = dx2[:, :D] * dmask(ms[k]) + ein("bhd,bsd->bhs", dagg, adjT)
-    dfT_full = jnp.stack(dfT[::-1]).astype(fT.dtype)
-    return (None, gs.astype(s0.dtype), None, None, dfT_full,
+        s_in = (traj_ref[k - 1] if k else s0_ref[:]).astype(jnp.float32)
+        x2 = jnp.concatenate([drop(s_in, ms_ref[k]),
+                              drop(agg_ref[k].astype(jnp.float32),
+                                   ma_ref[k])], axis=1)   # [g, 2D, Wb] f32
+        # recompute pre-activation h (one MXU issue, hi/lo packed like fwd)
+        if hp:
+            x_hi, x_lo = _split16(x2)
+            xp = jnp.concatenate([x_hi, x_lo], axis=2)    # [g, 2D, 2Wb]
+            u4 = _BD(w4, xp)                              # [g, 2H, 2Wb]
+            h = ((u4[:, :H, :Wb] + u4[:, :H, Wb:])
+                 + (u4[:, H:, :Wb] + u4[:, H:, Wb:]))
+        else:
+            h = _BD(w_b, x2.astype(adj.dtype))
+        h = h + fT_ref[k].astype(jnp.float32)
+        gy = gt_ref[k].astype(jnp.float32) + gs
+        dh = gy * _act_grad(activation, h)                # [g, H, Wb]
+        dfT_ref[k] = dh.astype(dfT_ref.dtype)
+        # dw += dh · x2ᵀ (contract the lane axis; tiny result, accumulated
+        # in registers/VMEM across k and written once per group)
+        dw = dw + jnp.sum(jax.lax.dot_general(
+            dh, x2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=0)  # [H, 2D]
+        # dx2 = wᵀ · dh (hi/lo packed)
+        if hp:
+            dh_hi, dh_lo = _split16(dh)
+            dhp = jnp.concatenate([dh_hi, dh_lo], axis=2)  # [g, H, 2Wb]
+            v4 = _BD(wT4, dhp)                             # [g, 4D, 2Wb]
+            dx2 = ((v4[:, :2 * D, :Wb] + v4[:, :2 * D, Wb:])
+                   + (v4[:, 2 * D:, :Wb] + v4[:, 2 * D:, Wb:]))
+        else:
+            dx2 = _BD(wT_b, dh.astype(adj.dtype))          # [g, 2D, Wb]
+        dagg = dx2[:, D:] * dmask(ma_ref[k])
+        # ds = dagg @ adjTᵀ: contract the PACKED dst axis. Full hi/lo product
+        # needs the cross terms, so stack [dg_hi|dg_lo ; dg_lo|dg_hi] on rows
+        # against the packed [a_hi | a_lo] columns and sum the halves.
+        if hp:
+            dg_hi, dg_lo = _split16(dagg)
+            top = jnp.concatenate([dg_hi, dg_lo], axis=2)  # [g, D, 2Wb]
+            bot = jnp.concatenate([dg_lo, dg_hi], axis=2)
+            dgB = jnp.concatenate([top, bot], axis=1)      # [g, 2D, 2Wb]
+            dsb = jax.lax.dot_general(
+                dgB, adj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [g, 2D, Wb]
+            ds = dsb[:, :D] + dsb[:, D:]
+        else:
+            ds = jax.lax.dot_general(
+                dagg.astype(adj.dtype), adj,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        gs = dx2[:, :D] * dmask(ms_ref[k]) + ds
+    gs_ref[:] = gs.astype(gs_ref.dtype)
+    dw_ref[0] = dw.astype(dw_ref.dtype)
+
+
+def _loop_train_bwd_impl(adj_pack, s0, traj, agg, ms, ma, fT, w_cat, g_traj,
+                         *, K: int, activation: str, alpha_drop: bool,
+                         rate: float, group: int, interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = s0.shape[1]
+    H = w_cat.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_loop_train_bwd_kernel, activation=activation,
+                               hp=hp, K=K, group=group, block_w=Wb,
+                               alpha_drop=alpha_drop, rate=rate)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    G = B // group
+    b3 = lambda i: (i, 0, 0)        # noqa: E731
+    b4 = lambda i: (0, i, 0, 0)     # noqa: E731
+    gs, dw_part, dfT = pl.pallas_call(
+        wrapped,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 2 * D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 2 * D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D, Wb), s0.dtype),
+            jax.ShapeDtypeStruct((G, H, 2 * D), jnp.float32),
+            jax.ShapeDtypeStruct((K, B, H, Wb), fT.dtype),
+        ],
+        interpret=interpret,
+    )(adj_pack, s0, traj, agg, ms, ma, fT, w_cat, g_traj)
+    return gs, jnp.sum(dw_part, axis=0), dfT
+
+
+def _loop_train_bwd(K, threshold, activation, alpha_drop, rate, group,
+                    interpret, res, g):
+    """Fused backward: all K reverse iterations in one kernel per block group
+    (adjacency streamed once, recompute + dh + dw + dagg->ds chain in VMEM).
+    The forward saved every iteration's pre-dropout aggregation, so no
+    forward adjacency bmm is re-run."""
+    g_traj, _ = g                                         # margins: non-diff
+    adj_pack, s0, ms, ma, fT, w_cat, traj, agg = res
+    gs, dw, dfT = _loop_train_bwd_impl(
+        adj_pack, s0, traj, agg.astype(jnp.float32), ms, ma, fT, w_cat,
+        g_traj.astype(fT.dtype), K=K, activation=activation,
+        alpha_drop=alpha_drop, rate=rate, group=group, interpret=interpret)
+    return (None, gs.astype(s0.dtype), None, None, dfT.astype(fT.dtype),
             dw.astype(w_cat.dtype), None)
 
 
