@@ -398,50 +398,153 @@ def _fused_loop_fwd(adj_pack, s0, fT3H, w2, affine, nmf, K, threshold,
     return (traj, margins), (adj_pack, s0, fT3H, w2, affine, traj)
 
 
+def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
+                     block_w: int):
+    """ALL K reverse iterations of the eval-loop backward for a group of
+    blocks in one kernel (reassociated algebra of _fused_bwd_rule): the
+    adjacency is DMA'd to VMEM once; each reverse step recomputes the
+    pre-activation (u = w2@s, a = u[H:]@adjT — FLOPs are free next to the HBM
+    stream) then runs dh, the dua/gs chains and the dw2/daff accumulations in
+    VMEM. Per-group dw2/daff partials are summed by the caller."""
+    Wb = block_w
+    (adj_ref, s0_ref, traj_ref, fT_ref, w_ref, aff_ref, gt_ref,
+     gs_ref, dw_ref, dfT_ref, daff_ref) = refs
+    adj = adj_ref[:]
+    w2v = w_ref[:].astype(jnp.float32)                    # [2H, D]
+    H2 = w2v.shape[0]
+    H = H2 // 2
+    D = s0_ref.shape[1]
+    fT = fT_ref[:].astype(jnp.float32)
+    aff0 = aff_ref[0:1].astype(jnp.float32)               # [1, H, 1]
+
+    if hp:
+        wT_hi, wT_lo = _split16(w2v.T)                    # [D, 2H]
+        wT4 = jnp.broadcast_to(jnp.concatenate([wT_hi, wT_lo], axis=0)[None],
+                               (group, 2 * D, H2))
+    else:
+        wT_b = jnp.broadcast_to(w2v.T.astype(adj.dtype)[None],
+                                (group, D, H2))
+
+    gs = jnp.zeros((group, D, Wb), jnp.float32)
+    dw2 = jnp.zeros((H2, D), jnp.float32)
+    dfT = jnp.zeros((group, H, Wb), jnp.float32)
+    daff_s = jnp.zeros((1, H, 1), jnp.float32)
+    daff_b = jnp.zeros((1, H, 1), jnp.float32)
+
+    def packed_contract_dst(x):
+        # x @ adjTᵀ with the packed [a_hi | a_lo] dst axis: stack
+        # [x_hi|x_lo ; x_lo|x_hi] on rows, contract, sum halves (exact 4-pass)
+        if not hp:
+            return jax.lax.dot_general(
+                x.astype(adj.dtype), adj,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        x_hi, x_lo = _split16(x)
+        top = jnp.concatenate([x_hi, x_lo], axis=2)
+        bot = jnp.concatenate([x_lo, x_hi], axis=2)
+        xb = jnp.concatenate([top, bot], axis=1)          # [g, 2R, 2Wb]
+        r = jax.lax.dot_general(
+            xb, adj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [g, 2R, Wb]
+        R = x.shape[1]
+        return r[:, :R] + r[:, R:]
+
+    for k in reversed(range(K)):
+        s_in = (traj_ref[k - 1] if k else s0_ref[:])
+        # recompute the pre-activation with the forward's exact packed
+        # algebra (_iter_core returns u[:H] + u[H:]@adjT)
+        h = _iter_core(adj, s_in, w2v, hp=hp, group=group, Wb=Wb) + fT
+        gy_raw = gt_ref[k].astype(jnp.float32) + gs
+        daff_s = daff_s + jnp.sum(gy_raw * _ACTS[activation](h),
+                                  axis=(0, 2))[None, :, None]
+        daff_b = daff_b + jnp.sum(gy_raw, axis=(0, 2))[None, :, None]
+        gy = gy_raw * aff0
+        dh = gy * _act_grad(activation, h)                # [g, H, Wb]
+        dfT = dfT + dh
+        dua = packed_contract_dst(dh)                     # [g, H, Wb]
+        du = jnp.concatenate([dh, dua], axis=1)           # [g, 2H, Wb]
+        dw2 = dw2 + jnp.sum(jax.lax.dot_general(
+            du, s_in.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=0)  # [2H, D]
+        # gs = w2ᵀ @ du (hi/lo packed columns)
+        if hp:
+            du_hi, du_lo = _split16(du)
+            dup = jnp.concatenate([du_hi, du_lo], axis=2)  # [g, 2H, 2Wb]
+            v4 = _BD(wT4, dup)                             # [g, 2D, 2Wb]
+            gs = ((v4[:, :D, :Wb] + v4[:, :D, Wb:])
+                  + (v4[:, D:, :Wb] + v4[:, D:, Wb:]))
+        else:
+            gs = _BD(wT_b, du.astype(adj.dtype))
+    gs_ref[:] = gs.astype(gs_ref.dtype)
+    dw_ref[0] = dw2.astype(dw_ref.dtype)
+    dfT_ref[:] = dfT.astype(dfT_ref.dtype)
+    daff_ref[0] = jnp.concatenate([daff_s, daff_b], axis=0).astype(
+        daff_ref.dtype)
+
+
+def _loop_bwd_impl(adj_pack, s0, traj, fT3H, w2, aff, g_traj, *, K: int,
+                   activation: str, group: int, interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = s0.shape[1]
+    H = w2.shape[0] // 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_loop_bwd_kernel, activation=activation,
+                               hp=hp, K=K, group=group, block_w=Wb)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    G = B // group
+    b3 = lambda i: (i, 0, 0)        # noqa: E731
+    b4 = lambda i: (0, i, 0, 0)     # noqa: E731
+    gs, dw_part, dfT, daff_part = pl.pallas_call(
+        wrapped,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * H, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * H, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, H, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D, Wb), s0.dtype),
+            jax.ShapeDtypeStruct((G, 2 * H, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Wb), fT3H.dtype),
+            jax.ShapeDtypeStruct((G, 2, H, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adj_pack, s0, traj, fT3H, w2, aff.reshape(2, H, 1), g_traj)
+    return gs, jnp.sum(dw_part, axis=0), dfT, jnp.sum(daff_part, axis=0)
+
+
 def _fused_loop_bwd(K, threshold, activation, group, interpret, res, g):
-    """XLA backward: reverse the unrolled loop using the stored snapshots
-    (same reassociated algebra as _fused_bwd_rule, accumulated over k)."""
+    """Fused backward: all K reverse iterations in one kernel per block group
+    (adjacency streamed once; pre-activations recomputed in VMEM from the
+    stored snapshots with the forward's exact packed algebra)."""
     g_traj, _ = g                                         # margins: non-diff
     adj_pack, s0, fT3H, w2, affine, traj = res
-    f32 = jnp.float32
-    Wb = adj_pack.shape[1]
-    hp = adj_pack.shape[2] == 2 * Wb
-    adjT = (adj_pack[..., :Wb].astype(f32) + adj_pack[..., Wb:].astype(f32)
-            if hp else adj_pack.astype(f32))
-    had_affine = affine is not None
     H = w2.shape[0] // 2
-    ein = functools.partial(jnp.einsum, preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
-    w2f = w2.astype(f32)
-
-    gs = jnp.zeros(s0.shape, f32)
-    dw2 = jnp.zeros(w2.shape, f32)
-    dfT = jnp.zeros(fT3H.shape, f32)
-    daff_s = daff_b = None
-    if had_affine:
-        daff_s = jnp.zeros((H,), f32)
-        daff_b = jnp.zeros((H,), f32)
-    for k in reversed(range(K)):
-        s_in = (traj[k - 1] if k else s0).astype(f32)
-        u = ein("kd,bdw->bkw", w2f, s_in)
-        a = ein("bhs,bsd->bhd", u[:, H:], adjT)
-        h = u[:, :H] + a + fT3H.astype(f32)
-        gy_raw = g_traj[k].astype(f32) + gs
-        if had_affine:
-            daff_s = daff_s + jnp.sum(gy_raw * _ACTS[activation](h),
-                                      axis=(0, 2))
-            daff_b = daff_b + jnp.sum(gy_raw, axis=(0, 2))
-            gy = gy_raw * affine[0].astype(f32)[None, :, None]
-        else:
-            gy = gy_raw
-        dhT = gy * _act_grad(activation, h)
-        dfT = dfT + dhT
-        dua = ein("bhd,bsd->bhs", dhT, adjT)
-        du = jnp.concatenate([dhT, dua], axis=1)
-        dw2 = dw2 + ein("bkw,bdw->kd", du, s_in)
-        gs = ein("kd,bkw->bdw", w2f, du)
-    daff = (jnp.stack([daff_s, daff_b]).astype(affine.dtype)
-            if had_affine else None)
+    aff = _ident_affine(H, w2.dtype) if affine is None else affine
+    gs, dw2, dfT, daff_p = _loop_bwd_impl(
+        adj_pack, s0, traj, fT3H, w2, aff, g_traj.astype(fT3H.dtype),
+        K=K, activation=activation, group=group, interpret=interpret)
+    # per-block fT sum: the forward broadcast one loop-invariant fT, so its
+    # cotangent is the k-sum (already accumulated in-kernel per block)
+    daff = (daff_p[:, :, 0].astype(affine.dtype)
+            if affine is not None else None)
     return (None, gs.astype(s0.dtype), dfT.astype(fT3H.dtype),
             dw2.astype(w2.dtype), daff, None)
 

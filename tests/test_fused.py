@@ -400,3 +400,57 @@ class TestPickGroup:
         assert pick_group(1200, cap=45) == 40
         g = pick_group(1027, cap=45)                   # 13*79: no mult-of-8
         assert 1027 % g == 0                           # step-kernel fallback
+
+
+class TestLoopBackwardKernel:
+    """The fused eval-loop backward kernel (_loop_bwd_kernel): full-loss
+    gradients of the dropout-free looped training path == differentiating
+    the XLA body, including BN inference-affine cotangents."""
+
+    def test_clean_spec_training_grads_match_xla_body(self, rng):
+        from gnn_tpu.models.core import evaluate_single
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+
+        def grads(b):
+            def f(p):
+                _, l, _ = evaluate_single(spec, p, bnst, b, jax.random.key(5),
+                                          "mse", {}, training=True)
+                return l
+            return jax.grad(f)(params)
+
+        g_x, g_f = grads(gb), grads(gbf)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_affine_cotangents_match_xla_path(self, rng):
+        """grad through an eval-mode forward with BN (inference affine) on a
+        FUSED-LAYOUT batch — exercises the loop kernel's daff accumulators
+        (the looped path dispatches in eval whenever the spec is eligible)."""
+        from gnn_tpu.models.core import evaluate_single
+        gb, gbf, spec, params, bnst = hybrid_workload(rng)
+        ss = dataclasses.replace(spec.state_spec, batch_normalization=True)
+        bnspec = dataclasses.replace(spec, state_spec=ss)
+        params2, _ = gnn_init(bnspec, jax.random.key(0))
+        bnst2 = {"state": {"mean": jnp.full((5,), 0.1),
+                           "var": jnp.full((5,), 0.8)},
+                 "output": {}}
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(bnspec, p, bnst2, gbf, jax.random.key(6),
+                                  training=False))(params2))
+        assert "pallas" in jx
+
+        def grads(b):
+            def f(p):
+                _, l, _ = evaluate_single(bnspec, p, bnst2, b,
+                                          jax.random.key(6), "mse", {},
+                                          training=False)
+                return l
+            return jax.grad(f)(params2)
+
+        g_x, g_f = grads(gb), grads(gbf)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
