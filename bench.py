@@ -217,6 +217,9 @@ def main():
                                           jax.random.key(j + 6000))
             pull(pn["state"]["dense_0"]["b"])
             bnfree_dt = min(bnfree_dt, (time.perf_counter() - t0) / SCAN_STEPS)
+        # realised iteration count of THIS config (BN changes the fixed-point
+        # dynamics, so the BN run's count must not be reused here)
+        iters_nb = float(np.mean(np.asarray(it_nb)))
 
     out = ev(p, b, gb, jax.random.key(99))
     jax.block_until_ready(out[1])
@@ -251,7 +254,8 @@ def main():
     if bnfree_dt is not None:
         # recommended config (state-net BN off; looped Pallas training kernel)
         result["train_step_ms_bnfree"] = round(bnfree_dt * 1e3, 2)
-        result["edges_per_s_bnfree"] = round(E * iters_mean / bnfree_dt)
+        result["edges_per_s_bnfree"] = round(E * iters_nb / bnfree_dt)
+        result["iters_bnfree"] = iters_nb
     print(json.dumps(result))
 
 

@@ -1,7 +1,8 @@
 """Single GNN on MUTAG graph classification — the accuracy-recommended
 config (hidden-150 selu, state-net BN off; round-1 headline 0.790), with
-knobs for dropout (rides the looped Pallas TRAINING kernel on fused-layout
-batches) and cosine learning-rate decay.
+dropout and cosine learning-rate decay knobs. NOTE: hidden-150 means a
+TWO-layer state net — statically ineligible for the fused Pallas kernels
+(single-dense-layer state nets only), so these runs use the XLA body.
 
 Run on the chip:  PYTHONUNBUFFERED=1 python benchmarks/mutag_single.py
 Env: DROPOUT=0.1 (0 disables)  EPOCHS=600  LR=1e-3  COSINE=1|0

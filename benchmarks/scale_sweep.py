@@ -106,14 +106,15 @@ def main():
             out = ev(p, b, gb, jax.random.key(i))
         pull(out[1])
         fwd_dt = (time.perf_counter() - t0) / 10
+        it_fwd = float(out[0])  # eval's own realised count (dropout off)
 
         print(json.dumps({
             "nodes": N, "edges": E,
             "train_step_ms": round(train_dt * 1e3, 2),
             "train_edges_per_s": round(E * it / train_dt),
             "forward_ms": round(fwd_dt * 1e3, 2),
-            "forward_edges_per_s": round(E * it / fwd_dt),
-            "iters": it,
+            "forward_edges_per_s": round(E * it_fwd / fwd_dt),
+            "iters": it, "iters_fwd": it_fwd,
         }), flush=True)
 
 

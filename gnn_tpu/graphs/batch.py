@@ -537,10 +537,13 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
         # full packed adjacency in global block order
         fl["adj_packT"] = jnp.asarray(packed)
         if Bi > 0:
-            # pad loop blocks to a multiple of the kernel grid group (24 keeps
-            # ~6 MB of VMEM per double-buffered grid step at W=128)
-            GRP = 24
-            Bi_pad = -(-Bi // GRP) * GRP if Bi > GRP else Bi
+            # pad loop blocks to a multiple of the kernel grid group: 24 keeps
+            # ~6 MB of VMEM per double-buffered grid step at W=128; any count
+            # above 8 pads to a multiple of 8 so a Mosaic-legal group always
+            # exists (pick_group loop=True — the mask/margin block shapes
+            # need group % 8 == 0 or the full array)
+            GRP = 24 if Bi > 24 else 8
+            Bi_pad = -(-Bi // GRP) * GRP if Bi > 8 else Bi
             adj_loop = np.zeros((Bi_pad,) + packed.shape[1:], packed.dtype)
             adj_loop[:Bi] = packed[loop_ids_np]
             ids_pad = np.zeros(Bi_pad, np.int32)

@@ -351,7 +351,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 gb.adj_loop, jnp.take(s03, li, axis=0),
                 jnp.take(fT3H, li, axis=0), w2, affine, gb.loop_nm,
                 spec.max_iteration, float(spec.threshold), act_name,
-                group=pick_group(Bi_pad, cap=24))
+                group=pick_group(Bi_pad, cap=24, loop=True))
             loop_any = jnp.any(margins > 0.5, axis=(1, 2))         # [K] bool
             has_dep = gb.adj_dep is not None
             if has_dep:
@@ -528,7 +528,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 jnp.take(ms_all, li, axis=1), jnp.take(ma_all, li, axis=1),
                 jnp.take(fT_all, li, axis=1), w_cat, gb.loop_nm,
                 K, float(spec.threshold), act_name, alpha, rate,
-                pick_group(Bi_pad, cap=12))
+                pick_group(Bi_pad, cap=12, loop=True))
             loop_any = jnp.any(margins > 0.5, axis=(1, 2))         # [K] bool
             has_dep = gb.adj_dep is not None
             if has_dep:

@@ -311,66 +311,70 @@ class BaseModel(ABC):
         edges_per_epoch = sum(int(b.n_real[1]) for b in gTr)
 
         e = initial_epoch
-        for e in range(initial_epoch, epochs):
-            profiling = profile_dir and e == initial_epoch
-            if profiling:
-                import jax.profiler
-                jax.profiler.start_trace(profile_dir)
-            if generator is not None and e > initial_epoch:
-                gTr = self.checktype(list(generator))
-            _t0 = _time.perf_counter()
-            for i, elem in enumerate(gTr):
-                self.training_step(elem, mean=mean)
-                if verbose > 2:
-                    print(f" > Epoch {e:4d}/{epochs} \t\t> Batch {i + 1:4d}/{len(gTr)}", end="\r")
-            _dt = _time.perf_counter() - _t0
-            # per-epoch throughput counter (BASELINE.md north-star metric)
-            training_writer.write_scalars(
-                {"EpochSeconds": _dt, "EdgesPerSecond": edges_per_epoch / max(_dt, 1e-9)}, e)
-            if profiling:
-                import jax.profiler
-                jax.profiler.stop_trace()
+        try:
+          for e in range(initial_epoch, epochs):
+              profiling = profile_dir and e == initial_epoch
+              if profiling:
+                  import jax.profiler
+                  jax.profiler.start_trace(profile_dir)
+              if generator is not None and e > initial_epoch:
+                  gTr = self.checktype(list(generator))
+              _t0 = _time.perf_counter()
+              for i, elem in enumerate(gTr):
+                  self.training_step(elem, mean=mean)
+                  if verbose > 2:
+                      print(f" > Epoch {e:4d}/{epochs} \t\t> Batch {i + 1:4d}/{len(gTr)}", end="\r")
+              _dt = _time.perf_counter() - _t0
+              # per-epoch throughput counter (BASELINE.md north-star metric)
+              training_writer.write_scalars(
+                  {"EpochSeconds": _dt, "EdgesPerSecond": edges_per_epoch / max(_dt, 1e-9)}, e)
+              if profiling:
+                  import jax.profiler
+                  jax.profiler.stop_trace()
 
-            if e % update_freq == 0:
-                metricsTr, *_ = self.evaluate(gTr)
-                self.history["Epoch"].append(e)
-                update_history("Tr", metricsTr)
-                training_writer.write_scalars(metricsTr, e)
-                for ns, net, leaves in self._weight_summaries():
-                    (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
+              if e % update_freq == 0:
+                  metricsTr, *_ = self.evaluate(gTr)
+                  self.history["Epoch"].append(e)
+                  update_history("Tr", metricsTr)
+                  training_writer.write_scalars(metricsTr, e)
+                  for ns, net, leaves in self._weight_summaries():
+                      (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
 
-            if (e % update_freq == 0) and gVa:
-                metricsVa, *_ = self.evaluate(gVa)
-                valid_new = metricsVa[observed_metric]
-                if policy_function(valid_new, valid_best):
-                    valid_best, valid_fails, ws, wo = reset_validation(valid_new)
-                else:
-                    valid_fails += 1
-                self.history[best_valid_key].append(valid_best)
-                self.history["Fail"].append(valid_fails)
-                update_history("Va", metricsVa)
-                validation_writer.write_scalars(metricsVa, e)
-                if valid_fails >= max_fails:
-                    if verbose in (1, 3):
-                        self.printHistory()
-                    print("\r Validation Stop")
-                    break
+              if (e % update_freq == 0) and gVa:
+                  metricsVa, *_ = self.evaluate(gVa)
+                  valid_new = metricsVa[observed_metric]
+                  if policy_function(valid_new, valid_best):
+                      valid_best, valid_fails, ws, wo = reset_validation(valid_new)
+                  else:
+                      valid_fails += 1
+                  self.history[best_valid_key].append(valid_best)
+                  self.history["Fail"].append(valid_fails)
+                  update_history("Va", metricsVa)
+                  validation_writer.write_scalars(metricsVa, e)
+                  if valid_fails >= max_fails:
+                      if verbose in (1, 3):
+                          self.printHistory()
+                      print("\r Validation Stop")
+                      break
 
-            if (e % update_freq == 0) and verbose in (1, 3):
-                self.printHistory()
-        else:
-            if verbose > 0:
-                print("\r End of Epochs Stop")
+              if (e % update_freq == 0) and verbose in (1, 3):
+                  self.printHistory()
+          else:
+              if verbose > 0:
+                  print("\r End of Epochs Stop")
 
-        if gVa:
-            self.set_weights(ws, wo)
+          if gVa:
+              self.set_weights(ws, wo)
 
-        for ns, net, leaves in self._weight_summaries():
-            (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
-        for w in (netS_writer, netO_writer, training_writer):
-            w.close()
-        if gVa:
-            validation_writer.close()
+          for ns, net, leaves in self._weight_summaries():
+              (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
+        finally:
+            # close the TB event files even when a device error / interrupt
+            # aborts the epoch loop (handles otherwise leak until GC)
+            for w in (netS_writer, netO_writer, training_writer):
+                w.close()
+            if gVa:
+                validation_writer.close()
 
     # ----------------------------------------------------------------- test
     def test(self, gTe, *, rocdir: str = "", micro_and_macro: bool = False,

@@ -399,7 +399,7 @@ def _fused_loop_fwd(adj_pack, s0, fT3H, w2, affine, nmf, K, threshold,
 
 
 def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
-                     block_w: int):
+                     block_w: int, has_affine: bool):
     """ALL K reverse iterations of the eval-loop backward for a group of
     blocks in one kernel (reassociated algebra of _fused_bwd_rule): the
     adjacency is DMA'd to VMEM once; each reverse step recomputes the
@@ -407,15 +407,19 @@ def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
     stream) then runs dh, the dua/gs chains and the dw2/daff accumulations in
     VMEM. Per-group dw2/daff partials are summed by the caller."""
     Wb = block_w
-    (adj_ref, s0_ref, traj_ref, fT_ref, w_ref, aff_ref, gt_ref,
-     gs_ref, dw_ref, dfT_ref, daff_ref) = refs
+    if has_affine:
+        (adj_ref, s0_ref, traj_ref, fT_ref, w_ref, aff_ref, gt_ref,
+         gs_ref, dw_ref, dfT_ref, daff_ref) = refs
+        aff0 = aff_ref[0:1].astype(jnp.float32)           # [1, H, 1]
+    else:
+        (adj_ref, s0_ref, traj_ref, fT_ref, w_ref, gt_ref,
+         gs_ref, dw_ref, dfT_ref) = refs
     adj = adj_ref[:]
     w2v = w_ref[:].astype(jnp.float32)                    # [2H, D]
     H2 = w2v.shape[0]
     H = H2 // 2
     D = s0_ref.shape[1]
     fT = fT_ref[:].astype(jnp.float32)
-    aff0 = aff_ref[0:1].astype(jnp.float32)               # [1, H, 1]
 
     if hp:
         wT_hi, wT_lo = _split16(w2v.T)                    # [D, 2H]
@@ -428,8 +432,9 @@ def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
     gs = jnp.zeros((group, D, Wb), jnp.float32)
     dw2 = jnp.zeros((H2, D), jnp.float32)
     dfT = jnp.zeros((group, H, Wb), jnp.float32)
-    daff_s = jnp.zeros((1, H, 1), jnp.float32)
-    daff_b = jnp.zeros((1, H, 1), jnp.float32)
+    if has_affine:
+        daff_s = jnp.zeros((1, H, 1), jnp.float32)
+        daff_b = jnp.zeros((1, H, 1), jnp.float32)
 
     def packed_contract_dst(x):
         # x @ adjTᵀ with the packed [a_hi | a_lo] dst axis: stack
@@ -455,10 +460,13 @@ def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
         # algebra (_iter_core returns u[:H] + u[H:]@adjT)
         h = _iter_core(adj, s_in, w2v, hp=hp, group=group, Wb=Wb) + fT
         gy_raw = gt_ref[k].astype(jnp.float32) + gs
-        daff_s = daff_s + jnp.sum(gy_raw * _ACTS[activation](h),
-                                  axis=(0, 2))[None, :, None]
-        daff_b = daff_b + jnp.sum(gy_raw, axis=(0, 2))[None, :, None]
-        gy = gy_raw * aff0
+        if has_affine:
+            daff_s = daff_s + jnp.sum(gy_raw * _ACTS[activation](h),
+                                      axis=(0, 2))[None, :, None]
+            daff_b = daff_b + jnp.sum(gy_raw, axis=(0, 2))[None, :, None]
+            gy = gy_raw * aff0
+        else:
+            gy = gy_raw
         dh = gy * _act_grad(activation, h)                # [g, H, Wb]
         dfT = dfT + dh
         dua = packed_contract_dst(dh)                     # [g, H, Wb]
@@ -479,8 +487,9 @@ def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
     gs_ref[:] = gs.astype(gs_ref.dtype)
     dw_ref[0] = dw2.astype(dw_ref.dtype)
     dfT_ref[:] = dfT.astype(dfT_ref.dtype)
-    daff_ref[0] = jnp.concatenate([daff_s, daff_b], axis=0).astype(
-        daff_ref.dtype)
+    if has_affine:
+        daff_ref[0] = jnp.concatenate([daff_s, daff_b], axis=0).astype(
+            daff_ref.dtype)
 
 
 def _loop_bwd_impl(adj_pack, s0, traj, fT3H, w2, aff, g_traj, *, K: int,
@@ -489,45 +498,54 @@ def _loop_bwd_impl(adj_pack, s0, traj, fT3H, w2, aff, g_traj, *, K: int,
     hp = Wp == 2 * Wb
     D = s0.shape[1]
     H = w2.shape[0] // 2
+    has_affine = aff is not None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_loop_bwd_kernel, activation=activation,
-                               hp=hp, K=K, group=group, block_w=Wb)
+                               hp=hp, K=K, group=group, block_w=Wb,
+                               has_affine=has_affine)
     wrapped = lambda *refs: kernel(refs)  # noqa: E731
     G = B // group
     b3 = lambda i: (i, 0, 0)        # noqa: E731
     b4 = lambda i: (0, i, 0, 0)     # noqa: E731
-    gs, dw_part, dfT, daff_part = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * H, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * H, D), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D, Wb), s0.dtype),
+        jax.ShapeDtypeStruct((G, 2 * H, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, Wb), fT3H.dtype),
+    ]
+    operands = [adj_pack, s0, traj, fT3H, w2, g_traj]
+    if has_affine:
+        in_specs.insert(5, pl.BlockSpec((2, H, 1), lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(5, aff.reshape(2, H, 1))
+        out_specs.append(pl.BlockSpec((1, 2, H, 1), lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((G, 2, H, 1), jnp.float32))
+    res = pl.pallas_call(
         wrapped,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * H, D), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, H, 1), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, group, H, Wb), b4, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * H, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, H, 1), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, D, Wb), s0.dtype),
-            jax.ShapeDtypeStruct((G, 2 * H, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Wb), fT3H.dtype),
-            jax.ShapeDtypeStruct((G, 2, H, 1), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(adj_pack, s0, traj, fT3H, w2, aff.reshape(2, H, 1), g_traj)
-    return gs, jnp.sum(dw_part, axis=0), dfT, jnp.sum(daff_part, axis=0)
+    )(*operands)
+    gs, dw_part, dfT = res[0], res[1], res[2]
+    daff = jnp.sum(res[3], axis=0) if has_affine else None
+    return gs, jnp.sum(dw_part, axis=0), dfT, daff
 
 
 def _fused_loop_bwd(K, threshold, activation, group, interpret, res, g):
@@ -536,10 +554,8 @@ def _fused_loop_bwd(K, threshold, activation, group, interpret, res, g):
     stored snapshots with the forward's exact packed algebra)."""
     g_traj, _ = g                                         # margins: non-diff
     adj_pack, s0, fT3H, w2, affine, traj = res
-    H = w2.shape[0] // 2
-    aff = _ident_affine(H, w2.dtype) if affine is None else affine
     gs, dw2, dfT, daff_p = _loop_bwd_impl(
-        adj_pack, s0, traj, fT3H, w2, aff, g_traj.astype(fT3H.dtype),
+        adj_pack, s0, traj, fT3H, w2, affine, g_traj.astype(fT3H.dtype),
         K=K, activation=activation, group=group, interpret=interpret)
     # per-block fT sum: the forward broadcast one loop-invariant fT, so its
     # cotangent is the k-sum (already accumulated in-kernel per block)
@@ -1097,24 +1113,24 @@ def bn_inference_affine(gamma, beta, mean, var, eps: float = 1e-3):
     return jnp.stack([scale, beta - mean * scale])
 
 
-def pick_group(n_blocks: int, cap: int = 45) -> int:
+def pick_group(n_blocks: int, cap: int = 45, loop: bool = False) -> int:
     """Largest divisor of n_blocks within the VMEM budget (feature-major
     blocks cost ~90 KB double-buffered; 45 blocks ≈ 8 MB of the 16 MB limit).
 
-    Mosaic requires the last two dims of every block shape to be divisible by
-    (8, 128) or equal to the array dims. The loop kernels carry 2-D [B, Wb]
-    node-mask and 3-D [K, B, Wb] margin arrays whose second-to-last block dim
-    IS the group, so the group must be a multiple of 8 — or the whole array
-    (n_blocks ≤ cap). Loop-block counts are padded to multiples of 24 when
-    above cap (from_graphs_blocked), so a valid choice always exists there;
-    the plain-divisor fallback serves the per-step kernels, whose blocks are
-    all ≥3-D with full trailing dims (any group lowers fine)."""
+    loop=True is for the LOOP kernels, which carry 2-D [B, Wb] node-mask and
+    3-D [K, B, Wb] margin arrays whose second-to-last block dim IS the group:
+    Mosaic requires it to be a multiple of 8 or the whole array. Loop-block
+    counts are padded to a multiple of 8 whenever they exceed 8
+    (from_graphs_blocked), so a multiple-of-8 divisor always exists.
+    Per-step kernels (loop=False) block only ≥3-D arrays with full trailing
+    dims — any divisor lowers fine, so they take the plain maximum."""
     if n_blocks <= cap:
         return n_blocks
-    ok = [d for d in range(1, cap + 1)
-          if n_blocks % d == 0 and d % 8 == 0]
-    if ok:
-        return max(ok)
+    if loop:
+        ok = [d for d in range(1, cap + 1)
+              if n_blocks % d == 0 and d % 8 == 0]
+        if ok:
+            return max(ok)
     return max(d for d in range(1, cap + 1) if n_blocks % d == 0)
 
 

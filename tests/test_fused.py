@@ -394,12 +394,15 @@ class TestPickGroup:
         loop kernels' [B, Wb] mask / [K, B, Wb] margin arrays) whenever such a
         divisor exists; full-array groups are always legal."""
         from gnn_tpu.ops.pallas_fused import pick_group
-        assert pick_group(18, cap=45) == 18            # full array
-        assert pick_group(1224, cap=12) == 8           # NOT 12 (12 % 8 != 0)
-        assert pick_group(1224, cap=24) == 24
-        assert pick_group(1200, cap=45) == 40
-        g = pick_group(1027, cap=45)                   # 13*79: no mult-of-8
-        assert 1027 % g == 0                           # step-kernel fallback
+        assert pick_group(18, cap=45, loop=True) == 18   # full array
+        # loop kernels: NOT 12 (12 % 8 != 0)
+        assert pick_group(1224, cap=12, loop=True) == 8
+        assert pick_group(1224, cap=24, loop=True) == 24
+        assert pick_group(1200, cap=45, loop=True) == 40
+        assert pick_group(16, cap=12, loop=True) == 8    # 13-23 pad to 8s
+        # per-step kernels keep the plain maximum divisor (any group lowers)
+        assert pick_group(88, cap=45) == 44
+        assert pick_group(1027, cap=45) == 13            # 13*79
 
 
 class TestLoopBackwardKernel:

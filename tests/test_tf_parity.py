@@ -482,8 +482,7 @@ def build_lgnn_pair(g: Graph, *, focus: str, get_state: bool, get_output: bool,
         po, _ = inject(os_, ref_out)
         params.append({"state": ps, "output": po})
         bns.append({"state": {}, "output": {}})
-    from GNN.LGNN import LGNN as _RefLGNN
-    ref_lgnn = _RefLGNN(
+    ref_lgnn = RefLGNN(
         ref_gnns, get_state=get_state, get_output=get_output,
         optimizer=tf.keras.optimizers.Adam(1e-3),
         loss_function=tf.keras.losses.MeanSquaredError(reduction="none"),
