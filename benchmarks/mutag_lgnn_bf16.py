@@ -44,6 +44,8 @@ adj_dtype = jnp.bfloat16 if (MODE == "mixed" and ADJ == "bf16") else None
 state_dtype = "bfloat16" if MODE == "mixed" else None
 SPLIT_SEED = int(os.environ.get("SPLIT_SEED", "7"))
 FUSED = os.environ.get("LGNN_FUSED", "1") != "0"
+COSINE = os.environ.get("COSINE", "0") != "0"
+MAX_FAILS = int(os.environ.get("MAX_FAILS", "6"))
 
 graphs = load_mutag(MUTAG)
 iTr, iTe, iVa = utils.getindices(len(graphs), 0.7, 0.1, seed=SPLIT_SEED)
@@ -84,8 +86,11 @@ for layer in range(LAYERS):
         state_dtype=state_dtype,
         path_writer=f"writer/mutag_lgnn_bf16/GNN{layer}/", seed=layer))
 
+lr = ({"name": "cosine_decay",
+       "kwargs": {"init_value": 1e-3, "decay_steps": EPOCHS * len(gTr),
+                  "alpha": 0.05}} if COSINE else 1e-3)
 lgnn = LGNN(gnns=gnns, get_state=get_state, get_output=get_output,
-            optimizer={"name": "adam", "kwargs": {"learning_rate": 1e-3}},
+            optimizer={"name": "adam", "kwargs": {"learning_rate": lr}},
             loss_function="categorical_crossentropy",
             loss_arguments={"from_logits": False},
             extra_metrics={k: Metrics[k] for k in ["Acc", "Bacc", "Fs"]},
@@ -94,11 +99,11 @@ lgnn = LGNN(gnns=gnns, get_state=get_state, get_output=get_output,
             path_writer="writer/mutag_lgnn_bf16/")
 
 t0 = time.perf_counter()
-lgnn.train(gTr, epochs=EPOCHS, gVa=gVa, update_freq=20, max_fails=6,
+lgnn.train(gTr, epochs=EPOCHS, gVa=gVa, update_freq=20, max_fails=MAX_FAILS,
            observed_metric="Acc", policy="max", training_mode="parallel",
            verbose=0)
 dt = time.perf_counter() - t0
 res = lgnn.test(gTe)
-print(f"\nMODE={MODE} ADJ={ADJ} FUSED={FUSED} LAYERS={LAYERS} EPOCHS={EPOCHS} "
+print(f"\nMODE={MODE} ADJ={ADJ} FUSED={FUSED} COSINE={COSINE} LAYERS={LAYERS} EPOCHS={EPOCHS} "
       f"SPLIT_SEED={SPLIT_SEED} wall={dt:.0f}s "
       f"TEST={ {k: round(float(v), 4) for k, v in res.items()} }", flush=True)

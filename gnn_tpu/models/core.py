@@ -257,16 +257,21 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         # under 'auto' (the per-step training kernel does not beat it);
         # clean specs use the kernel in training too (exact custom VJP).
         from gnn_tpu.ops.pallas_fused import supports_fused as _sf
+        from gnn_tpu.ops.pallas_fused import supports_fused2 as _sf2
         from gnn_tpu.ops.pallas_fused import supports_fused_train as _sft
         D0 = gb.nodes.shape[1]
         # grad_mode='ift' opts into the implicit adjoint installed after the
         # XLA body below — the fused kernels' unrolled custom VJPs would
         # silently override it, so ift specs never dispatch to them
-        eligible = (spec.state_dim == 0 and spec.shard_axis is None
-                    and spec.state_spec.num_layers == 1
-                    and spec.state_spec.units[-1] == D0
-                    and spec.grad_mode != "ift")
+        base_ok = (spec.state_dim == 0 and spec.shard_axis is None
+                   and spec.state_spec.units[-1] == D0
+                   and spec.grad_mode != "ift")
+        eligible = base_ok and spec.state_spec.num_layers == 1
         use_fused = eligible and _sf(spec.state_spec, training)
+        # hidden-layer state nets (e.g. hidden-150): the 2-layer kernel
+        # variants (dense0+act0+dense1+act1, no dropout)
+        if not use_fused and base_ok and _sf2(spec.state_spec, training):
+            use_fused = True
         # dropout-only training configs (no BN) ride the looped TRAINING
         # kernel; BN configs keep the XLA body (BN's batch moments are a
         # global cross-block reduction every iteration — fusing the loop
@@ -280,11 +285,13 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                                               bn_inference_affine,
                                               from_blocks_fm,
                                               fused_propagation_loop,
+                                              fused_propagation_loop2,
                                               fused_propagation_step,
+                                              fused_propagation_step2,
                                               fused_train_loop,
                                               fused_train_step,
                                               pack_adjacency, pick_group,
-                                              supports_fused,
+                                              supports_fused, supports_fused2,
                                               supports_fused_train,
                                               to_blocks_fm)
     if spec.aggregation == "fused":
@@ -298,14 +305,22 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             raise ValueError("aggregation='fused' uses the kernels' unrolled "
                              "custom VJPs — incompatible with grad_mode='ift' "
                              "(use aggregation='auto' or 'blocked')")
-        if (spec.state_spec.num_layers != 1
-                or spec.state_spec.activations[0] not in FUSABLE_ACTIVATIONS):
+        if (spec.state_spec.num_layers not in (1, 2)
+                or any(a not in FUSABLE_ACTIVATIONS
+                       for a in spec.state_spec.activations)):
             raise ValueError(
-                "aggregation='fused' supports single-dense-layer state nets "
-                f"with activation in {FUSABLE_ACTIVATIONS}")
-        use_fused = supports_fused(spec.state_spec, training)
-        fused_train = (training and not use_fused
-                       and supports_fused_train(spec.state_spec))
+                "aggregation='fused' supports 1- or 2-dense-layer state nets "
+                f"with activations in {FUSABLE_ACTIVATIONS}")
+        if spec.state_spec.num_layers == 1:
+            use_fused = supports_fused(spec.state_spec, training)
+            fused_train = (training and not use_fused
+                           and supports_fused_train(spec.state_spec))
+        else:
+            use_fused = supports_fused2(spec.state_spec, training)
+            if not use_fused:
+                raise ValueError(
+                    "aggregation='fused' with a 2-layer state net supports "
+                    "dropout-free configs only (BN affine fuses at eval)")
     if use_fused:
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
@@ -314,15 +329,16 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             affine = bn_inference_affine(
                 params_state["bn"]["gamma"], params_state["bn"]["beta"],
                 bn_state["mean"], bn_state["var"])
+        two = spec.state_spec.num_layers == 2
         w1T = params_state["dense_0"]["w"].T
         b1 = params_state["dense_0"]["b"]
         D = state0.shape[1]
-        # reassociate the dense through the aggregation (see pallas_fused.py):
+        # reassociate dense0 through the aggregation (see pallas_fused.py):
         # w2 = [Ws; Wa] enters the kernel; the feats term Wf@feats + b is
         # loop-invariant and computed ONCE here; the residual term rides
         # through Wa inside the per-iteration segment sum (linear => exact)
         Wa = w1T[:, D:2 * D]
-        w2 = jnp.concatenate([w1T[:, :D], Wa], axis=0)    # [2H, D]
+        w2 = jnp.concatenate([w1T[:, :D], Wa], axis=0)    # [2H(1), D]
         _hp = partial(jnp.einsum, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
 
@@ -335,6 +351,28 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         nm3 = nm.reshape(Bb, Wb)
         act_name = spec.state_spec.activations[0]
         s03 = to3(state0)
+        if two:
+            w1b = params_state["dense_1"]["w"].T          # [D, H1]
+            b1v = params_state["dense_1"]["b"]            # [D]
+            act1_name = spec.state_spec.activations[1]
+
+        def call_loop(adj, s, fT, nmf, grp):
+            if two:
+                return fused_propagation_loop2(
+                    adj, s, fT, w2, w1b, b1v, affine, nmf,
+                    spec.max_iteration, float(spec.threshold), act_name,
+                    act1_name, grp)
+            return fused_propagation_loop(
+                adj, s, fT, w2, affine, nmf, spec.max_iteration,
+                float(spec.threshold), act_name, grp)
+
+        def call_step(adj, s, rT, fT, grp):
+            if two:
+                return fused_propagation_step2(
+                    adj, s, rT, fT, w2, w1b, b1v, affine, act_name,
+                    act1_name, grp)
+            return fused_propagation_step(adj, s, rT, fT, w2, affine,
+                                          activation=act_name, group=grp)
 
         if gb.adj_loop is not None:
             # --- hybrid loop/dep path (from_graphs_blocked(fused_layout=True))
@@ -347,11 +385,10 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             # reproduced by selecting the snapshot at the realised count.
             li = gb.loop_ids
             Bi_pad = gb.adj_loop.shape[0]
-            traj, margins = fused_propagation_loop(
+            traj, margins = call_loop(
                 gb.adj_loop, jnp.take(s03, li, axis=0),
-                jnp.take(fT3H, li, axis=0), w2, affine, gb.loop_nm,
-                spec.max_iteration, float(spec.threshold), act_name,
-                group=pick_group(Bi_pad, cap=24, loop=True))
+                jnp.take(fT3H, li, axis=0), gb.loop_nm,
+                pick_group(Bi_pad, cap=24, loop=True))
             loop_any = jnp.any(margins > 0.5, axis=(1, 2))         # [K] bool
             has_dep = gb.adj_dep is not None
             if has_dep:
@@ -372,9 +409,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                         _hp("ed,hd->eh", vals, Wa), gb.res_dst_loc,
                         num_segments=Bd * Wb).astype(sd.dtype)
                     rT3H = resH.T.reshape(-1, Bd, Wb).transpose(1, 0, 2)
-                    return fused_propagation_step(
-                        gb.adj_dep, sd, rT3H, fT_dep, w2, affine,
-                        activation=act_name, group=dep_group)
+                    return call_step(gb.adj_dep, sd, rT3H, fT_dep, dep_group)
 
                 def body_dep(carry, loop_any_k):
                     k, sd, sd_old, active = carry
@@ -422,9 +457,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 rT3H = to3(resH)
             else:
                 rT3H = None
-            return fused_propagation_step(
-                adj_pack, sT3, rT3H, fT3H, w2, affine,
-                activation=act_name, group=fuse_group)
+            return call_step(adj_pack, sT3, rT3H, fT3H, fuse_group)
 
         def bodyT(carry, step_rng):
             k, sT3, sT3_old, active = carry

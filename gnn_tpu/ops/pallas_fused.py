@@ -1104,6 +1104,466 @@ def _loop_train_bwd(K, threshold, activation, alpha_drop, rate, group,
 fused_train_loop.defvjp(_loop_train_fwd, _loop_train_bwd)
 
 
+# ------------------------------------------------- two-layer state networks
+# Hidden-layer state nets (e.g. the hidden-150 accuracy configs) run
+# dense0 -> act0 -> dense1 -> act1 per iteration. Layer 0 keeps the
+# reassociation through the aggregation (_iter_core); layer 1 is one more
+# packed MXU issue per block with the state resident in VMEM.
+def _dense1_fm(w1, b1, y0, *, hp: bool, group: int, Wb: int,
+               cdt=jnp.bfloat16):
+    """h1 = w1 @ y0 + b1 for feature-major blocks (w1 [D, H1], y0 [g, H1, Wb],
+    b1 [D, 1]), bf16 hi/lo packed in hp mode (exact 4-pass quadrant sums);
+    in non-hp mode compute at the adjacency's dtype like the layer-0 path."""
+    D = w1.shape[0]
+    if hp:
+        w_hi, w_lo = _split16(w1)
+        w4 = jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
+                              (group, 2 * D) + (w1.shape[1],))
+        y_hi, y_lo = _split16(y0.astype(jnp.float32))
+        yp = jnp.concatenate([y_hi, y_lo], axis=2)         # [g, H1, 2Wb]
+        u4 = _BD(w4, yp)                                   # [g, 2D, 2Wb]
+        h1 = ((u4[:, :D, :Wb] + u4[:, :D, Wb:])
+              + (u4[:, D:, :Wb] + u4[:, D:, Wb:]))
+    else:
+        wb_ = jnp.broadcast_to(w1.astype(cdt)[None], (group,) + w1.shape)
+        h1 = _BD(wb_, y0.astype(cdt))
+    return h1 + b1[None].astype(jnp.float32)
+
+
+def _step2_kernel_T(refs, *, act0: str, act1: str, hp: bool, has_res: bool,
+                    group: int, block_w: int):
+    """One fused 2-layer iteration: aggregation-reassociated dense0 + act0 +
+    dense1 + act1 (+ inference-BN affine) in one kernel."""
+    if has_res:
+        (adj_ref, sT_ref, rT_ref, fT_ref, w20_ref, w1_ref, b1_ref, aff_ref,
+         out_ref) = refs
+    else:
+        (adj_ref, sT_ref, fT_ref, w20_ref, w1_ref, b1_ref, aff_ref,
+         out_ref) = refs
+        rT_ref = None
+    adj = adj_ref[:]
+    h0 = (_iter_core(adj, sT_ref[:], w20_ref[:].astype(jnp.float32),
+                     hp=hp, group=group, Wb=block_w)
+          + fT_ref[:].astype(jnp.float32))
+    if has_res:
+        h0 = h0 + rT_ref[:].astype(jnp.float32)
+    y0 = _ACTS[act0](h0)
+    h1 = _dense1_fm(w1_ref[:].astype(jnp.float32),
+                    b1_ref[:].astype(jnp.float32), y0, hp=hp, group=group,
+                    Wb=block_w, cdt=adj.dtype)
+    out_ref[:] = (_ACTS[act1](h1) * aff_ref[0:1].astype(jnp.float32)
+                  + aff_ref[1:2].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _step2_impl(adj_pack, stateT3, resT3, featsT3, w20, w1, b1, aff, *,
+                act0: str, act1: str, group: int, interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = stateT3.shape[1]
+    H1 = w20.shape[0] // 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    has_res = resT3 is not None
+    kernel = functools.partial(_step2_kernel_T, act0=act0, act1=act1, hp=hp,
+                               has_res=has_res, group=group, block_w=Wb)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    b3 = lambda i: (i, 0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, H1, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * H1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, D, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [adj_pack, stateT3, featsT3, w20, w1, b1.reshape(D, 1),
+                aff.reshape(2, D, 1)]
+    if has_res:
+        in_specs.insert(2, pl.BlockSpec((group, H1, Wb), b3,
+                                        memory_space=pltpu.VMEM))
+        operands.insert(2, resT3)
+    return pl.pallas_call(
+        wrapped,
+        grid=(B // group,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D, Wb), stateT3.dtype),
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_propagation_step2(adj_pack, stateT3, resT3, featsT3, w20, w1, b1,
+                            affine=None, act0: str = "tanh",
+                            act1: str = "tanh", group: int = 9,
+                            interpret: Optional[bool] = None):
+    """One fused 2-LAYER propagation iteration (dense0+act0+dense1+act1).
+
+    :param w20: [2H1, D] stacked dense0 rows [W0s; W0a] (state/agg columns).
+    :param w1: [D, H1] dense1 (transposed), b1: [D].
+    :param featsT3: [B, H1, Wb] hoisted W0f@feats + b0.
+    :param resT3: [B, H1, Wb] cross-block residual through W0a, or None.
+    Other params as fused_propagation_step."""
+    D = w1.shape[0]
+    aff = (jnp.stack([jnp.ones((D,), w20.dtype), jnp.zeros((D,), w20.dtype)])
+           if affine is None else affine)
+    return _step2_impl(adj_pack, stateT3, resT3, featsT3, w20, w1, b1, aff,
+                       act0=act0, act1=act1, group=group, interpret=interpret)
+
+
+def _step2_fwd(adj_pack, stateT3, resT3, featsT3, w20, w1, b1, affine, act0,
+               act1, group, interpret):
+    out = fused_propagation_step2(adj_pack, stateT3, resT3, featsT3, w20, w1,
+                                  b1, affine, act0, act1, group, interpret)
+    return out, (adj_pack, stateT3, resT3, featsT3, w20, w1, b1, affine)
+
+
+def _step2_bwd(act0, act1, group, interpret, res, g):
+    """XLA backward for the 2-layer step (dep blocks — small counts)."""
+    adj_pack, sT3, rT3, fT3, w20, w1, b1, affine = res
+    f32 = jnp.float32
+    Wb = adj_pack.shape[1]
+    hp = adj_pack.shape[2] == 2 * Wb
+    adjT = (adj_pack[..., :Wb].astype(f32) + adj_pack[..., Wb:].astype(f32)
+            if hp else adj_pack.astype(f32))
+    has_res = rT3 is not None
+    had_affine = affine is not None
+    H1 = w20.shape[0] // 2
+    ein = functools.partial(jnp.einsum, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    s3 = sT3.astype(f32)
+    u = ein("kd,bdw->bkw", w20.astype(f32), s3)            # [B, 2H1, Wb]
+    a = ein("bhs,bsd->bhd", u[:, H1:], adjT)
+    h0 = u[:, :H1] + a + fT3.astype(f32)
+    if has_res:
+        h0 = h0 + rT3.astype(f32)
+    y0 = _ACTS[act0](h0)
+    h1 = ein("dh,bhw->bdw", w1.astype(f32), y0) + b1.astype(f32)[None, :, None]
+
+    gy = g.astype(f32)
+    if had_affine:
+        y1 = _ACTS[act1](h1)
+        daff = jnp.stack([jnp.sum(gy * y1, axis=(0, 2)),
+                          jnp.sum(gy, axis=(0, 2))]).astype(affine.dtype)
+        gy = gy * affine[0].astype(f32)[None, :, None]
+    else:
+        daff = None
+    dh1 = gy * _act_grad(act1, h1)                         # [B, D, Wb]
+    dw1 = ein("bdw,bhw->dh", dh1, y0).astype(w1.dtype)
+    db1 = jnp.sum(dh1, axis=(0, 2)).astype(b1.dtype)
+    dy0 = ein("dh,bdw->bhw", w1.astype(f32), dh1)
+    dh0 = dy0 * _act_grad(act0, h0)                        # [B, H1, Wb]
+    dfT3 = dh0.astype(fT3.dtype)
+    drT3 = dh0.astype(rT3.dtype) if has_res else None
+    dua = ein("bhd,bsd->bhs", dh0, adjT)
+    du = jnp.concatenate([dh0, dua], axis=1)
+    dw20 = ein("bkw,bdw->kd", du, s3).astype(w20.dtype)
+    dsT3 = ein("kd,bkw->bdw", w20.astype(f32), du).astype(sT3.dtype)
+    return (None, dsT3, drT3, dfT3, dw20, dw1, db1, daff)
+
+
+fused_propagation_step2.defvjp(_step2_fwd, _step2_bwd)
+
+
+def _loop2_kernel_T(refs, *, act0: str, act1: str, hp: bool, K: int,
+                    thr: float, group: int, block_w: int):
+    """The whole K-iteration 2-layer propagation loop for residual-free
+    blocks: adjacency streamed once, both dense layers in VMEM."""
+    (adj_ref, s_ref, fT_ref, w20_ref, w1_ref, b1_ref, aff_ref, nm_ref,
+     traj_ref, marg_ref) = refs
+    adj = adj_ref[:]
+    w20 = w20_ref[:].astype(jnp.float32)
+    w1 = w1_ref[:].astype(jnp.float32)
+    b1 = b1_ref[:].astype(jnp.float32)
+    fT0 = fT_ref[:].astype(jnp.float32)
+    aff0 = aff_ref[0:1].astype(jnp.float32)
+    aff1 = aff_ref[1:2].astype(jnp.float32)
+    nm = nm_ref[:]
+    thrf = jnp.float32(thr)
+    s = s_ref[:]
+    s_old = jnp.ones_like(s)
+    for k in range(K):
+        diff = (s - s_old).astype(jnp.float32)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+        norm = jnp.sqrt(jnp.sum(jnp.square(s_old.astype(jnp.float32)),
+                                axis=1))
+        marg_ref[k] = jnp.where(dist > thrf * norm, 1.0, 0.0) * nm
+        h0 = _iter_core(adj, s, w20, hp=hp, group=group, Wb=block_w) + fT0
+        y0 = _ACTS[act0](h0)
+        h1 = _dense1_fm(w1, b1, y0, hp=hp, group=group, Wb=block_w,
+                        cdt=adj.dtype)
+        y1 = _ACTS[act1](h1) * aff0 + aff1
+        s_old = s
+        s = y1.astype(s.dtype)
+        traj_ref[k] = s
+
+
+def _loop2_impl(adj_pack, s0, fT0, w20, w1, b1, aff, nmf, *, K: int,
+                threshold: float, act0: str, act1: str, group: int,
+                interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = s0.shape[1]
+    H1 = w20.shape[0] // 2
+    if w1.shape[0] != D:
+        raise ValueError(f"loop kernel needs state width out == in "
+                         f"({w1.shape[0]} != {D})")
+    if B % group:
+        raise ValueError(f"block count {B} not divisible by group {group}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_loop2_kernel_T, act0=act0, act1=act1, hp=hp,
+                               K=K, thr=threshold, group=group, block_w=Wb)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    b3 = lambda i: (i, 0, 0)        # noqa: E731
+    return pl.pallas_call(
+        wrapped,
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, H1, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * H1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, Wb), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, group, D, Wb), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, Wb), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, B, D, Wb), s0.dtype),
+            jax.ShapeDtypeStruct((K, B, Wb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adj_pack, s0, fT0, w20, w1, b1.reshape(D, 1), aff.reshape(2, D, 1), nmf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def fused_propagation_loop2(adj_pack, s0, fT0, w20, w1, b1, affine, nmf,
+                            K: int, threshold: float, act0: str = "tanh",
+                            act1: str = "tanh", group: int = 9,
+                            interpret: Optional[bool] = None):
+    """Full K-iteration 2-LAYER propagation loop over residual-free blocks
+    (see fused_propagation_loop; layer dims per fused_propagation_step2)."""
+    D = w1.shape[0]
+    aff = _ident_affine(D, w20.dtype) if affine is None else affine
+    traj, margins = _loop2_impl(adj_pack, s0, fT0, w20, w1, b1, aff, nmf,
+                                K=K, threshold=threshold, act0=act0,
+                                act1=act1, group=group, interpret=interpret)
+    return traj, margins
+
+
+def _loop2_fwd(adj_pack, s0, fT0, w20, w1, b1, affine, nmf, K, threshold,
+               act0, act1, group, interpret):
+    traj, margins = fused_propagation_loop2(
+        adj_pack, s0, fT0, w20, w1, b1, affine, nmf, K, threshold, act0,
+        act1, group, interpret)
+    return (traj, margins), (adj_pack, s0, fT0, w20, w1, b1, affine, traj)
+
+
+def _loop2_bwd_kernel(refs, *, act0: str, act1: str, hp: bool, K: int,
+                      group: int, block_w: int, has_affine: bool):
+    """All K reverse iterations of the 2-layer loop backward in one kernel
+    (structure of _loop_bwd_kernel plus the dense1 chain)."""
+    Wb = block_w
+    if has_affine:
+        (adj_ref, s0_ref, traj_ref, fT_ref, w20_ref, w1_ref, b1_ref, aff_ref,
+         gt_ref, gs_ref, dw20_ref, dw1_ref, db1_ref, dfT_ref,
+         daff_ref) = refs
+        aff0 = aff_ref[0:1].astype(jnp.float32)
+    else:
+        (adj_ref, s0_ref, traj_ref, fT_ref, w20_ref, w1_ref, b1_ref,
+         gt_ref, gs_ref, dw20_ref, dw1_ref, db1_ref, dfT_ref) = refs
+    adj = adj_ref[:]
+    w20 = w20_ref[:].astype(jnp.float32)                   # [2H1, D]
+    w1 = w1_ref[:].astype(jnp.float32)                     # [D, H1]
+    b1 = b1_ref[:].astype(jnp.float32)
+    H2 = w20.shape[0]
+    H1 = H2 // 2
+    D = s0_ref.shape[1]
+    fT0 = fT_ref[:].astype(jnp.float32)
+
+    if hp:
+        w20T_hi, w20T_lo = _split16(w20.T)                 # [D, 2H1]
+        w20T4 = jnp.broadcast_to(
+            jnp.concatenate([w20T_hi, w20T_lo], axis=0)[None],
+            (group, 2 * D, H2))
+        w1T_hi, w1T_lo = _split16(w1.T)                    # [H1, D]
+        w1T4 = jnp.broadcast_to(
+            jnp.concatenate([w1T_hi, w1T_lo], axis=0)[None],
+            (group, 2 * H1, D))
+    else:
+        w20T_b = jnp.broadcast_to(w20.T.astype(adj.dtype)[None],
+                                  (group, D, H2))
+        w1T_b = jnp.broadcast_to(w1.T.astype(adj.dtype)[None],
+                                 (group, H1, D))
+
+    def packed_contract_dst(x):
+        if not hp:
+            return jax.lax.dot_general(
+                x.astype(adj.dtype), adj,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        x_hi, x_lo = _split16(x)
+        top = jnp.concatenate([x_hi, x_lo], axis=2)
+        bot = jnp.concatenate([x_lo, x_hi], axis=2)
+        xb = jnp.concatenate([top, bot], axis=1)
+        r = jax.lax.dot_general(
+            xb, adj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        R = x.shape[1]
+        return r[:, :R] + r[:, R:]
+
+    def mm_packed(wT4_or_b, x, rows):
+        # wᵀ @ x with hi/lo packed columns: [g, 2R, H?] @ [g, H?, 2Wb]
+        if hp:
+            x_hi, x_lo = _split16(x)
+            xp = jnp.concatenate([x_hi, x_lo], axis=2)
+            v4 = _BD(wT4_or_b, xp)
+            return ((v4[:, :rows, :Wb] + v4[:, :rows, Wb:])
+                    + (v4[:, rows:, :Wb] + v4[:, rows:, Wb:]))
+        return _BD(wT4_or_b, x.astype(adj.dtype))
+
+    gs = jnp.zeros((group, D, Wb), jnp.float32)
+    dw20 = jnp.zeros((H2, D), jnp.float32)
+    dw1 = jnp.zeros((D, H1), jnp.float32)
+    db1 = jnp.zeros((D, 1), jnp.float32)
+    dfT = jnp.zeros((group, H1, Wb), jnp.float32)
+    if has_affine:
+        daff_s = jnp.zeros((1, D, 1), jnp.float32)
+        daff_b = jnp.zeros((1, D, 1), jnp.float32)
+    for k in reversed(range(K)):
+        s_in = (traj_ref[k - 1] if k else s0_ref[:])
+        h0 = _iter_core(adj, s_in, w20, hp=hp, group=group, Wb=Wb) + fT0
+        y0 = _ACTS[act0](h0)
+        h1 = _dense1_fm(w1, b1, y0, hp=hp, group=group, Wb=Wb, cdt=adj.dtype)
+        gy_raw = gt_ref[k].astype(jnp.float32) + gs
+        if has_affine:
+            daff_s = daff_s + jnp.sum(gy_raw * _ACTS[act1](h1),
+                                      axis=(0, 2))[None, :, None]
+            daff_b = daff_b + jnp.sum(gy_raw, axis=(0, 2))[None, :, None]
+            gy = gy_raw * aff0
+        else:
+            gy = gy_raw
+        dh1 = gy * _act_grad(act1, h1)                     # [g, D, Wb]
+        db1 = db1 + jnp.sum(dh1, axis=(0, 2))[:, None]
+        dw1 = dw1 + jnp.sum(jax.lax.dot_general(
+            dh1, y0, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=0)   # [D, H1]
+        dy0 = mm_packed(w1T4 if hp else w1T_b, dh1, H1)    # [g, H1, Wb]
+        dh0 = dy0 * _act_grad(act0, h0)
+        dfT = dfT + dh0
+        dua = packed_contract_dst(dh0)
+        du = jnp.concatenate([dh0, dua], axis=1)           # [g, 2H1, Wb]
+        dw20 = dw20 + jnp.sum(jax.lax.dot_general(
+            du, s_in.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=0)
+        gs = mm_packed(w20T4 if hp else w20T_b, du, D)     # [g, D, Wb]
+    gs_ref[:] = gs.astype(gs_ref.dtype)
+    dw20_ref[0] = dw20.astype(dw20_ref.dtype)
+    dw1_ref[0] = dw1.astype(dw1_ref.dtype)
+    db1_ref[0] = db1.astype(db1_ref.dtype)
+    dfT_ref[:] = dfT.astype(dfT_ref.dtype)
+    if has_affine:
+        daff_ref[0] = jnp.concatenate([daff_s, daff_b], axis=0).astype(
+            daff_ref.dtype)
+
+
+def _loop2_bwd(K, threshold, act0, act1, group, interpret, res, g):
+    g_traj, _ = g
+    adj_pack, s0, fT0, w20, w1, b1, affine, traj = res
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = s0.shape[1]
+    H1 = w20.shape[0] // 2
+    has_affine = affine is not None
+    interp = interpret
+    if interp is None:
+        interp = jax.default_backend() != "tpu"
+    kernel = functools.partial(_loop2_bwd_kernel, act0=act0, act1=act1,
+                               hp=hp, K=K, group=group, block_w=Wb,
+                               has_affine=has_affine)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    G = B // group
+    b3 = lambda i: (i, 0, 0)        # noqa: E731
+    b4 = lambda i: (0, i, 0, 0)     # noqa: E731
+    in_specs = [
+        pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, H1, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * H1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+    ]
+    operands = [adj_pack, s0, traj, fT0, w20, w1, b1.reshape(D, 1), g_traj]
+    out_specs = [
+        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * H1, D), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, H1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, H1, Wb), b3, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D, Wb), s0.dtype),
+        jax.ShapeDtypeStruct((G, 2 * H1, D), jnp.float32),
+        jax.ShapeDtypeStruct((G, D, H1), jnp.float32),
+        jax.ShapeDtypeStruct((G, D, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, H1, Wb), fT0.dtype),
+    ]
+    if has_affine:
+        in_specs.insert(7, pl.BlockSpec((2, D, 1), lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(7, affine.reshape(2, D, 1))
+        out_specs.append(pl.BlockSpec((1, 2, D, 1), lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((G, 2, D, 1), jnp.float32))
+    res_out = pl.pallas_call(
+        wrapped, grid=(G,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interp,
+    )(*operands)
+    gs, dw20_p, dw1_p, db1_p, dfT = res_out[:5]
+    daff = (jnp.sum(res_out[5], axis=0)[:, :, 0].astype(affine.dtype)
+            if has_affine else None)
+    return (None, gs.astype(s0.dtype), dfT.astype(fT0.dtype),
+            jnp.sum(dw20_p, axis=0).astype(w20.dtype),
+            jnp.sum(dw1_p, axis=0).astype(w1.dtype),
+            jnp.sum(db1_p, axis=0)[:, 0].astype(b1.dtype), daff, None)
+
+
+fused_propagation_loop2.defvjp(_loop2_fwd, _loop2_bwd)
+
+
+def supports_fused2(state_spec, training: bool) -> bool:
+    """Static eligibility of the 2-LAYER fused kernels (dense0+act0+dense1+
+    act1): both activations fusable, no dropout; in training mode the
+    trailing batch-stat BN is excluded (its moments are a global per-
+    iteration reduction), at eval the BN inference affine fuses."""
+    if state_spec.num_layers != 2:
+        return False
+    if any(a not in FUSABLE_ACTIVATIONS for a in state_spec.activations):
+        return False
+    if state_spec.dropout_rate:
+        return False
+    if training and state_spec.batch_normalization:
+        return False
+    return True
+
+
 def bn_inference_affine(gamma, beta, mean, var, eps: float = 1e-3):
     """[2, H] (scale; shift) for the post-activation inference BatchNorm:
     y = act(h)·scale + shift with scale = γ·rsqrt(σ²+ε), shift = β − μ·scale

@@ -363,13 +363,13 @@ class TestFusedExactness:
         np.testing.assert_allclose(np.asarray(r_f["state"]),
                                    np.asarray(r_x["state"]), atol=1e-6)
 
-    def test_rejects_multilayer_state_net(self, rng):
+    def test_rejects_three_layer_state_net(self, rng):
         gb, spec, params, bnst = blocked_workload(rng)
-        ss = MLPSpec(input_dim=13, units=(16, 5), activations="tanh",
+        ss = MLPSpec(input_dim=13, units=(16, 8, 5), activations="tanh",
                      batch_normalization=False)
         bad = dataclasses.replace(spec, state_spec=ss, aggregation="fused")
         params2, bn2 = gnn_init(bad, jax.random.key(0))
-        with pytest.raises(ValueError, match="single-dense-layer"):
+        with pytest.raises(ValueError, match="1- or 2-dense-layer"):
             gnn_forward(bad, params2, bn2, gb, jax.random.key(1))
 
     def test_ift_spec_never_dispatches_to_kernels(self, rng):
@@ -457,3 +457,108 @@ class TestLoopBackwardKernel:
                         jax.tree_util.tree_leaves(g_f)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=2e-4, atol=2e-5)
+
+
+def hybrid_workload2(rng, bn=False):
+    """hybrid_workload with a 2-layer (hidden-16) state net — the hidden-150
+    accuracy-config shape, served by the *2 kernels."""
+    gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
+                       rng=rng) for _ in range(12)]
+    gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
+    gb = from_graphs_blocked(gs, block_w=32, focus="g")
+    gbf = from_graphs_blocked(gs, block_w=32, focus="g", fused_layout=True)
+    ss = MLPSpec(input_dim=13, units=(16, 5), activations=("selu", "tanh"),
+                 kernel_initializer="lecun_normal",
+                 bias_initializer="lecun_normal", batch_normalization=bn)
+    os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                  batch_normalization=False)
+    spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_, max_iteration=4,
+                   threshold=0.01, aggregation="auto")
+    params, bnst = gnn_init(spec, jax.random.key(0))
+    return gb, gbf, spec, params, bnst
+
+
+class TestTwoLayerKernels:
+    """2-layer state nets (dense0+act0+dense1+act1) on the *2 kernels:
+    exactness vs the XLA body for forward, gradients, BN-affine eval, and
+    the dynamic iteration count."""
+
+    def test_eval_forward_matches_xla(self, rng):
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng)
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(spec, p, bnst, gbf, jax.random.key(1)))(params))
+        assert "pallas" in jx
+        r_x = gnn_forward(spec, params, bnst, gb, jax.random.key(1))
+        r_f = gnn_forward(spec, params, bnst, gbf, jax.random.key(1))
+        assert float(r_x["iters"]) == float(r_f["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(r_f["out"]),
+                                   np.asarray(r_x["out"]), atol=3e-5)
+        # explicit 'fused' on a plain blocked batch: per-step *2 kernel
+        fused = dataclasses.replace(spec, aggregation="fused")
+        r_e = gnn_forward(fused, params, bnst, gb, jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(r_e["state"]),
+                                   np.asarray(r_x["state"]), atol=3e-5)
+
+    def test_training_grads_match_xla(self, rng):
+        from gnn_tpu.models.core import evaluate_single
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng)
+
+        def grads(b):
+            def f(p):
+                _, l, _ = evaluate_single(spec, p, bnst, b, jax.random.key(3),
+                                          "mse", {}, training=True)
+                return l
+            return jax.grad(f)(params)
+
+        g_x, g_f = grads(gb), grads(gbf)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_bn_affine_eval_and_grads(self, rng):
+        from gnn_tpu.models.core import evaluate_single
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng, bn=True)
+        bnst = {"state": {"mean": jnp.full((5,), 0.1),
+                          "var": jnp.full((5,), 0.8)}, "output": {}}
+        r_x = gnn_forward(spec, params, bnst, gb, jax.random.key(2))
+        r_f = gnn_forward(spec, params, bnst, gbf, jax.random.key(2))
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=3e-5)
+
+        def grads(b):
+            def f(p):
+                _, l, _ = evaluate_single(spec, p, bnst, b, jax.random.key(2),
+                                          "mse", {}, training=False)
+                return l
+            return jax.grad(f)(params)
+
+        g_x, g_f = grads(gb), grads(gbf)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_dynamic_iteration_count(self, rng):
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng)
+        for th in (0.4, 1.5, 1e9):
+            base = dataclasses.replace(spec, threshold=th, max_iteration=6)
+            r_x = gnn_forward(base, params, bnst, gb, jax.random.key(4))
+            r_f = gnn_forward(base, params, bnst, gbf, jax.random.key(4))
+            assert float(r_x["iters"]) == float(r_f["iters"])
+            np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                       np.asarray(r_x["state"]), atol=3e-5)
+
+    def test_dropout_two_layer_keeps_xla_body(self, rng):
+        """2-layer + dropout is outside the *2 kernels' contract: XLA body."""
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng)
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
+                                 dropout_pos=(0,), alphadropout=True)
+        base = dataclasses.replace(spec, state_spec=ss)
+        params2, bn2 = gnn_init(base, jax.random.key(0))
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(5),
+                                  training=True))(params2))
+        assert "pallas" not in jx
