@@ -249,7 +249,11 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     # body below with identical semantics.
     use_fused = spec.aggregation == "fused"
     fused_train = False
-    if spec.aggregation == "auto" and gb.adj_loop is not None:
+    # kill-switch: GNN_TPU_FUSED=0 keeps 'auto' on the XLA body (debugging /
+    # A-B comparisons on hardware without touching the spec)
+    import os as _os
+    _fused_on = _os.environ.get("GNN_TPU_FUSED", "1") != "0"
+    if spec.aggregation == "auto" and gb.adj_loop is not None and _fused_on:
         # auto-dispatch: a fused-layout batch (from_graphs_blocked(
         # fused_layout=True)) rides the looped Pallas kernel whenever the
         # spec is statically eligible — measured ~3x the XLA block-dense
