@@ -54,10 +54,10 @@ chunks = [tr[i:i + 32] for i in range(0, len(tr), 32)]
 probe = [from_graphs_blocked(c, block_w=128, target_pad=128, edge_pad=4096)
          for c in chunks]
 max_b = max(b.adj_blocks.shape[0] for b in probe)
-# NOTE: the hidden-150 config has a TWO-layer state net, which is statically
-# ineligible for the fused Pallas kernels (they serve single-dense-layer
-# state nets, the reference starter's default shape) — all modes here run the
-# XLA block-dense body; LGNN_FUSED only toggles the batch layout
+# The hidden-150 config has a TWO-layer state net: since the late-round-2
+# 2-layer kernels (ops/pallas_fused.py::fused_propagation_loop2), this
+# dropout-free config rides the fused kernels under 'auto' when
+# LGNN_FUSED=1; LGNN_FUSED=0 keeps the XLA block-dense body
 mk = dict(block_w=128, target_pad=128, edge_pad=4096, min_blocks=max_b,
           adj_dtype=adj_dtype, fused_layout=FUSED)
 gTr = [from_graphs_blocked(c, **mk) for c in chunks]

@@ -29,9 +29,8 @@ tr = [graphs[i] for i in iTr]
 chunks = [tr[i:i + 32] for i in range(0, len(tr), 32)]
 probe = [from_graphs_blocked(c, block_w=128, target_pad=128, edge_pad=4096) for c in chunks]
 max_b = max(b.adj_blocks.shape[0] for b in probe)
-# fused_layout=True prepacks the kernel layout; NOTE the hidden-150 state
-# nets are two-layer — ineligible for the fused kernels (single-dense-layer
-# only), so this example runs the XLA block-dense body
+# fused_layout=True prepacks the kernel layout; the hidden-150 two-layer
+# state nets ride the 2-layer fused kernels (dropout-free, 'auto' dispatch)
 gTr = [from_graphs_blocked(c, block_w=128, target_pad=128, edge_pad=4096,
                            min_blocks=max_b, fused_layout=True) for c in chunks]
 gVa = from_graphs_blocked([graphs[i] for i in iVa], block_w=128, fused_layout=True)

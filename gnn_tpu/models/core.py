@@ -320,11 +320,10 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             fused_train = (training and not use_fused
                            and supports_fused_train(spec.state_spec))
         else:
+            # 2-layer: eval fuses (dropout inactive, BN affine fuses);
+            # dropout/BN TRAINING falls back to the XLA body below, like the
+            # 1-layer path does when neither kernel applies
             use_fused = supports_fused2(spec.state_spec, training)
-            if not use_fused:
-                raise ValueError(
-                    "aggregation='fused' with a 2-layer state net supports "
-                    "dropout-free configs only (BN affine fuses at eval)")
     if use_fused:
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
@@ -359,6 +358,10 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             w1b = params_state["dense_1"]["w"].T          # [D, H1]
             b1v = params_state["dense_1"]["b"]            # [D]
             act1_name = spec.state_spec.activations[1]
+        # group caps encode the ~16 MB VMEM budget; the 2-layer kernels carry
+        # H1-wide fT0/y0 arrays (H1 ~ 150 vs D ~ 14), so their groups shrink
+        loop_cap = 24 if not two else 8
+        step_cap = 45 if not two else 8
 
         def call_loop(adj, s, fT, nmf, grp):
             if two:
@@ -392,7 +395,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             traj, margins = call_loop(
                 gb.adj_loop, jnp.take(s03, li, axis=0),
                 jnp.take(fT3H, li, axis=0), gb.loop_nm,
-                pick_group(Bi_pad, cap=24, loop=True))
+                pick_group(Bi_pad, cap=loop_cap, loop=True))
             loop_any = jnp.any(margins > 0.5, axis=(1, 2))         # [K] bool
             has_dep = gb.adj_dep is not None
             if has_dep:
@@ -401,7 +404,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 s0_dep = jnp.take(s03, di, axis=0)
                 fT_dep = jnp.take(fT3H, di, axis=0)
                 nm_dep = jnp.take(nm3, di, axis=0)
-                dep_group = pick_group(Bd)
+                dep_group = pick_group(Bd, cap=step_cap)
 
                 def dep_new_state(sd):
                     # dep-local flat node ids: residual edges only couple dep
@@ -448,7 +451,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         # bytes); loop-invariant -> hoisted out of the scan by XLA
         adj_pack = (gb.adj_packT if gb.adj_packT is not None
                     else pack_adjacency(jnp.swapaxes(gb.adj_blocks, 1, 2)))
-        fuse_group = pick_group(Bb)
+        fuse_group = pick_group(Bb, cap=step_cap)
 
         def fused_new_state(sT3):
             if has_res:

@@ -69,6 +69,41 @@ _BD = functools.partial(jax.lax.dot_general,
                         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32)
 
+# batched contraction over the LAST axis of both operands (x · adjᵀ-style)
+_BDT = functools.partial(jax.lax.dot_general,
+                         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32)
+
+
+def _contract_dst(x, adj, *, hp: bool):
+    """x @ adjTᵀ contracting the (possibly hi/lo-PACKED) dst axis of adjT.
+    Full hi/lo product needs the cross terms, so stack
+    [x_hi|x_lo ; x_lo|x_hi] on rows against the packed [a_hi | a_lo]
+    columns and sum the halves (exact 4-pass). x [g, R, Wb] f32."""
+    if not hp:
+        return _BDT(x.astype(adj.dtype), adj)
+    Wb = adj.shape[1]
+    x_hi, x_lo = _split16(x)
+    top = jnp.concatenate([x_hi, x_lo], axis=2)
+    bot = jnp.concatenate([x_lo, x_hi], axis=2)
+    xb = jnp.concatenate([top, bot], axis=1)              # [g, 2R, 2Wb]
+    r = _BDT(xb, adj)                                     # [g, 2R, Wb]
+    R = x.shape[1]
+    return r[:, :R] + r[:, R:]
+
+
+def _mm_packed(wT_bcast, x, rows, *, hp: bool, Wb: int, cdt=jnp.bfloat16):
+    """wᵀ @ x for feature-major blocks with hi/lo-packed columns in hp mode:
+    wT_bcast is the pre-broadcast [g, 2R, C] (hp: stacked [wT_hi; wT_lo]) or
+    [g, R, C] weight, x [g, C, Wb] f32; returns [g, rows, Wb] f32."""
+    if hp:
+        x_hi, x_lo = _split16(x)
+        xp = jnp.concatenate([x_hi, x_lo], axis=2)        # [g, C, 2Wb]
+        v4 = _BD(wT_bcast, xp)                            # [g, 2R, 2Wb]
+        return ((v4[:, :rows, :Wb] + v4[:, :rows, Wb:])
+                + (v4[:, rows:, :Wb] + v4[:, rows:, Wb:]))
+    return _BD(wT_bcast, x.astype(cdt))
+
 
 def _iter_core(adj, sT3, w2v, *, hp: bool, group: int, Wb: int):
     """Us + A for one iteration: U = [Ws;Wa]@s, A = U[H:]@adjT.
@@ -436,24 +471,6 @@ def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
         daff_s = jnp.zeros((1, H, 1), jnp.float32)
         daff_b = jnp.zeros((1, H, 1), jnp.float32)
 
-    def packed_contract_dst(x):
-        # x @ adjTᵀ with the packed [a_hi | a_lo] dst axis: stack
-        # [x_hi|x_lo ; x_lo|x_hi] on rows, contract, sum halves (exact 4-pass)
-        if not hp:
-            return jax.lax.dot_general(
-                x.astype(adj.dtype), adj,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-        x_hi, x_lo = _split16(x)
-        top = jnp.concatenate([x_hi, x_lo], axis=2)
-        bot = jnp.concatenate([x_lo, x_hi], axis=2)
-        xb = jnp.concatenate([top, bot], axis=1)          # [g, 2R, 2Wb]
-        r = jax.lax.dot_general(
-            xb, adj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [g, 2R, Wb]
-        R = x.shape[1]
-        return r[:, :R] + r[:, R:]
-
     for k in reversed(range(K)):
         s_in = (traj_ref[k - 1] if k else s0_ref[:])
         # recompute the pre-activation with the forward's exact packed
@@ -469,21 +486,13 @@ def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
             gy = gy_raw
         dh = gy * _act_grad(activation, h)                # [g, H, Wb]
         dfT = dfT + dh
-        dua = packed_contract_dst(dh)                     # [g, H, Wb]
+        dua = _contract_dst(dh, adj, hp=hp)               # [g, H, Wb]
         du = jnp.concatenate([dh, dua], axis=1)           # [g, 2H, Wb]
-        dw2 = dw2 + jnp.sum(jax.lax.dot_general(
-            du, s_in.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32), axis=0)  # [2H, D]
+        dw2 = dw2 + jnp.sum(_BDT(du, s_in.astype(jnp.float32)),
+                            axis=0)                       # [2H, D]
         # gs = w2ᵀ @ du (hi/lo packed columns)
-        if hp:
-            du_hi, du_lo = _split16(du)
-            dup = jnp.concatenate([du_hi, du_lo], axis=2)  # [g, 2H, 2Wb]
-            v4 = _BD(wT4, dup)                             # [g, 2D, 2Wb]
-            gs = ((v4[:, :D, :Wb] + v4[:, :D, Wb:])
-                  + (v4[:, D:, :Wb] + v4[:, D:, Wb:]))
-        else:
-            gs = _BD(wT_b, du.astype(adj.dtype))
+        gs = _mm_packed(wT4 if hp else wT_b, du, D, hp=hp, Wb=Wb,
+                        cdt=adj.dtype)
     gs_ref[:] = gs.astype(gs_ref.dtype)
     dw_ref[0] = dw2.astype(dw_ref.dtype)
     dfT_ref[:] = dfT.astype(dfT_ref.dtype)
@@ -1003,36 +1012,13 @@ def _loop_train_bwd_kernel(refs, *, activation: str, hp: bool, K: int,
         dfT_ref[k] = dh.astype(dfT_ref.dtype)
         # dw += dh · x2ᵀ (contract the lane axis; tiny result, accumulated
         # in registers/VMEM across k and written once per group)
-        dw = dw + jnp.sum(jax.lax.dot_general(
-            dh, x2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32), axis=0)  # [H, 2D]
+        dw = dw + jnp.sum(_BDT(dh, x2), axis=0)           # [H, 2D]
         # dx2 = wᵀ · dh (hi/lo packed)
-        if hp:
-            dh_hi, dh_lo = _split16(dh)
-            dhp = jnp.concatenate([dh_hi, dh_lo], axis=2)  # [g, H, 2Wb]
-            v4 = _BD(wT4, dhp)                             # [g, 4D, 2Wb]
-            dx2 = ((v4[:, :2 * D, :Wb] + v4[:, :2 * D, Wb:])
-                   + (v4[:, 2 * D:, :Wb] + v4[:, 2 * D:, Wb:]))
-        else:
-            dx2 = _BD(wT_b, dh.astype(adj.dtype))          # [g, 2D, Wb]
+        dx2 = _mm_packed(wT4 if hp else wT_b, dh, 2 * D, hp=hp, Wb=Wb,
+                         cdt=adj.dtype)                    # [g, 2D, Wb]
         dagg = dx2[:, D:] * dmask(ma_ref[k])
-        # ds = dagg @ adjTᵀ: contract the PACKED dst axis. Full hi/lo product
-        # needs the cross terms, so stack [dg_hi|dg_lo ; dg_lo|dg_hi] on rows
-        # against the packed [a_hi | a_lo] columns and sum the halves.
-        if hp:
-            dg_hi, dg_lo = _split16(dagg)
-            top = jnp.concatenate([dg_hi, dg_lo], axis=2)  # [g, D, 2Wb]
-            bot = jnp.concatenate([dg_lo, dg_hi], axis=2)
-            dgB = jnp.concatenate([top, bot], axis=1)      # [g, 2D, 2Wb]
-            dsb = jax.lax.dot_general(
-                dgB, adj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)        # [g, 2D, Wb]
-            ds = dsb[:, :D] + dsb[:, D:]
-        else:
-            ds = jax.lax.dot_general(
-                dagg.astype(adj.dtype), adj,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+        # ds = dagg @ adjTᵀ over the packed dst axis (_contract_dst)
+        ds = _contract_dst(dagg, adj, hp=hp)
         gs = dx2[:, :D] * dmask(ms_ref[k]) + ds
     gs_ref[:] = gs.astype(gs_ref.dtype)
     dw_ref[0] = dw.astype(dw_ref.dtype)
@@ -1161,6 +1147,8 @@ def _step2_impl(adj_pack, stateT3, resT3, featsT3, w20, w1, b1, aff, *,
     hp = Wp == 2 * Wb
     D = stateT3.shape[1]
     H1 = w20.shape[0] // 2
+    if B % group:
+        raise ValueError(f"block count {B} not divisible by group {group}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     has_res = resT3 is not None
@@ -1408,32 +1396,6 @@ def _loop2_bwd_kernel(refs, *, act0: str, act1: str, hp: bool, K: int,
         w1T_b = jnp.broadcast_to(w1.T.astype(adj.dtype)[None],
                                  (group, H1, D))
 
-    def packed_contract_dst(x):
-        if not hp:
-            return jax.lax.dot_general(
-                x.astype(adj.dtype), adj,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-        x_hi, x_lo = _split16(x)
-        top = jnp.concatenate([x_hi, x_lo], axis=2)
-        bot = jnp.concatenate([x_lo, x_hi], axis=2)
-        xb = jnp.concatenate([top, bot], axis=1)
-        r = jax.lax.dot_general(
-            xb, adj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        R = x.shape[1]
-        return r[:, :R] + r[:, R:]
-
-    def mm_packed(wT4_or_b, x, rows):
-        # wᵀ @ x with hi/lo packed columns: [g, 2R, H?] @ [g, H?, 2Wb]
-        if hp:
-            x_hi, x_lo = _split16(x)
-            xp = jnp.concatenate([x_hi, x_lo], axis=2)
-            v4 = _BD(wT4_or_b, xp)
-            return ((v4[:, :rows, :Wb] + v4[:, :rows, Wb:])
-                    + (v4[:, rows:, :Wb] + v4[:, rows:, Wb:]))
-        return _BD(wT4_or_b, x.astype(adj.dtype))
-
     gs = jnp.zeros((group, D, Wb), jnp.float32)
     dw20 = jnp.zeros((H2, D), jnp.float32)
     dw1 = jnp.zeros((D, H1), jnp.float32)
@@ -1457,19 +1419,16 @@ def _loop2_bwd_kernel(refs, *, act0: str, act1: str, hp: bool, K: int,
             gy = gy_raw
         dh1 = gy * _act_grad(act1, h1)                     # [g, D, Wb]
         db1 = db1 + jnp.sum(dh1, axis=(0, 2))[:, None]
-        dw1 = dw1 + jnp.sum(jax.lax.dot_general(
-            dh1, y0, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32), axis=0)   # [D, H1]
-        dy0 = mm_packed(w1T4 if hp else w1T_b, dh1, H1)    # [g, H1, Wb]
+        dw1 = dw1 + jnp.sum(_BDT(dh1, y0), axis=0)         # [D, H1]
+        dy0 = _mm_packed(w1T4 if hp else w1T_b, dh1, H1, hp=hp, Wb=Wb,
+                         cdt=adj.dtype)                    # [g, H1, Wb]
         dh0 = dy0 * _act_grad(act0, h0)
         dfT = dfT + dh0
-        dua = packed_contract_dst(dh0)
+        dua = _contract_dst(dh0, adj, hp=hp)
         du = jnp.concatenate([dh0, dua], axis=1)           # [g, 2H1, Wb]
-        dw20 = dw20 + jnp.sum(jax.lax.dot_general(
-            du, s_in.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32), axis=0)
-        gs = mm_packed(w20T4 if hp else w20T_b, du, D)     # [g, D, Wb]
+        dw20 = dw20 + jnp.sum(_BDT(du, s_in.astype(jnp.float32)), axis=0)
+        gs = _mm_packed(w20T4 if hp else w20T_b, du, D, hp=hp, Wb=Wb,
+                        cdt=adj.dtype)                     # [g, D, Wb]
     gs_ref[:] = gs.astype(gs_ref.dtype)
     dw20_ref[0] = dw20.astype(dw20_ref.dtype)
     dw1_ref[0] = dw1.astype(dw1_ref.dtype)
@@ -1550,16 +1509,16 @@ fused_propagation_loop2.defvjp(_loop2_fwd, _loop2_bwd)
 
 def supports_fused2(state_spec, training: bool) -> bool:
     """Static eligibility of the 2-LAYER fused kernels (dense0+act0+dense1+
-    act1): both activations fusable, no dropout; in training mode the
-    trailing batch-stat BN is excluded (its moments are a global per-
-    iteration reduction), at eval the BN inference affine fuses."""
+    act1): both activations fusable; in training mode dropout and the
+    trailing batch-stat BN are excluded (dropout has no 2-layer training
+    kernel; BN moments are a global per-iteration reduction) — at eval both
+    are inactive/fused (BN inference affine)."""
     if state_spec.num_layers != 2:
         return False
     if any(a not in FUSABLE_ACTIVATIONS for a in state_spec.activations):
         return False
-    if state_spec.dropout_rate:
-        return False
-    if training and state_spec.batch_normalization:
+    if training and (state_spec.dropout_rate
+                     or state_spec.batch_normalization):
         return False
     return True
 

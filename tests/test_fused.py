@@ -551,8 +551,10 @@ class TestTwoLayerKernels:
             np.testing.assert_allclose(np.asarray(r_f["state"]),
                                        np.asarray(r_x["state"]), atol=3e-5)
 
-    def test_dropout_two_layer_keeps_xla_body(self, rng):
-        """2-layer + dropout is outside the *2 kernels' contract: XLA body."""
+    def test_dropout_two_layer_training_keeps_xla_eval_fuses(self, rng):
+        """2-layer + dropout TRAINING is outside the *2 kernels' contract
+        (XLA body); at EVAL dropout is inactive, so the kernels dispatch
+        and match the XLA result."""
         gb, gbf, spec, params, bnst = hybrid_workload2(rng)
         ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
                                  dropout_pos=(0,), alphadropout=True)
@@ -562,3 +564,11 @@ class TestTwoLayerKernels:
             lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(5),
                                   training=True))(params2))
         assert "pallas" not in jx
+        jx_e = str(jax.make_jaxpr(
+            lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(5),
+                                  training=False))(params2))
+        assert "pallas" in jx_e
+        r_x = gnn_forward(base, params2, bn2, gb, jax.random.key(5))
+        r_f = gnn_forward(base, params2, bn2, gbf, jax.random.key(5))
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=3e-5)
