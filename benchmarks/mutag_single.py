@@ -1,8 +1,9 @@
 """Single GNN on MUTAG graph classification — the accuracy-recommended
 config (hidden-150 selu, state-net BN off; round-1 headline 0.790), with
 dropout and cosine learning-rate decay knobs. hidden-150 means a TWO-layer
-state net: dropout-free runs ride the 2-layer fused kernels (late round 2);
-DROPOUT>0 keeps the XLA body (no 2-layer dropout training kernel).
+state net: both dropout-free runs (2-layer eval/loop kernels) and DROPOUT>0
+runs (fused_train_loop2, the looped 2-layer dropout training kernel) ride
+the fused production path.
 
 Run on the chip:  PYTHONUNBUFFERED=1 python benchmarks/mutag_single.py
 Env: DROPOUT=0.1 (0 disables)  EPOCHS=600  LR=1e-3  COSINE=1|0

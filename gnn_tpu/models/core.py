@@ -249,19 +249,22 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     # body below with identical semantics.
     use_fused = spec.aggregation == "fused"
     fused_train = False
+    fused_train2 = False
     # kill-switch: GNN_TPU_FUSED=0 keeps 'auto' on the XLA body (debugging /
     # A-B comparisons on hardware without touching the spec)
     import os as _os
     _fused_on = _os.environ.get("GNN_TPU_FUSED", "1") != "0"
     if spec.aggregation == "auto" and gb.adj_loop is not None and _fused_on:
         # auto-dispatch: a fused-layout batch (from_graphs_blocked(
-        # fused_layout=True)) rides the looped Pallas kernel whenever the
+        # fused_layout=True)) rides the looped Pallas kernels whenever the
         # spec is statically eligible — measured ~3x the XLA block-dense
-        # forward on the chip. Dropout/BN training configs keep the XLA body
-        # under 'auto' (the per-step training kernel does not beat it);
-        # clean specs use the kernel in training too (exact custom VJP).
+        # forward on the chip. Clean specs use the eval kernels in training
+        # too (exact custom VJP); dropout training configs ride the looped
+        # TRAINING kernels; BN training configs keep the XLA body (the
+        # per-step training kernel does not beat it).
         from gnn_tpu.ops.pallas_fused import supports_fused as _sf
         from gnn_tpu.ops.pallas_fused import supports_fused2 as _sf2
+        from gnn_tpu.ops.pallas_fused import supports_fused2_train as _sft2
         from gnn_tpu.ops.pallas_fused import supports_fused_train as _sft
         D0 = gb.nodes.shape[1]
         # grad_mode='ift' opts into the implicit adjoint installed after the
@@ -283,8 +286,13 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         fused_train = (training and not use_fused and eligible
                        and not spec.state_spec.batch_normalization
                        and _sft(spec.state_spec))
-    if use_fused or fused_train or spec.aggregation == "fused":
-        from gnn_tpu.ops.pallas_fused import (FUSABLE_ACTIVATIONS,
+        # 2-layer dropout training configs (hidden-150 accuracy recipe) ride
+        # the looped 2-layer TRAINING kernel (auto implies a fused-layout
+        # batch, so the loop/dep split is always available)
+        fused_train2 = (training and not use_fused and base_ok
+                        and _sft2(spec.state_spec))
+    if use_fused or fused_train or fused_train2 or spec.aggregation == "fused":
+        from gnn_tpu.ops.pallas_fused import (_ACTS, FUSABLE_ACTIVATIONS,
                                               _drop_coeffs,
                                               bn_inference_affine,
                                               from_blocks_fm,
@@ -293,9 +301,11 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                                               fused_propagation_step,
                                               fused_propagation_step2,
                                               fused_train_loop,
+                                              fused_train_loop2,
                                               fused_train_step,
                                               pack_adjacency, pick_group,
                                               supports_fused, supports_fused2,
+                                              supports_fused2_train,
                                               supports_fused_train,
                                               to_blocks_fm)
     if spec.aggregation == "fused":
@@ -321,9 +331,13 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                            and supports_fused_train(spec.state_spec))
         else:
             # 2-layer: eval fuses (dropout inactive, BN affine fuses);
-            # dropout/BN TRAINING falls back to the XLA body below, like the
-            # 1-layer path does when neither kernel applies
+            # dropout TRAINING rides the looped 2-layer training kernel when
+            # the batch has the loop/dep split (fused_layout); BN training
+            # falls back to the XLA body below
             use_fused = supports_fused2(spec.state_spec, training)
+            fused_train2 = (training and not use_fused
+                            and gb.adj_loop is not None
+                            and supports_fused2_train(spec.state_spec))
     if use_fused:
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
@@ -485,7 +499,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         # eval-mode only (supports_fused): BN state passes through unchanged
         return k, from3(sT3), bn_state
 
-    if fused_train:
+    if fused_train or fused_train2:
         # --- fused TRAINING path (ops/pallas_fused.py::fused_train_step) ---
         # Dropout/batch-stat BN make the eval kernels' dense-through-
         # aggregation reassociation illegal (dropout sits between them,
@@ -495,15 +509,20 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         # SAME bernoulli stream as the XLA body, and the trailing BN (a
         # global cross-block reduction) runs outside in XLA per iteration.
         from gnn_tpu.ops.mlp import _ALPHA_P, _batchnorm_fm
+        two = fused_train2
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
-        w1T = params_state["dense_0"]["w"].T          # [H, in_dim]
+        w1T = params_state["dense_0"]["w"].T          # [H(1), in_dim]
         b1 = params_state["dense_0"]["b"]
         D = state0.shape[1]
         in_dim = spec.state_spec.input_dim            # = 2D + arc-label dim
         w_cat = w1T[:, :2 * D]                        # [H, 2D] = [Ws | Wa]
         Wf = w1T[:, 2 * D:]                           # [H, AL]
         act_name = spec.state_spec.activations[0]
+        if two:
+            w1b = params_state["dense_1"]["w"].T      # [D, H1]
+            b1v = params_state["dense_1"]["b"]        # [D]
+            act1_name = spec.state_spec.activations[1]
         drop = dict(zip(spec.state_spec.dropout_pos,
                         spec.state_spec.dropout_rate))
         rate = float(drop.get(0, 0.0))
@@ -519,8 +538,12 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         fuse_group = pick_group(Bb)
         nm3 = nm.reshape(Bb, Wb)
         featsT3 = to3(agg_arcs.astype(state0.dtype))   # [B, AL, Wb]
-        fT3H_clean = (_hp("hf,bfw->bhw", Wf, featsT3)
-                      + b1[None, :, None]).astype(state0.dtype)
+        if not two:
+            # 1-layer kernels stream the folded feature term Wf@feats + b;
+            # the 2-layer kernel consumes the raw dropped feats (AL rows)
+            # and evaluates the full dense0 in-kernel instead
+            fT3H_clean = (_hp("hf,bfw->bhw", Wf, featsT3)
+                          + b1[None, :, None]).astype(state0.dtype)
         if rate > 0.0:
             a_c, b_c = _drop_coeffs(alpha, rate)
 
@@ -553,22 +576,37 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 ma_all = jax.vmap(to3)(keeps[:, :, D:2 * D])
                 featsd = jax.vmap(lambda kf: drop_half(
                     featsT3.astype(jnp.float32), to3(kf)))(keeps[:, :, 2 * D:])
-                fT_all = (_hp("hf,kbfw->kbhw", Wf, featsd)
-                          + b1[None, None, :, None]).astype(state0.dtype)
+                if two:
+                    fd_all = featsd.astype(state0.dtype)  # [K, B, AL, Wb]
+                else:
+                    fT_all = (_hp("hf,kbfw->kbhw", Wf, featsd)
+                              + b1[None, None, :, None]).astype(state0.dtype)
             else:
                 ms_all = jnp.ones((K, Bb, D, Wb), jnp.float32)
                 ma_all = ms_all
-                fT_all = jnp.broadcast_to(fT3H_clean[None],
-                                          (K,) + fT3H_clean.shape)
+                if two:
+                    fd_all = jnp.broadcast_to(featsT3[None],
+                                              (K,) + featsT3.shape)
+                else:
+                    fT_all = jnp.broadcast_to(fT3H_clean[None],
+                                              (K,) + fT3H_clean.shape)
             s03 = to3(state0)
             li = gb.loop_ids
             Bi_pad = gb.adj_loop.shape[0]
-            traj, margins = fused_train_loop(
-                gb.adj_loop, jnp.take(s03, li, axis=0),
-                jnp.take(ms_all, li, axis=1), jnp.take(ma_all, li, axis=1),
-                jnp.take(fT_all, li, axis=1), w_cat, gb.loop_nm,
-                K, float(spec.threshold), act_name, alpha, rate,
-                pick_group(Bi_pad, cap=12, loop=True))
+            if two:
+                traj, margins = fused_train_loop2(
+                    gb.adj_loop, jnp.take(s03, li, axis=0),
+                    jnp.take(ms_all, li, axis=1), jnp.take(ma_all, li, axis=1),
+                    jnp.take(fd_all, li, axis=1), w1T, b1, w1b, b1v,
+                    gb.loop_nm, K, float(spec.threshold), act_name, act1_name,
+                    alpha, rate, pick_group(Bi_pad, cap=8, loop=True))
+            else:
+                traj, margins = fused_train_loop(
+                    gb.adj_loop, jnp.take(s03, li, axis=0),
+                    jnp.take(ms_all, li, axis=1), jnp.take(ma_all, li, axis=1),
+                    jnp.take(fT_all, li, axis=1), w_cat, gb.loop_nm,
+                    K, float(spec.threshold), act_name, alpha, rate,
+                    pick_group(Bi_pad, cap=12, loop=True))
             loop_any = jnp.any(margins > 0.5, axis=(1, 2))         # [K] bool
             has_dep = gb.adj_dep is not None
             if has_dep:
@@ -579,34 +617,73 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 dep_group = pick_group(Bd)
                 dep_xs = (loop_any, jnp.take(ms_all, di, axis=1),
                           jnp.take(ma_all, di, axis=1),
-                          jnp.take(fT_all, di, axis=1))
+                          jnp.take(fd_all if two else fT_all, di, axis=1))
 
-                def body_dep_t(carry, xs):
+                def _dep_conv(carry, loop_any_k):
                     k, sd, sd_old, active = carry
-                    loop_any_k, msk, mak, fTk = xs
                     diff = (sd - sd_old).astype(jnp.float32)
                     dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
                     normv = jnp.sqrt(jnp.sum(
                         jnp.square(sd_old.astype(jnp.float32)), axis=1))
                     moving = (dist > thr * normv) & nm_dep
-                    active = active & (loop_any_k | jnp.any(moving))
+                    return active & (loop_any_k | jnp.any(moving))
+
+                def _dep_res(sd):
                     # raw dep-local residual aggregation (pre-dropout; the
-                    # training kernel masks AFTER adding it, like the body)
+                    # mask applies AFTER adding it, like the XLA body)
                     flat = sd.transpose(1, 0, 2).reshape(sd.shape[1], -1).T
                     resD = jax.ops.segment_sum(
                         (jnp.take(flat, gb.res_src_loc, axis=0)
                          * gb.res_w[:, None]).astype(jnp.float32),
                         gb.res_dst_loc, num_segments=Bd * Wb)
-                    rT3 = resD.T.reshape(-1, Bd, Wb).transpose(1, 0, 2)
-                    sdd = (drop_half(sd.astype(jnp.float32), msk)
-                           .astype(sd.dtype) if rate > 0.0 else sd)
-                    y3, _ = fused_train_step(gb.adj_dep, sd, sdd, mak, rT3,
-                                             fTk, w_cat, act_name, alpha,
-                                             rate, dep_group)
-                    sd_next = jnp.where(active, y3.astype(sd.dtype), sd)
-                    sd_old_next = jnp.where(active, sd, sd_old)
-                    return (k + active.astype(jnp.float32), sd_next,
-                            sd_old_next, active), None
+                    return resD.T.reshape(-1, Bd, Wb).transpose(1, 0, 2)
+
+                if two:
+                    # 2-layer dep step in plain XLA (dep blocks are the few
+                    # cross-block-coupled ones; no per-step 2-layer training
+                    # kernel). Same math as mlp_apply pos-0 dropout: mask the
+                    # state/aggregated slices, feats arrive pre-dropped.
+                    hp_dep = gb.adj_dep.shape[2] == 2 * Wb
+                    adjT_dep = (gb.adj_dep[..., :Wb].astype(jnp.float32)
+                                + gb.adj_dep[..., Wb:].astype(jnp.float32)
+                                ) if hp_dep else gb.adj_dep.astype(jnp.float32)
+
+                    def body_dep_t(carry, xs):
+                        k, sd, sd_old, active = carry
+                        loop_any_k, msk, mak, fdk = xs
+                        active = _dep_conv(carry, loop_any_k)
+                        agg = _hp("bds,bsw->bdw", sd.astype(jnp.float32),
+                                  adjT_dep) + _dep_res(sd)
+                        sdd = (drop_half(sd.astype(jnp.float32), msk)
+                               if rate > 0.0 else sd.astype(jnp.float32))
+                        aggd = drop_half(agg, mak) if rate > 0.0 else agg
+                        x3 = jnp.concatenate(
+                            [sdd, aggd, fdk.astype(jnp.float32)], axis=1)
+                        h0 = (_hp("hi,biw->bhw", w1T.astype(jnp.float32), x3)
+                              + b1.astype(jnp.float32)[None, :, None])
+                        y0 = _ACTS[act_name](h0)
+                        h1 = (_hp("dh,bhw->bdw", w1b.astype(jnp.float32), y0)
+                              + b1v.astype(jnp.float32)[None, :, None])
+                        y3 = _ACTS[act1_name](h1)
+                        sd_next = jnp.where(active, y3.astype(sd.dtype), sd)
+                        sd_old_next = jnp.where(active, sd, sd_old)
+                        return (k + active.astype(jnp.float32), sd_next,
+                                sd_old_next, active), None
+                else:
+                    def body_dep_t(carry, xs):
+                        k, sd, sd_old, active = carry
+                        loop_any_k, msk, mak, fTk = xs
+                        active = _dep_conv(carry, loop_any_k)
+                        rT3 = _dep_res(sd)
+                        sdd = (drop_half(sd.astype(jnp.float32), msk)
+                               .astype(sd.dtype) if rate > 0.0 else sd)
+                        y3, _ = fused_train_step(gb.adj_dep, sd, sdd, mak,
+                                                 rT3, fTk, w_cat, act_name,
+                                                 alpha, rate, dep_group)
+                        sd_next = jnp.where(active, y3.astype(sd.dtype), sd)
+                        sd_old_next = jnp.where(active, sd, sd_old)
+                        return (k + active.astype(jnp.float32), sd_next,
+                                sd_old_next, active), None
 
                 carry0d = (jnp.float32(0.0), s0_dep, jnp.ones_like(s0_dep),
                            jnp.bool_(True))
@@ -621,6 +698,10 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                      if has_dep else sel)
             state3 = jnp.take(full3, gb.block_perm, axis=0)
             return k, from3(state3), bn_state
+
+        # per-step fallback below is 1-layer only (fused_train_step); the
+        # 2-layer training dispatch always requires the loop/dep split above
+        assert not two, "fused_train2 requires a fused-layout batch"
 
         def body_ft(carry, step_rng):
             k, sT3, sT3_old, active, bn = carry

@@ -1507,6 +1507,371 @@ def _loop2_bwd(K, threshold, act0, act1, group, interpret, res, g):
 fused_propagation_loop2.defvjp(_loop2_fwd, _loop2_bwd)
 
 
+# --------------------------------------------- looped 2-layer TRAINING loop
+# Dropout training for hidden-layer state nets (the hidden-150 accuracy
+# configs). Unlike the 1-layer training loop — which streams a precomputed
+# per-iteration feature term fT = Wf@drop_k(feats)+b [K, B, H, Wb] — this
+# kernel consumes the RAW dropped arc-label aggregation fd [K, B, AL, Wb]
+# (AL ~ 3 rows vs H1 ~ 150) and evaluates the FULL dense0 in one packed MXU
+# issue per iteration: h0 = [Ws|Wa|Wf] @ [s_drop; agg_drop; fd_k] + b0.
+# Dropout between the aggregation and dense0 makes the eval kernels'
+# reassociation illegal (same reason as fused_train_loop), so the adjacency
+# bmm runs first and the aggregated slice's keep-mask is applied in VMEM;
+# the state/feature slices arrive with masks from the SAME bernoulli stream
+# as the XLA body. Per-iteration aggregations are saved for the fused
+# backward (one kernel per block group, adjacency streamed once).
+def _loop2_train_kernel_T(refs, *, act0: str, act1: str, hp: bool, K: int,
+                          thr: float, group: int, block_w: int,
+                          alpha_drop: bool, rate: float):
+    Wb = block_w
+    (adj_ref, s_ref, ms_ref, ma_ref, fd_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+     nm_ref, traj_ref, marg_ref, agg_ref) = refs
+    adj = adj_ref[:]
+    w0 = w0_ref[:].astype(jnp.float32)                    # [H1, 2D + AL]
+    b0 = b0_ref[:].astype(jnp.float32)                    # [H1, 1]
+    w1 = w1_ref[:].astype(jnp.float32)                    # [D, H1]
+    b1 = b1_ref[:].astype(jnp.float32)                    # [D, 1]
+    H1 = w0.shape[0]
+    nm = nm_ref[:]
+    thrf = jnp.float32(thr)
+    s = s_ref[:]
+    D = s.shape[1]
+    s_old = jnp.ones_like(s)
+    if rate > 0.0:
+        a_c, b_c = _drop_coeffs(alpha_drop, rate)
+    if hp:
+        w0_hi, w0_lo = _split16(w0)
+        w04 = jnp.broadcast_to(jnp.concatenate([w0_hi, w0_lo], axis=0)[None],
+                               (group, 2 * H1) + w0.shape[1:])
+    else:
+        w0_b = jnp.broadcast_to(w0.astype(adj.dtype)[None],
+                                (group,) + w0.shape)
+
+    def drop(x, m):
+        if rate <= 0.0:
+            return x
+        if alpha_drop:
+            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
+        return jnp.where(m > 0.5, a_c * x, 0.0)
+
+    for k in range(K):
+        diff = (s - s_old).astype(jnp.float32)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))     # [g, Wb]
+        norm = jnp.sqrt(jnp.sum(jnp.square(s_old.astype(jnp.float32)),
+                                axis=1))
+        marg_ref[k] = jnp.where(dist > thrf * norm, 1.0, 0.0) * nm
+        # issue 1: agg = s @ adjT (hi/lo packed when the adjacency is f32)
+        if hp:
+            s_hi, s_lo = _split16(s.astype(jnp.float32))
+            s2 = jnp.concatenate([s_hi, s_lo], axis=1)    # [g, 2D, Wb]
+            r4 = _BD(s2, adj)                             # [g, 2D, 2Wb]
+            agg = ((r4[:, :D, :Wb] + r4[:, :D, Wb:])
+                   + (r4[:, D:, :Wb] + r4[:, D:, Wb:]))   # [g, D, Wb] f32
+        else:
+            agg = _BD(s.astype(adj.dtype), adj)
+        agg_ref[k] = agg.astype(agg_ref.dtype)
+        x3 = jnp.concatenate([drop(s.astype(jnp.float32), ms_ref[k]),
+                              drop(agg, ma_ref[k]),
+                              fd_ref[k].astype(jnp.float32)],
+                             axis=1)                      # [g, 2D+AL, Wb]
+        # issue 2: h0 = [Ws | Wa | Wf] @ [s_drop ; agg_drop ; fd_k] + b0
+        h0 = _mm_packed(w04 if hp else w0_b, x3, H1, hp=hp, Wb=Wb,
+                        cdt=adj.dtype) + b0[None]
+        y0 = _ACTS[act0](h0)
+        # issue 3: h1 = w1 @ y0 + b1
+        h1 = _dense1_fm(w1, b1, y0, hp=hp, group=group, Wb=Wb, cdt=adj.dtype)
+        s_old = s
+        s = _ACTS[act1](h1).astype(s.dtype)
+        traj_ref[k] = s
+
+
+def _loop2_train_impl(adj_pack, s0, ms, ma, fd, w0, b0, w1, b1, nmf, *,
+                      K: int, threshold: float, act0: str, act1: str,
+                      alpha_drop: bool, rate: float, group: int, interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = s0.shape[1]
+    AL = fd.shape[2]
+    H1 = w0.shape[0]
+    if w1.shape[0] != D:
+        raise ValueError(f"loop kernel needs state width out == in "
+                         f"({w1.shape[0]} != {D})")
+    if w0.shape[1] != 2 * D + AL:
+        raise ValueError(f"w0 columns {w0.shape[1]} != 2D+AL {2 * D + AL}")
+    if B % group:
+        raise ValueError(f"block count {B} not divisible by group {group}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_loop2_train_kernel_T, act0=act0, act1=act1,
+                               hp=hp, K=K, thr=threshold, group=group,
+                               block_w=Wb, alpha_drop=alpha_drop, rate=rate)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    b3 = lambda i: (i, 0, 0)        # noqa: E731
+    b4 = lambda i: (0, i, 0, 0)     # noqa: E731
+    return pl.pallas_call(
+        wrapped,
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, AL, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H1, 2 * D + AL), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, Wb), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, Wb), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, B, D, Wb), s0.dtype),
+            jax.ShapeDtypeStruct((K, B, Wb), jnp.float32),
+            jax.ShapeDtypeStruct((K, B, D, Wb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adj_pack, s0, ms, ma, fd, w0, b0.reshape(H1, 1), w1,
+      b1.reshape(D, 1), nmf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15,
+                                                    16, 17))
+def fused_train_loop2(adj_pack, s0, ms, ma, fd, w0, b0, w1, b1, nmf, K: int,
+                      threshold: float, act0: str = "tanh",
+                      act1: str = "tanh", alpha_drop: bool = True,
+                      rate: float = 0.0, group: int = 8,
+                      interpret: Optional[bool] = None):
+    """The full K-iteration 2-LAYER TRAINING propagation loop over
+    residual-free blocks (dropout at the MLP input, NO BatchNorm).
+
+    :param adj_pack: pack_adjacency output for the loop blocks.
+    :param s0: [B, D, Wb] initial states (feature-major blocks).
+    :param ms: [K, B, D, Wb] f32 keep-masks for the STATE input slice.
+    :param ma: [K, B, D, Wb] f32 keep-masks for the AGGREGATED slice
+        (applied in-VMEM after the adjacency bmm).
+    :param fd: [K, B, AL, Wb] per-iteration PRE-DROPPED arc-label aggregation
+        (drop_k applied outside with the body's bernoulli stream).
+    :param w0: [H1, 2D + AL] full transposed dense0 weight [Ws | Wa | Wf].
+    :param b0: [H1], w1: [D, H1] transposed dense1, b1: [D].
+    :param nmf: [B, Wb] float node mask for the convergence flags.
+    Returns (traj [K, B, D, Wb], margins [K, B, Wb])."""
+    traj, margins, _ = _loop2_train_impl(
+        adj_pack, s0, ms, ma, fd, w0, b0, w1, b1, nmf, K=K,
+        threshold=threshold, act0=act0, act1=act1, alpha_drop=alpha_drop,
+        rate=rate, group=group, interpret=interpret)
+    return traj, margins
+
+
+def _loop2_train_fwd(adj_pack, s0, ms, ma, fd, w0, b0, w1, b1, nmf, K,
+                     threshold, act0, act1, alpha_drop, rate, group,
+                     interpret):
+    traj, margins, agg = _loop2_train_impl(
+        adj_pack, s0, ms, ma, fd, w0, b0, w1, b1, nmf, K=K,
+        threshold=threshold, act0=act0, act1=act1, alpha_drop=alpha_drop,
+        rate=rate, group=group, interpret=interpret)
+    return (traj, margins), (adj_pack, s0, ms, ma, fd, w0, b0, w1, b1, traj,
+                             agg)
+
+
+def _loop2_train_bwd_kernel(refs, *, act0: str, act1: str, hp: bool, K: int,
+                            group: int, block_w: int, alpha_drop: bool,
+                            rate: float):
+    """All K reverse iterations of the 2-layer training-loop backward for a
+    group of blocks in one kernel: adjacency streamed once; each step's
+    recompute (dropout + dense0 + act0 + dense1), the dh1/dh0 chains, the
+    dw0/db0/dw1/db1 accumulators and the dagg -> ds adjacency contraction
+    all stay in VMEM. Per-group weight partials are summed by the caller."""
+    Wb = block_w
+    (adj_ref, s0_ref, traj_ref, agg_ref, ms_ref, ma_ref, fd_ref, w0_ref,
+     b0_ref, w1_ref, b1_ref, gt_ref, gs_ref, dw0_ref, db0_ref, dw1_ref,
+     db1_ref, dfd_ref) = refs
+    adj = adj_ref[:]
+    w0 = w0_ref[:].astype(jnp.float32)                    # [H1, 2D + AL]
+    b0 = b0_ref[:].astype(jnp.float32)
+    w1 = w1_ref[:].astype(jnp.float32)                    # [D, H1]
+    b1 = b1_ref[:].astype(jnp.float32)
+    H1 = w0.shape[0]
+    I = w0.shape[1]
+    D = s0_ref.shape[1]
+    AL = I - 2 * D
+    if rate > 0.0:
+        a_c, b_c = _drop_coeffs(alpha_drop, rate)
+
+    def drop(x, m):
+        if rate <= 0.0:
+            return x
+        if alpha_drop:
+            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
+        return jnp.where(m > 0.5, a_c * x, 0.0)
+
+    def dmask(m):
+        if rate <= 0.0:
+            return jnp.float32(1.0)
+        return a_c * (m > 0.5).astype(jnp.float32)
+
+    if hp:
+        w0_hi, w0_lo = _split16(w0)
+        w04 = jnp.broadcast_to(jnp.concatenate([w0_hi, w0_lo], axis=0)[None],
+                               (group, 2 * H1, I))
+        w0T_hi, w0T_lo = _split16(w0.T)                   # [I, H1]
+        w0T4 = jnp.broadcast_to(
+            jnp.concatenate([w0T_hi, w0T_lo], axis=0)[None],
+            (group, 2 * I, H1))
+        w1T_hi, w1T_lo = _split16(w1.T)                   # [H1, D]
+        w1T4 = jnp.broadcast_to(
+            jnp.concatenate([w1T_hi, w1T_lo], axis=0)[None],
+            (group, 2 * H1, D))
+    else:
+        w0_b = jnp.broadcast_to(w0.astype(adj.dtype)[None], (group, H1, I))
+        w0T_b = jnp.broadcast_to(w0.T.astype(adj.dtype)[None],
+                                 (group, I, H1))
+        w1T_b = jnp.broadcast_to(w1.T.astype(adj.dtype)[None],
+                                 (group, H1, D))
+
+    gs = jnp.zeros((group, D, Wb), jnp.float32)
+    dw0 = jnp.zeros((H1, I), jnp.float32)
+    db0 = jnp.zeros((H1, 1), jnp.float32)
+    dw1 = jnp.zeros((D, H1), jnp.float32)
+    db1 = jnp.zeros((D, 1), jnp.float32)
+    for k in reversed(range(K)):
+        s_in = (traj_ref[k - 1] if k else s0_ref[:]).astype(jnp.float32)
+        x3 = jnp.concatenate([drop(s_in, ms_ref[k]),
+                              drop(agg_ref[k].astype(jnp.float32),
+                                   ma_ref[k]),
+                              fd_ref[k].astype(jnp.float32)],
+                             axis=1)                      # [g, 2D+AL, Wb]
+        # recompute h0, y0, h1 with the forward's exact packed algebra
+        h0 = _mm_packed(w04 if hp else w0_b, x3, H1, hp=hp, Wb=Wb,
+                        cdt=adj.dtype) + b0[None]
+        y0 = _ACTS[act0](h0)
+        h1 = _dense1_fm(w1, b1, y0, hp=hp, group=group, Wb=Wb, cdt=adj.dtype)
+        gy = gt_ref[k].astype(jnp.float32) + gs
+        dh1 = gy * _act_grad(act1, h1)                    # [g, D, Wb]
+        db1 = db1 + jnp.sum(dh1, axis=(0, 2))[:, None]
+        dw1 = dw1 + jnp.sum(_BDT(dh1, y0), axis=0)        # [D, H1]
+        dy0 = _mm_packed(w1T4 if hp else w1T_b, dh1, H1, hp=hp, Wb=Wb,
+                         cdt=adj.dtype)                   # [g, H1, Wb]
+        dh0 = dy0 * _act_grad(act0, h0)
+        db0 = db0 + jnp.sum(dh0, axis=(0, 2))[:, None]
+        dw0 = dw0 + jnp.sum(_BDT(dh0, x3), axis=0)        # [H1, 2D+AL]
+        dx3 = _mm_packed(w0T4 if hp else w0T_b, dh0, I, hp=hp, Wb=Wb,
+                         cdt=adj.dtype)                   # [g, 2D+AL, Wb]
+        dfd_ref[k] = dx3[:, 2 * D:].astype(dfd_ref.dtype)
+        dagg = dx3[:, D:2 * D] * dmask(ma_ref[k])
+        # ds = dagg @ adjTᵀ over the packed dst axis
+        ds = _contract_dst(dagg, adj, hp=hp)
+        gs = dx3[:, :D] * dmask(ms_ref[k]) + ds
+    gs_ref[:] = gs.astype(gs_ref.dtype)
+    dw0_ref[0] = dw0.astype(dw0_ref.dtype)
+    db0_ref[0] = db0.astype(db0_ref.dtype)
+    dw1_ref[0] = dw1.astype(dw1_ref.dtype)
+    db1_ref[0] = db1.astype(db1_ref.dtype)
+
+
+def _loop2_train_bwd_impl(adj_pack, s0, traj, agg, ms, ma, fd, w0, b0, w1,
+                          b1, g_traj, *, K: int, act0: str, act1: str,
+                          alpha_drop: bool, rate: float, group: int,
+                          interpret):
+    B, Wb, Wp = adj_pack.shape
+    hp = Wp == 2 * Wb
+    D = s0.shape[1]
+    AL = fd.shape[2]
+    H1 = w0.shape[0]
+    I = 2 * D + AL
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_loop2_train_bwd_kernel, act0=act0, act1=act1,
+                               hp=hp, K=K, group=group, block_w=Wb,
+                               alpha_drop=alpha_drop, rate=rate)
+    wrapped = lambda *refs: kernel(refs)  # noqa: E731
+    G = B // group
+    b3 = lambda i: (i, 0, 0)        # noqa: E731
+    b4 = lambda i: (0, i, 0, 0)     # noqa: E731
+    g1 = lambda i: (i, 0, 0)        # noqa: E731
+    gs, dw0_p, db0_p, dw1_p, db1_p, dfd = pl.pallas_call(
+        wrapped,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, AL, Wb), b4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H1, I), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, D, Wb), b4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H1, I), g1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H1, 1), g1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, H1), g1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 1), g1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group, AL, Wb), b4, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D, Wb), s0.dtype),
+            jax.ShapeDtypeStruct((G, H1, I), jnp.float32),
+            jax.ShapeDtypeStruct((G, H1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G, D, H1), jnp.float32),
+            jax.ShapeDtypeStruct((G, D, 1), jnp.float32),
+            jax.ShapeDtypeStruct((K, B, AL, Wb), fd.dtype),
+        ],
+        interpret=interpret,
+    )(adj_pack, s0, traj, agg, ms, ma, fd, w0, b0.reshape(H1, 1), w1,
+      b1.reshape(D, 1), g_traj)
+    return (gs, jnp.sum(dw0_p, axis=0), jnp.sum(db0_p, axis=0)[:, 0],
+            jnp.sum(dw1_p, axis=0), jnp.sum(db1_p, axis=0)[:, 0], dfd)
+
+
+def _loop2_train_bwd(K, threshold, act0, act1, alpha_drop, rate, group,
+                     interpret, res, g):
+    """Fused backward: all K reverse iterations in one kernel per block group
+    (adjacency streamed once). The forward saved every iteration's
+    pre-dropout aggregation, so no forward adjacency bmm is re-run; fd's
+    cotangent is returned so LGNN-augmented arc labels keep their grads."""
+    g_traj, _ = g                                         # margins: non-diff
+    adj_pack, s0, ms, ma, fd, w0, b0, w1, b1, traj, agg = res
+    gs, dw0, db0, dw1, db1, dfd = _loop2_train_bwd_impl(
+        adj_pack, s0, traj, agg.astype(jnp.float32), ms, ma, fd, w0, b0, w1,
+        b1, g_traj.astype(s0.dtype), K=K, act0=act0, act1=act1,
+        alpha_drop=alpha_drop, rate=rate, group=group, interpret=interpret)
+    return (None, gs.astype(s0.dtype), None, None, dfd.astype(fd.dtype),
+            dw0.astype(w0.dtype), db0.astype(b0.dtype), dw1.astype(w1.dtype),
+            db1.astype(b1.dtype), None)
+
+
+fused_train_loop2.defvjp(_loop2_train_fwd, _loop2_train_bwd)
+
+
+def supports_fused2_train(state_spec) -> bool:
+    """Static eligibility of the 2-LAYER looped TRAINING kernel
+    (fused_train_loop2): two dense layers, fusable activations, dropout only
+    at the input (pos 0), no BatchNorm (its training moments are a global
+    cross-block reduction every iteration — and there is no per-step 2-layer
+    training kernel to fall back to)."""
+    if state_spec.num_layers != 2:
+        return False
+    if any(a not in FUSABLE_ACTIVATIONS for a in state_spec.activations):
+        return False
+    if any(p != 0 for p in state_spec.dropout_pos):
+        return False
+    if state_spec.batch_normalization:
+        return False
+    return True
+
+
 def supports_fused2(state_spec, training: bool) -> bool:
     """Static eligibility of the 2-LAYER fused kernels (dense0+act0+dense1+
     act1): both activations fusable; in training mode dropout and the

@@ -551,19 +551,14 @@ class TestTwoLayerKernels:
             np.testing.assert_allclose(np.asarray(r_f["state"]),
                                        np.asarray(r_x["state"]), atol=3e-5)
 
-    def test_dropout_two_layer_training_keeps_xla_eval_fuses(self, rng):
-        """2-layer + dropout TRAINING is outside the *2 kernels' contract
-        (XLA body); at EVAL dropout is inactive, so the kernels dispatch
-        and match the XLA result."""
+    def test_dropout_two_layer_eval_fuses(self, rng):
+        """At EVAL dropout is inactive, so the *2 kernels dispatch and match
+        the XLA result."""
         gb, gbf, spec, params, bnst = hybrid_workload2(rng)
         ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
                                  dropout_pos=(0,), alphadropout=True)
         base = dataclasses.replace(spec, state_spec=ss)
         params2, bn2 = gnn_init(base, jax.random.key(0))
-        jx = str(jax.make_jaxpr(
-            lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(5),
-                                  training=True))(params2))
-        assert "pallas" not in jx
         jx_e = str(jax.make_jaxpr(
             lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(5),
                                   training=False))(params2))
@@ -572,3 +567,80 @@ class TestTwoLayerKernels:
         r_f = gnn_forward(base, params2, bn2, gbf, jax.random.key(5))
         np.testing.assert_allclose(np.asarray(r_f["state"]),
                                    np.asarray(r_x["state"]), atol=3e-5)
+
+
+class TestTwoLayerTrainingLoop:
+    """2-layer + dropout TRAINING on the looped 2-layer training kernel
+    (fused_train_loop2): the hidden-150 accuracy recipe's production path.
+    The kernel consumes the raw dropped arc-label aggregation and evaluates
+    the full dense0 in-kernel; exactness vs the XLA body under the SAME
+    bernoulli stream, plus the fused backward kernel's gradients."""
+
+    def _dropout_spec(self, spec, alpha=True, rate=0.1):
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(rate,),
+                                 dropout_pos=(0,), alphadropout=alpha)
+        return dataclasses.replace(spec, state_spec=ss)
+
+    @pytest.mark.parametrize("alpha,rate", [(True, 0.2), (False, 0.15)])
+    def test_training_loop_matches_xla_body(self, rng, alpha, rate):
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng)
+        base = self._dropout_spec(spec, alpha=alpha, rate=rate)
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(base, p, bnst, gbf, jax.random.key(2),
+                                  training=True))(params))
+        assert "pallas" in jx
+        r_x = gnn_forward(base, params, bnst, gb, jax.random.key(2),
+                          training=True)
+        r_f = gnn_forward(base, params, bnst, gbf, jax.random.key(2),
+                          training=True)
+        assert float(r_x["iters"]) == float(r_f["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=1e-4)
+
+    def test_training_loop_gradients_match_xla_body(self, rng):
+        from gnn_tpu.models.core import evaluate_single
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng)
+        base = self._dropout_spec(spec)
+
+        def grads(b):
+            def f(p):
+                _, l, _ = evaluate_single(base, p, bnst, b, jax.random.key(3),
+                                          "mse", {}, training=True)
+                return l
+            return jax.grad(f)(params)
+
+        g_x, g_f = grads(gb), grads(gbf)
+        for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_training_loop_dynamic_iteration_count(self, rng):
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng)
+        for th in (0.4, 1.5, 1e9):
+            base = dataclasses.replace(self._dropout_spec(spec), threshold=th,
+                                       max_iteration=6)
+            r_x = gnn_forward(base, params, bnst, gb, jax.random.key(4),
+                              training=True)
+            r_f = gnn_forward(base, params, bnst, gbf, jax.random.key(4),
+                              training=True)
+            assert float(r_x["iters"]) == float(r_f["iters"])
+            np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                       np.asarray(r_x["state"]), atol=1e-4)
+
+    def test_bn_dropout_two_layer_keeps_xla_body(self, rng):
+        """BN + dropout 2-layer training must NOT dispatch (BN moments are a
+        global per-iteration reduction; no per-step 2-layer fallback)."""
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng, bn=True)
+        base = self._dropout_spec(spec)
+        params2, bn2 = gnn_init(base, jax.random.key(0))
+        jx = str(jax.make_jaxpr(
+            lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(5),
+                                  training=True))(params2))
+        assert "pallas" not in jx
+        r_x = gnn_forward(base, params2, bn2, gb, jax.random.key(5),
+                          training=True)
+        r_f = gnn_forward(base, params2, bn2, gbf, jax.random.key(5),
+                          training=True)
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=1e-6)
