@@ -1,0 +1,199 @@
+"""Serving layer (gnn_tpu/serving.py): AOT-compiled shape-bucketed
+predictors must reproduce the model's own forward on the same batch, route
+differently-sized requests onto shared executables, and split outputs back
+per input graph."""
+
+import jax
+import numpy as np
+import pytest
+
+from gnn_tpu import (GNNgraphBased, GNNnodeBased, LGNN, MLPSpec,
+                     get_inout_dims)
+from gnn_tpu.graphs.datasets import random_graph
+from gnn_tpu.graphs.graph import Graph
+from gnn_tpu.metrics import Metrics
+from gnn_tpu.serving import Predictor
+
+
+def build_model(focus="n", nl=3, al=1, dt=2, hidden=None, tmp="/tmp/wserve/"):
+    in_s, l_s = get_inout_dims("state", nl, al, dt, focus, 0, hidden)
+    in_o, l_o = get_inout_dims("output", nl, al, dt, focus, 0, None)
+    ss = MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
+                 batch_normalization=False)
+    os_ = MLPSpec(input_dim=in_o, units=tuple(l_o), activations="softmax",
+                  batch_normalization=False)
+    klass = {"n": GNNnodeBased, "g": GNNgraphBased}[focus]
+    return klass(net_state=ss, net_output=os_,
+                 optimizer={"name": "adam", "kwargs": {"learning_rate": 1e-3}},
+                 loss_function="categorical_crossentropy",
+                 loss_arguments={"from_logits": False},
+                 max_iteration=4, threshold=0.01,
+                 extra_metrics={"Acc": Metrics["Acc"]},
+                 path_writer=tmp, seed=0)
+
+
+def graphs_for(rng, focus="n", n_graphs=6, nl=3, al=1, dt=2):
+    return [random_graph(int(rng.integers(10, 25)), nl, al, dt, 0.6,
+                         focus=focus, rng=rng) for _ in range(n_graphs)]
+
+
+class TestPredictor:
+    @pytest.mark.parametrize("focus", ["n", "g"])
+    def test_matches_model_forward_on_same_batch(self, rng, focus):
+        model = build_model(focus=focus)
+        gs = graphs_for(rng, focus=focus)
+        pred = Predictor(model, block_w=32)
+        gb = pred.build_batch(gs)
+        rows = pred.predict(gs, split=False)
+        # the model's own forward on the identical padded batch
+        _, _, ref = model.Loop(gb)
+        np.testing.assert_allclose(rows, ref, atol=1e-6)
+
+    def test_split_outputs_align_per_graph(self, rng):
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=5)
+        pred = Predictor(model, block_w=32)
+        parts = pred.predict(gs)
+        assert len(parts) == 5
+        for g, p in zip(gs, parts):
+            assert p.shape == g.targets.shape
+        rows = pred.predict(gs, split=False)
+        np.testing.assert_allclose(np.concatenate(parts, axis=0), rows,
+                                   atol=0)
+
+    def test_single_graph_request(self, rng):
+        model = build_model(focus="g")
+        g = graphs_for(rng, focus="g", n_graphs=1)[0]
+        pred = Predictor(model, block_w=32)
+        out = pred.predict(g)
+        assert out.shape == g.targets.shape
+
+    def test_bucket_reuse_no_recompile(self, rng):
+        """Two differently-sized requests landing on the same shape bucket
+        must share ONE compiled executable."""
+        model = build_model(focus="n")
+        pred = Predictor(model, block_w=32)
+        req_a = [random_graph(15, 3, 1, 2, 0.5, focus="n", rng=rng)
+                 for _ in range(4)]
+        req_b = [random_graph(14, 3, 1, 2, 0.5, focus="n", rng=rng)
+                 for _ in range(4)]
+        pred.predict(req_a)
+        assert pred.stats["compiles"] == 1
+        pred.predict(req_b)
+        assert pred.stats["compiles"] == 1
+        assert pred.stats["bucket_hits"] == 1
+        assert pred.stats["requests"] == 2
+
+    def test_warmup_precompiles(self, rng):
+        model = build_model(focus="n")
+        pred = Predictor(model, block_w=32)
+        n = pred.warmup([graphs_for(rng, n_graphs=3)])
+        assert n == 1
+        pred.predict(graphs_for(rng, n_graphs=3))
+        assert pred.stats["compiles"] == 1
+
+    def test_unblocked_fallback_matches(self, rng):
+        model = build_model(focus="n")
+        gs = graphs_for(rng, n_graphs=4)
+        pred = Predictor(model, blocked=False)
+        gb = pred.build_batch(gs)
+        rows = pred.predict(gs, split=False)
+        _, _, ref = model.Loop(gb)
+        np.testing.assert_allclose(rows, ref, atol=1e-6)
+
+    def test_blocked_rides_fused_kernels(self, rng):
+        """The serving path's forward must dispatch to the looped Pallas
+        kernels (fused-layout batch + eligible spec)."""
+        model = build_model(focus="n")
+        pred = Predictor(model, block_w=32)
+        gb = pred.build_batch(graphs_for(rng, n_graphs=4))
+        jx = str(jax.make_jaxpr(
+            lambda p: pred._fn(p, pred._bn, gb))(pred._params))
+        assert "pallas" in jx
+
+    def test_empty_request_raises(self, rng):
+        model = build_model(focus="n")
+        with pytest.raises(ValueError, match="empty request"):
+            Predictor(model, block_w=32).predict([])
+
+    def test_focus_mismatch_raises(self, rng):
+        model = build_model(focus="n")
+        g = graphs_for(rng, focus="g", n_graphs=1)[0]
+        with pytest.raises(ValueError, match="focus"):
+            Predictor(model, block_w=32).predict(g)
+
+    def test_weights_snapshot_isolated_from_training(self, rng):
+        """Serving uses the weights at construction; training the model
+        afterwards must not change served outputs."""
+        model = build_model(focus="n")
+        gs = graphs_for(rng, n_graphs=3)
+        pred = Predictor(model, block_w=32)
+        before = pred.predict(gs, split=False)
+        model.train(model.to_batch(Graph.merge(
+            gs, focus="n", aggregation_mode="average")), epochs=3, verbose=0)
+        after = pred.predict(gs, split=False)
+        np.testing.assert_allclose(before, after, atol=0)
+
+
+class TestCompositePredictor:
+    def test_matches_composite_forward(self, rng):
+        from gnn_tpu import CompositeGNNnodeBased
+        nodes = lambda n: rng.standard_normal((n, 3)).astype(np.float32)  # noqa: E731
+
+        def het(n=18, e=60):
+            src = rng.integers(0, n, e)
+            dst = rng.integers(0, n, e)
+            arcs = np.concatenate(
+                [src[:, None], dst[:, None],
+                 rng.standard_normal((e, 1)).astype(np.float32)], axis=1)
+            targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, n)]
+            return Graph(arcs=arcs, nodes=nodes(n), targets=targets,
+                         focus="n", aggregation_mode="average",
+                         node_types=rng.integers(0, 2, n).astype(np.int32))
+
+        gs = [het() for _ in range(3)]
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        model = CompositeGNNnodeBased(
+            net_states=(ss, ss), net_output=os_,
+            optimizer={"name": "adam", "kwargs": {"learning_rate": 1e-3}},
+            loss_function="categorical_crossentropy",
+            loss_arguments={"from_logits": False}, max_iteration=4,
+            threshold=0.01, path_writer="/tmp/wserve_c/", seed=0)
+        pred = Predictor(model, block_w=32)
+        gb = pred.build_batch(gs)
+        rows = pred.predict(gs, split=False)
+        _, _, ref = model.Loop(gb)
+        np.testing.assert_allclose(rows, ref, atol=1e-6)
+
+
+class TestLGNNPredictor:
+    def test_matches_lgnn_last_layer(self, rng):
+        g0 = build_model(focus="n")
+        g1 = build_model(focus="n", nl=3)
+        # layer-1 nets grow with the augmented node labels
+        in_s, l_s = get_inout_dims("state", 3, 1, 2, "n", 0, None,
+                                   layer=1, get_state=True, get_output=False)
+        in_o, l_o = get_inout_dims("output", 3, 1, 2, "n", 0, None,
+                                   layer=1, get_state=True, get_output=False)
+        ss1 = MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
+                      batch_normalization=False)
+        os1 = MLPSpec(input_dim=in_o, units=tuple(l_o), activations="softmax",
+                      batch_normalization=False)
+        g1 = GNNnodeBased(net_state=ss1, net_output=os1,
+                          optimizer={"name": "adam",
+                                     "kwargs": {"learning_rate": 1e-3}},
+                          loss_function="categorical_crossentropy",
+                          loss_arguments={"from_logits": False},
+                          max_iteration=4, threshold=0.01,
+                          path_writer="/tmp/wserve1/", seed=1)
+        lgnn = LGNN([g0, g1], get_state=True, get_output=False,
+                    path_writer="/tmp/wserve_l/")
+        gs = graphs_for(rng, n_graphs=4)
+        pred = Predictor(lgnn, block_w=32)
+        gb = pred.build_batch(gs)
+        rows = pred.predict(gs, split=False)
+        _, _, outs = lgnn.Loop(gb)
+        np.testing.assert_allclose(rows, outs[-1], atol=1e-6)
