@@ -426,6 +426,34 @@ def _build_plan(src, dst, edge_w, num_nodes):
     return build_agg_plan(src, dst, edge_w, num_nodes)
 
 
+def _pack_offsets(sizes, W: int):
+    """Greedy node offsets for block packing (no graph straddles a W-node
+    block; graphs larger than W get a dedicated span of ceil(s/W) blocks).
+    Returns (offsets, padded node count)."""
+    offsets, cursor = [], 0
+    for s in sizes:
+        if s > W:  # dedicated span of ceil(s/W) blocks
+            if cursor % W:
+                cursor += W - cursor % W
+            offsets.append(cursor)
+            cursor += -(-s // W) * W
+        else:
+            if cursor % W and (cursor % W) + s > W:
+                cursor += W - cursor % W
+            offsets.append(cursor)
+            cursor += s
+    return offsets, -(-cursor // W) * W
+
+
+def packed_block_count(glist, block_w: int = 128) -> int:
+    """Block count from_graphs_blocked would produce for `glist` (without
+    min_blocks) — cheap: only the packing arithmetic, no array work. Lets
+    callers pick a block bucket up front and pack ONCE with min_blocks
+    (gnn_tpu/serving.py)."""
+    _, Np = _pack_offsets([g.n_nodes for g in glist], int(block_w))
+    return Np // int(block_w)
+
+
 def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = None,
                         aggregation_mode: Optional[str] = None,
                         target_pad: Optional[int] = None, edge_pad: Optional[int] = None,
@@ -452,20 +480,7 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
         aggregation_mode = glist[0].aggregation_mode
 
     # --- pack graphs into blocks -----------------------------------------
-    offsets, cursor = [], 0
-    for g in glist:
-        s = g.n_nodes
-        if s > W:  # dedicated span of ceil(s/W) blocks
-            if cursor % W:
-                cursor += W - cursor % W
-            offsets.append(cursor)
-            cursor += -(-s // W) * W
-        else:
-            if cursor % W and (cursor % W) + s > W:
-                cursor += W - cursor % W
-            offsets.append(cursor)
-            cursor += s
-    Np = -(-cursor // W) * W
+    offsets, Np = _pack_offsets([g.n_nodes for g in glist], W)
     if min_blocks is not None:
         Np = max(Np, int(min_blocks) * W)  # harmonise block counts across batches
     B = Np // W

@@ -105,6 +105,49 @@ def _mm_packed(wT_bcast, x, rows, *, hp: bool, Wb: int, cdt=jnp.bfloat16):
     return _BD(wT_bcast, x.astype(cdt))
 
 
+def _drop_coeffs(alpha_drop: bool, rate: float):
+    """(a, b) such that dropout(x, m) = a·where(m, x, α') + b (alpha mode)
+    or a·where(m, x, 0) (standard mode, b = 0) — ops/mlp.py::_dropout."""
+    if alpha_drop:
+        a = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
+        return a, -a * _ALPHA_P * rate
+    return 1.0 / (1.0 - rate), 0.0
+
+
+def _make_drop(alpha_drop: bool, rate: float):
+    """(drop, dmask) closures for the training kernels' in-VMEM pos-0
+    dropout (identity when rate <= 0) — the one place the semantics live."""
+    if rate <= 0.0:
+        return (lambda x, m: x), (lambda m: jnp.float32(1.0))
+    a_c, b_c = _drop_coeffs(alpha_drop, rate)
+    if alpha_drop:
+        def drop(x, m):
+            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
+    else:
+        def drop(x, m):
+            return jnp.where(m > 0.5, a_c * x, 0.0)
+
+    def dmask(m):
+        return a_c * (m > 0.5).astype(jnp.float32)
+
+    return drop, dmask
+
+
+def _agg_packed(s, adj, *, hp: bool):
+    """agg = s @ adjT for feature-major blocks against the (possibly hi/lo
+    PACKED) adjacency — one MXU issue; in hp mode the 4 bf16 passes ride as
+    stacked rows against the packed columns (exact quadrant sums)."""
+    if not hp:
+        return _BD(s.astype(adj.dtype), adj)
+    Wb = adj.shape[1]
+    D = s.shape[1]
+    s_hi, s_lo = _split16(s.astype(jnp.float32))
+    s2 = jnp.concatenate([s_hi, s_lo], axis=1)            # [g, 2D, Wb]
+    r4 = _BD(s2, adj)                                     # [g, 2D, 2Wb]
+    return ((r4[:, :D, :Wb] + r4[:, :D, Wb:])
+            + (r4[:, D:, :Wb] + r4[:, D:, Wb:]))          # [g, D, Wb] f32
+
+
 def _iter_core(adj, sT3, w2v, *, hp: bool, group: int, Wb: int):
     """Us + A for one iteration: U = [Ws;Wa]@s, A = U[H:]@adjT.
 
@@ -598,27 +641,12 @@ def _train_kernel_T(refs, *, activation: str, hp: bool, has_res: bool,
     s = s_ref[:]
     D = s.shape[1]
     # issue 1: agg = s @ adjT (bf16 hi/lo rows when the adjacency is packed)
-    if hp:
-        s_hi, s_lo = _split16(s.astype(jnp.float32))
-        s2 = jnp.concatenate([s_hi, s_lo], axis=1)         # [g, 2D, Wb]
-        r4 = _BD(s2, adj)                                  # [g, 2D, 2Wb]
-        agg = ((r4[:, :D, :Wb] + r4[:, :D, Wb:])
-               + (r4[:, D:, :Wb] + r4[:, D:, Wb:]))        # [g, D, Wb] f32
-    else:
-        agg = _BD(s.astype(adj.dtype), adj)
+    agg = _agg_packed(s, adj, hp=hp)
     if has_res:
         agg = agg + r_ref[:].astype(jnp.float32)
     agg_ref[:] = agg.astype(agg_ref.dtype)
-    if rate > 0.0:
-        m = m_ref[:]
-        if alpha_drop:
-            a = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
-            b = -a * _ALPHA_P * rate
-            d_agg = a * jnp.where(m > 0.5, agg, _ALPHA_P) + b
-        else:
-            d_agg = jnp.where(m > 0.5, agg * (1.0 / (1.0 - rate)), 0.0)
-    else:
-        d_agg = agg
+    drop, _ = _make_drop(alpha_drop, rate)
+    d_agg = drop(agg, m_ref[:]) if rate > 0.0 else agg
     x2 = jnp.concatenate([sd_ref[:].astype(jnp.float32), d_agg], axis=1)
     w = w_ref[:].astype(jnp.float32)                       # [H, 2D]
     H = w.shape[0]
@@ -780,15 +808,6 @@ fused_train_step.defvjp(_train_fwd_rule, _train_bwd_rule)
 
 
 # ------------------------------------------------------- looped training loop
-def _drop_coeffs(alpha_drop: bool, rate: float):
-    """(a, b) such that dropout(x, m) = a·where(m, x, α') + b (alpha mode)
-    or a·where(m, x, 0) (standard mode, b = 0) — ops/mlp.py::_dropout."""
-    if alpha_drop:
-        a = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
-        return a, -a * _ALPHA_P * rate
-    return 1.0 / (1.0 - rate), 0.0
-
-
 def _loop_train_kernel_T(refs, *, activation: str, hp: bool, K: int,
                          thr: float, group: int, block_w: int,
                          alpha_drop: bool, rate: float):
@@ -809,21 +828,13 @@ def _loop_train_kernel_T(refs, *, activation: str, hp: bool, K: int,
     s = s_ref[:]
     D = s.shape[1]
     s_old = jnp.ones_like(s)
-    if rate > 0.0:
-        a_c, b_c = _drop_coeffs(alpha_drop, rate)
+    drop, _ = _make_drop(alpha_drop, rate)
     if hp:
         w_hi, w_lo = _split16(w)
         w4 = jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
                               (group, 2 * H, 2 * D))
     else:
         w_b = jnp.broadcast_to(w.astype(adj.dtype)[None], (group, H, 2 * D))
-
-    def drop(x, m):
-        if rate <= 0.0:
-            return x
-        if alpha_drop:
-            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
-        return jnp.where(m > 0.5, a_c * x, 0.0)
 
     for k in range(K):
         diff = (s - s_old).astype(jnp.float32)
@@ -832,14 +843,7 @@ def _loop_train_kernel_T(refs, *, activation: str, hp: bool, K: int,
                                 axis=1))
         marg_ref[k] = jnp.where(dist > thrf * norm, 1.0, 0.0) * nm
         # issue 1: agg = s @ adjT (hi/lo packed when the adjacency is f32)
-        if hp:
-            s_hi, s_lo = _split16(s.astype(jnp.float32))
-            s2 = jnp.concatenate([s_hi, s_lo], axis=1)    # [g, 2D, Wb]
-            r4 = _BD(s2, adj)                             # [g, 2D, 2Wb]
-            agg = ((r4[:, :D, :Wb] + r4[:, :D, Wb:])
-                   + (r4[:, D:, :Wb] + r4[:, D:, Wb:]))   # [g, D, Wb] f32
-        else:
-            agg = _BD(s.astype(adj.dtype), adj)
+        agg = _agg_packed(s, adj, hp=hp)
         agg_ref[k] = agg.astype(agg_ref.dtype)
         d_agg = drop(agg, ma_ref[k])
         sd = drop(s.astype(jnp.float32), ms_ref[k])
@@ -963,21 +967,7 @@ def _loop_train_bwd_kernel(refs, *, activation: str, hp: bool, K: int,
     w = w_ref[:].astype(jnp.float32)                      # [H, 2D]
     H = w.shape[0]
     D = s0_ref.shape[1]
-    if rate > 0.0:
-        a_c, b_c = _drop_coeffs(alpha_drop, rate)
-
-    def drop(x, m):
-        if rate <= 0.0:
-            return x
-        if alpha_drop:
-            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
-        return jnp.where(m > 0.5, a_c * x, 0.0)
-
-    def dmask(m):
-        if rate <= 0.0:
-            return jnp.float32(1.0)
-        return a_c * (m > 0.5).astype(jnp.float32)
-
+    drop, dmask = _make_drop(alpha_drop, rate)
     if hp:
         w_hi, w_lo = _split16(w)
         w4 = jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
@@ -1537,8 +1527,7 @@ def _loop2_train_kernel_T(refs, *, act0: str, act1: str, hp: bool, K: int,
     s = s_ref[:]
     D = s.shape[1]
     s_old = jnp.ones_like(s)
-    if rate > 0.0:
-        a_c, b_c = _drop_coeffs(alpha_drop, rate)
+    drop, _ = _make_drop(alpha_drop, rate)
     if hp:
         w0_hi, w0_lo = _split16(w0)
         w04 = jnp.broadcast_to(jnp.concatenate([w0_hi, w0_lo], axis=0)[None],
@@ -1547,13 +1536,6 @@ def _loop2_train_kernel_T(refs, *, act0: str, act1: str, hp: bool, K: int,
         w0_b = jnp.broadcast_to(w0.astype(adj.dtype)[None],
                                 (group,) + w0.shape)
 
-    def drop(x, m):
-        if rate <= 0.0:
-            return x
-        if alpha_drop:
-            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
-        return jnp.where(m > 0.5, a_c * x, 0.0)
-
     for k in range(K):
         diff = (s - s_old).astype(jnp.float32)
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))     # [g, Wb]
@@ -1561,14 +1543,7 @@ def _loop2_train_kernel_T(refs, *, act0: str, act1: str, hp: bool, K: int,
                                 axis=1))
         marg_ref[k] = jnp.where(dist > thrf * norm, 1.0, 0.0) * nm
         # issue 1: agg = s @ adjT (hi/lo packed when the adjacency is f32)
-        if hp:
-            s_hi, s_lo = _split16(s.astype(jnp.float32))
-            s2 = jnp.concatenate([s_hi, s_lo], axis=1)    # [g, 2D, Wb]
-            r4 = _BD(s2, adj)                             # [g, 2D, 2Wb]
-            agg = ((r4[:, :D, :Wb] + r4[:, :D, Wb:])
-                   + (r4[:, D:, :Wb] + r4[:, D:, Wb:]))   # [g, D, Wb] f32
-        else:
-            agg = _BD(s.astype(adj.dtype), adj)
+        agg = _agg_packed(s, adj, hp=hp)
         agg_ref[k] = agg.astype(agg_ref.dtype)
         x3 = jnp.concatenate([drop(s.astype(jnp.float32), ms_ref[k]),
                               drop(agg, ma_ref[k]),
@@ -1701,21 +1676,7 @@ def _loop2_train_bwd_kernel(refs, *, act0: str, act1: str, hp: bool, K: int,
     I = w0.shape[1]
     D = s0_ref.shape[1]
     AL = I - 2 * D
-    if rate > 0.0:
-        a_c, b_c = _drop_coeffs(alpha_drop, rate)
-
-    def drop(x, m):
-        if rate <= 0.0:
-            return x
-        if alpha_drop:
-            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
-        return jnp.where(m > 0.5, a_c * x, 0.0)
-
-    def dmask(m):
-        if rate <= 0.0:
-            return jnp.float32(1.0)
-        return a_c * (m > 0.5).astype(jnp.float32)
-
+    drop, dmask = _make_drop(alpha_drop, rate)
     if hp:
         w0_hi, w0_lo = _split16(w0)
         w04 = jnp.broadcast_to(jnp.concatenate([w0_hi, w0_lo], axis=0)[None],
@@ -1794,7 +1755,6 @@ def _loop2_train_bwd_impl(adj_pack, s0, traj, agg, ms, ma, fd, w0, b0, w1,
     G = B // group
     b3 = lambda i: (i, 0, 0)        # noqa: E731
     b4 = lambda i: (0, i, 0, 0)     # noqa: E731
-    g1 = lambda i: (i, 0, 0)        # noqa: E731
     gs, dw0_p, db0_p, dw1_p, db1_p, dfd = pl.pallas_call(
         wrapped,
         grid=(G,),
@@ -1814,10 +1774,10 @@ def _loop2_train_bwd_impl(adj_pack, s0, traj, agg, ms, ma, fd, w0, b0, w1,
         ],
         out_specs=[
             pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H1, I), g1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H1, 1), g1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, H1), g1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, 1), g1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H1, I), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H1, 1), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, H1), b3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 1), b3, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, group, AL, Wb), b4, memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -1873,11 +1833,13 @@ def supports_fused2_train(state_spec) -> bool:
 
 
 def supports_fused2(state_spec, training: bool) -> bool:
-    """Static eligibility of the 2-LAYER fused kernels (dense0+act0+dense1+
+    """Static eligibility of the 2-LAYER EVAL kernels (dense0+act0+dense1+
     act1): both activations fusable; in training mode dropout and the
-    trailing batch-stat BN are excluded (dropout has no 2-layer training
-    kernel; BN moments are a global per-iteration reduction) — at eval both
-    are inactive/fused (BN inference affine)."""
+    trailing batch-stat BN are excluded here — dropout training routes to
+    the looped training kernel instead (supports_fused2_train /
+    fused_train_loop2), BN training keeps the XLA body (its moments are a
+    global per-iteration reduction) — at eval both are inactive/fused
+    (BN inference affine)."""
     if state_spec.num_layers != 2:
         return False
     if any(a not in FUSABLE_ACTIVATIONS for a in state_spec.activations):

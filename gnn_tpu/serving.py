@@ -15,11 +15,14 @@ the TPU-native serving path on top of the same model zoo:
   executable. Steady-state traffic recompiles nothing.
 * **Device-resident weights** — parameters/BN statistics upload once at
   construction; per request only the padded batch crosses the host-device
-  link, and only the selected output rows come back.
+  link, and only the (bucket-padded) target rows come back.
 
 Supports every model family: GNNnodeBased / GNNedgeBased / GNNgraphBased,
 the Composite* heterogeneous classes, and LGNN stacks (last-layer outputs,
 the reference's ``LGNN.predict`` default, LGNN.py:268-283).
+``ShardedPredictor`` adds data-parallel serving over a device mesh: the
+request is load-balanced across chips (no collectives) and outputs are
+reassembled in request order.
 """
 
 from __future__ import annotations
@@ -31,7 +34,8 @@ import jax
 import numpy as np
 
 from gnn_tpu.config import pad_size
-from gnn_tpu.graphs.batch import GraphBatch, from_graphs_blocked
+from gnn_tpu.graphs.batch import (GraphBatch, from_graphs_blocked,
+                                  packed_block_count)
 from gnn_tpu.graphs.graph import Graph
 
 
@@ -119,20 +123,15 @@ class Predictor:
                       pow2_from=256)
         tp = pad_size(sum(g.targets.shape[0] for g in glist), multiple=128,
                       pow2_from=128)
-        gb = from_graphs_blocked(list(glist), block_w=self._block_w,
-                                 focus=self._focus, edge_pad=ep,
-                                 target_pad=tp, fused_layout=self._fused)
-        B = gb.adj_blocks.shape[0]
-        Bb = pad_size(B, multiple=self._bucket_multiple,
+        # block bucket from the cheap packing arithmetic — the (expensive)
+        # array pack below runs exactly once per request
+        Bb = pad_size(packed_block_count(glist, self._block_w),
+                      multiple=self._bucket_multiple,
                       pow2_from=self._bucket_multiple)
-        if Bb != B:
-            # re-pack onto the block-count bucket (host-side; the second pack
-            # is the price of a small executable set)
-            gb = from_graphs_blocked(list(glist), block_w=self._block_w,
-                                     focus=self._focus, edge_pad=ep,
-                                     target_pad=tp, min_blocks=Bb,
-                                     fused_layout=self._fused)
-        return gb
+        return from_graphs_blocked(list(glist), block_w=self._block_w,
+                                   focus=self._focus, edge_pad=ep,
+                                   target_pad=tp, min_blocks=Bb,
+                                   fused_layout=self._fused)
 
     # ---------------------------------------------------------- compilation
     def _executable(self, gb: GraphBatch):
@@ -150,13 +149,17 @@ class Predictor:
             self.stats["bucket_hits"] += 1
         return exe
 
+    def _prepare(self, glist: Sequence[Graph]):
+        """Request -> device operand (overridden by ShardedPredictor)."""
+        return self.build_batch(glist)
+
     def warmup(self, requests: Sequence[Union[Graph, Sequence[Graph]]]):
         """Precompile the buckets a traffic sample lands on. Returns the
         number of distinct executables compiled."""
         before = self.stats["compiles"]
         for req in requests:
             glist = [req] if isinstance(req, Graph) else list(req)
-            self._executable(self.build_batch(glist))
+            self._executable(self._prepare(glist))
         return self.stats["compiles"] - before
 
     # -------------------------------------------------------------- predict
@@ -191,3 +194,104 @@ class Predictor:
 
     def __call__(self, graphs):
         return self.predict(graphs)
+
+
+class ShardedPredictor(Predictor):
+    """Data-parallel serving over a device mesh: the request's graphs are
+    load-balanced across ``mesh[axis]``, each device runs the forward on its
+    shard (no collectives — inference is embarrassingly parallel), and the
+    outputs are reassembled in request order. Convergence follows the
+    reference's batch semantics per shard (all nodes of a shard iterate
+    until the shard converges, GNN.py:202-220) — same as serving each shard
+    as its own request.
+
+    :param mesh: jax.sharding.Mesh; :param axis: mesh axis to shard over.
+    Requests need at least ``mesh.shape[axis]`` graphs.
+    """
+
+    def __init__(self, model, mesh, *, axis: str = "data", **kw):
+        super().__init__(model, **kw)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self._mesh = mesh
+        self._axis = axis
+        self._ndev = mesh.shape[axis]
+        rep = NamedSharding(mesh, P())
+        self._params = jax.device_put(self._params, rep)
+        self._bn = jax.device_put(self._bn, rep)
+        self._shard_sharding = NamedSharding(mesh, P(axis))
+        base = self._fn
+
+        def per_replica(params, bn, gb):
+            local = jax.tree_util.tree_map(lambda x: x[0], gb)
+            return base(params, bn, local)[None]          # [1, Tp, DT]
+
+        self._fn = jax.shard_map(per_replica, mesh=mesh,
+                                 in_specs=(P(), P(), P(axis)),
+                                 out_specs=P(axis), check_vma=False)
+
+    def _split_request(self, glist: Sequence[Graph]) -> List[List[int]]:
+        """Load-balance graph indices over devices (largest-first into the
+        lightest shard; request order kept within each shard)."""
+        n = self._ndev
+        if len(glist) < n:
+            raise ValueError(f"sharded request needs >= {n} graphs "
+                             f"(mesh axis {self._axis!r}), got {len(glist)}")
+        order = sorted(range(len(glist)), key=lambda i: -glist[i].n_nodes)
+        shards: List[List[int]] = [[] for _ in range(n)]
+        loads = [0] * n
+        for i in order:
+            j = int(np.argmin(loads))
+            shards[j].append(i)
+            loads[j] += glist[i].n_nodes
+        return [sorted(s) for s in shards]
+
+    def build_request(self, glist: Sequence[Graph]):
+        """(stacked sharded GraphBatch, per-shard graph indices). All shards
+        share one shape bucket (max over shards) so they stack."""
+        from gnn_tpu.graphs.batch import stack_batches
+        self._check(glist)
+        shards = self._split_request(glist)
+        subsets = [[glist[i] for i in idx] for idx in shards]
+        ep = pad_size(max(sum(g.n_arcs for g in sub) for sub in subsets),
+                      multiple=256, pow2_from=256)
+        tp = pad_size(max(sum(g.targets.shape[0] for g in sub)
+                          for sub in subsets), multiple=128, pow2_from=128)
+        Bb = pad_size(max(packed_block_count(sub, self._block_w)
+                          for sub in subsets),
+                      multiple=self._bucket_multiple,
+                      pow2_from=self._bucket_multiple)
+        batches = [from_graphs_blocked(sub, block_w=self._block_w,
+                                       focus=self._focus, edge_pad=ep,
+                                       target_pad=tp, min_blocks=Bb,
+                                       fused_layout=self._fused)
+                   for sub in subsets]
+        stacked = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._shard_sharding),
+            stack_batches(batches))
+        return stacked, shards
+
+    def _prepare(self, glist: Sequence[Graph]):
+        return self.build_request(glist)[0]
+
+    def predict(self, graphs: Union[Graph, Sequence[Graph]],
+                split: bool = True):
+        glist = [graphs] if isinstance(graphs, Graph) else list(graphs)
+        stacked, shards = self.build_request(glist)
+        exe = self._executable(stacked)
+        t0 = time.perf_counter()
+        out = exe(self._params, self._bn, stacked)        # [ndev, Tp, DT]
+        out_np = np.asarray(out)                          # device->host barrier
+        sel_np = np.asarray(stacked.sel_mask)             # [ndev, Tp]
+        self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
+        self.stats["requests"] += 1
+        results: List[np.ndarray] = [None] * len(glist)   # type: ignore
+        for d, idx in enumerate(shards):
+            rows = out_np[d][sel_np[d]]
+            spans = np.cumsum([glist[i].targets.shape[0] for i in idx])
+            starts = np.concatenate([[0], spans[:-1]])
+            counts = [int(sel_np[d][a:b].sum()) for a, b in zip(starts, spans)]
+            for i, part in zip(idx, np.split(rows, np.cumsum(counts)[:-1])):
+                results[i] = part
+        if split:
+            return results
+        return np.concatenate(results, axis=0)

@@ -135,6 +135,63 @@ class TestPredictor:
         np.testing.assert_allclose(before, after, atol=0)
 
 
+class TestShardedPredictor:
+    pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                    reason="needs 8 (virtual) devices")
+
+    def _mesh(self, n=4):
+        from jax.sharding import Mesh
+        return Mesh(np.array(jax.devices()[:n]), ("data",))
+
+    def test_matches_per_shard_single_device(self, rng):
+        """DP serving == serving each shard as its own request (per-shard
+        convergence semantics are the contract)."""
+        from gnn_tpu.serving import ShardedPredictor
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=10)
+        mesh = self._mesh(4)
+        sp = ShardedPredictor(model, mesh, block_w=32)
+        parts = sp.predict(gs)
+        assert len(parts) == 10
+        single = Predictor(model, block_w=32)
+        for idx in sp._split_request(gs):
+            ref = single.predict([gs[i] for i in idx])
+            for i, r in zip(idx, ref):
+                np.testing.assert_allclose(parts[i], r, atol=2e-5)
+
+    def test_all_graphs_assigned_once(self, rng):
+        from gnn_tpu.serving import ShardedPredictor
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=9)
+        sp = ShardedPredictor(model, self._mesh(4), block_w=32)
+        shards = sp._split_request(gs)
+        flat = sorted(i for s in shards for i in s)
+        assert flat == list(range(9))
+        parts = sp.predict(gs)
+        for g, p in zip(gs, parts):
+            assert p.shape == g.targets.shape
+
+    def test_too_few_graphs_raises(self, rng):
+        from gnn_tpu.serving import ShardedPredictor
+        model = build_model(focus="n")
+        sp = ShardedPredictor(model, self._mesh(4), block_w=32)
+        with pytest.raises(ValueError, match="sharded request"):
+            sp.predict(graphs_for(rng, focus="n", n_graphs=3))
+
+    def test_warmup_and_bucket_reuse(self, rng):
+        from gnn_tpu.serving import ShardedPredictor
+        model = build_model(focus="n")
+        sp = ShardedPredictor(model, self._mesh(4), block_w=32)
+        req_a = [random_graph(15, 3, 1, 2, 0.5, focus="n", rng=rng)
+                 for _ in range(8)]
+        req_b = [random_graph(14, 3, 1, 2, 0.5, focus="n", rng=rng)
+                 for _ in range(8)]
+        assert sp.warmup([req_a]) == 1
+        sp.predict(req_b)
+        assert sp.stats["compiles"] == 1
+        assert sp.stats["bucket_hits"] == 1
+
+
 class TestCompositePredictor:
     def test_matches_composite_forward(self, rng):
         from gnn_tpu import CompositeGNNnodeBased
