@@ -1,0 +1,103 @@
+"""Serving latency/throughput benchmark (gnn_tpu/serving.py) on MUTAG.
+
+Measures, per request size, the END-TO-END request path a deployment pays:
+host Graph list -> bucket pack -> H2D -> compiled executable -> D2H of the
+target rows. Separately reports device-only time amortised over REPS
+back-to-back executable launches (the chained host-pull rule from
+NOTES_r2.md: each timing window ends in a real np.asarray pull).
+
+Run on the chip:  PYTHONUNBUFFERED=1 python benchmarks/serving_bench.py
+Env: GNN_TPU_CPU=1 (CPU), SIZES="1,8,64,512", REPS=20, HIDDEN=0|150
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if os.environ.get("GNN_TPU_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from gnn_tpu import GNNgraphBased, MLPSpec, Predictor, get_inout_dims
+from gnn_tpu.graphs.datasets import load_mutag
+
+SIZES = [int(s) for s in os.environ.get("SIZES", "1,8,64,512").split(",")]
+REPS = int(os.environ.get("REPS", "20"))
+HIDDEN = int(os.environ.get("HIDDEN", "0")) or None
+MUTAG = os.environ.get("MUTAG_PATH", "/root/reference/MUTAG_raw/")
+
+graphs = load_mutag(MUTAG)
+rng = np.random.default_rng(0)
+
+in_s, l_s = get_inout_dims("state", 14, 3, 2, "g", 0, HIDDEN)
+in_o, l_o = get_inout_dims("output", 14, 3, 2, "g", 0, HIDDEN)
+model = GNNgraphBased(
+    net_state=MLPSpec(input_dim=in_s, units=tuple(l_s), activations="selu",
+                      kernel_initializer="lecun_normal",
+                      bias_initializer="lecun_normal",
+                      batch_normalization=False),
+    net_output=MLPSpec(input_dim=in_o, units=tuple(l_o),
+                       activations="softmax", batch_normalization=False),
+    optimizer={"name": "adam", "kwargs": {"learning_rate": 1e-3}},
+    loss_function="categorical_crossentropy",
+    loss_arguments={"from_logits": False},
+    max_iteration=5, threshold=0.01,
+    path_writer="writer/serving_bench/", seed=0)
+
+pred = Predictor(model)
+
+
+def request(k):
+    idx = rng.integers(0, len(graphs), k)
+    return [graphs[i] for i in idx]
+
+
+results = {}
+for k in SIZES:
+    reqs = [request(k) for _ in range(REPS)]
+    t0 = time.perf_counter()
+    n_compiled = pred.warmup(reqs[:3])
+    warm_s = time.perf_counter() - t0
+
+    # end-to-end request latency (fresh request objects each call: includes
+    # bucket pack + H2D + launch + D2H of the selected rows)
+    lat = []
+    for req in reqs:
+        t0 = time.perf_counter()
+        outs = pred.predict(req, split=False)
+        assert outs.shape[0] == k
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(x * 1e3 for x in lat)
+    edges = sum(g.n_arcs for g in reqs[-1])
+
+    # device-only path: same packed batch launched REPS times back-to-back,
+    # ONE real host pull at the end amortised over the chain
+    gb = pred.build_batch(reqs[-1])
+    exe = pred._executable(gb)
+    out = exe(pred._params, pred._bn, gb)
+    np.asarray(out)                       # sync
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = exe(pred._params, pred._bn, gb)
+    np.asarray(out)
+    dev_ms = (time.perf_counter() - t0) / REPS * 1e3
+
+    results[k] = {
+        "p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
+        "p90_ms": round(lat_ms[int(len(lat_ms) * 0.9)], 2),
+        "launch_ms": round(dev_ms, 2),
+        "edges_last_req": int(edges),
+        "graphs_per_s_p50": round(k / (lat_ms[len(lat_ms) // 2] / 1e3)),
+        "compiles": n_compiled,
+        "warmup_s": round(warm_s, 2),
+    }
+    print(f"size {k:4d}: {json.dumps(results[k])}", flush=True)
+
+print(json.dumps({"metric": "serving_request_p50_ms", "by_size": results,
+                  "device": str(jax.devices()[0])}), flush=True)

@@ -16,13 +16,14 @@ from gnn_tpu.serving import Predictor
 
 
 def build_model(focus="n", nl=3, al=1, dt=2, hidden=None, tmp="/tmp/wserve/"):
+    from gnn_tpu import GNNedgeBased
     in_s, l_s = get_inout_dims("state", nl, al, dt, focus, 0, hidden)
     in_o, l_o = get_inout_dims("output", nl, al, dt, focus, 0, None)
     ss = MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
                  batch_normalization=False)
     os_ = MLPSpec(input_dim=in_o, units=tuple(l_o), activations="softmax",
                   batch_normalization=False)
-    klass = {"n": GNNnodeBased, "g": GNNgraphBased}[focus]
+    klass = {"n": GNNnodeBased, "a": GNNedgeBased, "g": GNNgraphBased}[focus]
     return klass(net_state=ss, net_output=os_,
                  optimizer={"name": "adam", "kwargs": {"learning_rate": 1e-3}},
                  loss_function="categorical_crossentropy",
@@ -38,7 +39,7 @@ def graphs_for(rng, focus="n", n_graphs=6, nl=3, al=1, dt=2):
 
 
 class TestPredictor:
-    @pytest.mark.parametrize("focus", ["n", "g"])
+    @pytest.mark.parametrize("focus", ["n", "a", "g"])
     def test_matches_model_forward_on_same_batch(self, rng, focus):
         model = build_model(focus=focus)
         gs = graphs_for(rng, focus=focus)
