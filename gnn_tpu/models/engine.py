@@ -255,11 +255,20 @@ class BaseModel(ABC):
     def train(self, gTr, epochs: int, gVa=None, update_freq: int = 10,
               max_fails: int = 10, observed_metric: str = "Loss", policy: str = "min",
               *, mean: bool = True, verbose: int = 3,
-              profile_dir: Optional[str] = None) -> None:
+              profile_dir: Optional[str] = None,
+              nan_policy: str = "none") -> None:
         """:param profile_dir: when set, capture a jax.profiler trace of the
-        first epoch's batch loop into this directory (SURVEY.md §5 tracing)."""
+        first epoch's batch loop into this directory (SURVEY.md §5 tracing).
+        :param nan_policy: divergence guard, checked at every update_freq
+        evaluation (free — no extra device work). 'none' keeps the
+        reference's behavior (NaNs propagate); 'raise' raises
+        FloatingPointError on a non-finite training loss; 'restore' stops
+        training and restores the last good weights (best-validation
+        weights when gVa is given, else the pre-training snapshot)."""
         if verbose not in range(4):
             raise ValueError("param <verbose> not in [0,1,2,3]")
+        if nan_policy not in ("none", "raise", "restore"):
+            raise ValueError("param <nan_policy> not in ['none', 'raise', 'restore']")
 
         def update_history(name, val):
             if name not in ("Tr", "Va"):
@@ -304,6 +313,9 @@ class BaseModel(ABC):
             valid_best, valid_fails, ws, wo = reset_validation(valid_new)
             validation_writer = ScalarWriter(f"{self.path_writer}Validation.jsonl")
 
+        if nan_policy == "restore" and not gVa:
+            guard_ws, guard_wo = self.get_weights()
+
         initial_epoch = self.history["Epoch"][-1] + 1 if self.history["Epoch"] else 0
         epochs += initial_epoch
 
@@ -339,6 +351,15 @@ class BaseModel(ABC):
                   training_writer.write_scalars(metricsTr, e)
                   for ns, net, leaves in self._weight_summaries():
                       (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
+                  if nan_policy != "none" and not np.isfinite(metricsTr["Loss"]):
+                      msg = f"non-finite training loss at epoch {e}"
+                      if nan_policy == "raise":
+                          raise FloatingPointError(msg)
+                      if not gVa:   # with gVa the post-loop best-restore runs
+                          self.set_weights(guard_ws, guard_wo)
+                      if verbose > 0:
+                          print(f"\r Divergence Stop ({msg}; weights restored)")
+                      break
 
               if (e % update_freq == 0) and gVa:
                   metricsVa, *_ = self.evaluate(gVa)

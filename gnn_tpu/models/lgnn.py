@@ -428,7 +428,8 @@ class LGNN(BaseModel):
     def train(self, gTr, epochs: int, gVa=None, update_freq: int = 10,
               max_fails: int = 10, observed_metric: str = "Loss", policy: str = "min",
               *, mean: bool = True, training_mode: str = "parallel",
-              verbose: int = 3, profile_dir=None) -> None:
+              verbose: int = 3, profile_dir=None,
+              nan_policy: str = "none") -> None:
         assert training_mode in ("parallel", "serial", "residual")
         if self.training_mode is not None and self.training_mode != training_mode:
             raise ValueError("LGNN training_mode is sticky once set (reference LGNN.py:313-316)")
@@ -444,13 +445,15 @@ class LGNN(BaseModel):
                 if verbose in (1, 3):
                     print(f"\n\n------------------- GNN{idx} -------------------\n")
                 gnn.train(gTr1, epochs, gVa1, update_freq, max_fails, observed_metric,
-                          policy, mean=mean, verbose=verbose)
+                          policy, mean=mean, verbose=verbose,
+                          nan_policy=nan_policy)
                 gTr1 = [self._augment(gnn, base, cur) for base, cur in zip(gTr, gTr1)]
                 if gVa:
                     gVa1 = [self._augment(gnn, base, cur) for base, cur in zip(gVa, gVa1)]
         else:
             super().train(gTr, epochs, gVa, update_freq, max_fails, observed_metric,
-                          policy, mean=mean, verbose=verbose, profile_dir=profile_dir)
+                          policy, mean=mean, verbose=verbose,
+                          profile_dir=profile_dir, nan_policy=nan_policy)
 
     def _augment(self, gnn: GNNnodeBased, base: GraphBatch, cur: GraphBatch) -> GraphBatch:
         """Run one layer on its (already augmented) input graph and augment the

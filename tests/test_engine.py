@@ -41,6 +41,50 @@ class TestTrainLoop:
         assert len(gnn.history["Loss Tr"]) == 3
         assert gnn.history["Loss Tr"][-1] < gnn.history["Loss Tr"][0]
 
+    @staticmethod
+    def _poison(gnn):
+        import jax.numpy as jnp
+        w = np.asarray(gnn.params["state"]["dense_0"]["w"]).copy()
+        w[0, 0] = np.nan
+        gnn.params["state"]["dense_0"]["w"] = jnp.asarray(w)
+
+    def test_nan_policy_raise(self, rng, tmp_path):
+        gs = dataset(rng)
+        batch = Graph.merge(gs, focus="n", aggregation_mode="average")
+        gnn = build_gnn(tmp=str(tmp_path / "w") + "/")
+        self._poison(gnn)
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            gnn.train(batch, epochs=5, update_freq=1, verbose=0,
+                      nan_policy="raise")
+
+    def test_nan_policy_restore_snapshots_weights(self, rng, tmp_path):
+        gs = dataset(rng)
+        batch = Graph.merge(gs, focus="n", aggregation_mode="average")
+        gnn = build_gnn(tmp=str(tmp_path / "w") + "/")
+        self._poison(gnn)
+        snap = np.asarray(gnn.params["state"]["dense_0"]["w"]).copy()
+        gnn.train(batch, epochs=5, update_freq=1, verbose=0,
+                  nan_policy="restore")
+        # stopped at the first evaluation and restored the pre-train snapshot
+        assert gnn.history["Epoch"] == [0]
+        np.testing.assert_array_equal(
+            np.asarray(gnn.params["state"]["dense_0"]["w"]), snap)
+
+    def test_nan_policy_default_keeps_reference_behavior(self, rng, tmp_path):
+        gs = dataset(rng)
+        batch = Graph.merge(gs, focus="n", aggregation_mode="average")
+        gnn = build_gnn(tmp=str(tmp_path / "w") + "/")
+        self._poison(gnn)
+        gnn.train(batch, epochs=3, update_freq=1, verbose=0)  # no raise/stop
+        assert len(gnn.history["Epoch"]) == 3
+
+    def test_nan_policy_invalid_raises(self, rng, tmp_path):
+        gs = dataset(rng)
+        batch = Graph.merge(gs, focus="n", aggregation_mode="average")
+        gnn = build_gnn(tmp=str(tmp_path / "w") + "/")
+        with pytest.raises(ValueError, match="nan_policy"):
+            gnn.train(batch, epochs=1, verbose=0, nan_policy="explode")
+
     def test_early_stopping_restores_best_weights(self, rng, tmp_path):
         gs = dataset(rng)
         gTr = Graph.merge(gs[:12], focus="n", aggregation_mode="average")
