@@ -178,6 +178,12 @@ class BaseModel(ABC):
     def training_step(self, gb: GraphBatch, mean: bool) -> None:
         ...
 
+    def training_step_dp(self, batches, mean: bool, mesh, axis: str = "data") -> None:
+        """One data-parallel optimizer step over len(batches) == mesh[axis]
+        equal-shape GraphBatches (train(mesh=...) entry point)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement data-parallel training")
+
     @abstractmethod
     def _weight_summaries(self):
         """[(namespace, net_name, [(leaf_name, array), ...]) ...] for logging."""
@@ -256,7 +262,8 @@ class BaseModel(ABC):
               max_fails: int = 10, observed_metric: str = "Loss", policy: str = "min",
               *, mean: bool = True, verbose: int = 3,
               profile_dir: Optional[str] = None,
-              nan_policy: str = "none") -> None:
+              nan_policy: str = "none", mesh=None,
+              mesh_axis: str = "data") -> None:
         """:param profile_dir: when set, capture a jax.profiler trace of the
         first epoch's batch loop into this directory (SURVEY.md §5 tracing).
         :param nan_policy: divergence guard, checked at every update_freq
@@ -264,7 +271,14 @@ class BaseModel(ABC):
         reference's behavior (NaNs propagate); 'raise' raises
         FloatingPointError on a non-finite training loss; 'restore' stops
         training and restores the last good weights (best-validation
-        weights when gVa is given, else the pre-training snapshot)."""
+        weights when gVa is given, else the pre-training snapshot).
+        :param mesh: jax.sharding.Mesh — train data-parallel over
+        mesh[mesh_axis]: each step consumes that many batches (one per
+        device), per-replica grads are pmean-ed over ICI and one replicated
+        update applies (the synchronous-large-batch analogue of the
+        sequential per-batch updates; parallel/data_parallel.py, step
+        exactness tested). len(gTr) must divide evenly into device groups;
+        evaluation stays single-device."""
         if verbose not in range(4):
             raise ValueError("param <verbose> not in [0,1,2,3]")
         if nan_policy not in ("none", "raise", "restore"):
@@ -332,10 +346,24 @@ class BaseModel(ABC):
               if generator is not None and e > initial_epoch:
                   gTr = self.checktype(list(generator))
               _t0 = _time.perf_counter()
-              for i, elem in enumerate(gTr):
-                  self.training_step(elem, mean=mean)
-                  if verbose > 2:
-                      print(f" > Epoch {e:4d}/{epochs} \t\t> Batch {i + 1:4d}/{len(gTr)}", end="\r")
+              if mesh is not None:
+                  n_dev = mesh.shape[mesh_axis]
+                  if len(gTr) % n_dev:
+                      raise ValueError(
+                          f"data-parallel training needs len(gTr) divisible by "
+                          f"mesh[{mesh_axis!r}]={n_dev}, got {len(gTr)} batches "
+                          f"— regroup with utils.getbatches or drop the tail")
+                  for i in range(0, len(gTr), n_dev):
+                      self.training_step_dp(gTr[i:i + n_dev], mean=mean,
+                                            mesh=mesh, axis=mesh_axis)
+                      if verbose > 2:
+                          print(f" > Epoch {e:4d}/{epochs} \t\t> Batch "
+                                f"{i + n_dev:4d}/{len(gTr)}", end="\r")
+              else:
+                  for i, elem in enumerate(gTr):
+                      self.training_step(elem, mean=mean)
+                      if verbose > 2:
+                          print(f" > Epoch {e:4d}/{epochs} \t\t> Batch {i + 1:4d}/{len(gTr)}", end="\r")
               _dt = _time.perf_counter() - _t0
               # per-epoch throughput counter (BASELINE.md north-star metric)
               training_writer.write_scalars(

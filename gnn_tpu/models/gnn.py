@@ -226,6 +226,27 @@ class GNNnodeBased(BaseModel):
         self.params, self.bn, self.opt_state, _ = self._train_fns[mean](
             self.params, self.bn, self.opt_state, gb, self._next_rng())
 
+    def training_step_dp(self, batches, mean: bool, mesh, axis: str = "data") -> None:
+        """One data-parallel step: len(batches) == mesh[axis] equal-shape
+        GraphBatches, per-replica grads pmean-ed, one replicated update
+        (parallel/data_parallel.py; composite specs use their own builder)."""
+        from gnn_tpu.parallel.data_parallel import shard_batches
+        key = (mesh, axis, mean)
+        if key not in self._train_fns:
+            from gnn_tpu.models.composite import (CompositeGNNSpec,
+                                                  make_composite_dp_train_step)
+            from gnn_tpu.parallel.data_parallel import make_dp_train_step
+            builder = (make_composite_dp_train_step
+                       if isinstance(self.spec, CompositeGNNSpec)
+                       else make_dp_train_step)
+            self._train_fns[key] = builder(
+                self.spec, self.loss_function, self.loss_args,
+                self.optimizer_config, mesh, axis, mean=mean)
+        stacked = shard_batches(batches, mesh, axis)
+        rngs = jax.random.split(self._next_rng(), len(batches))
+        self.params, self.bn, self.opt_state, _ = self._train_fns[key](
+            self.params, self.bn, self.opt_state, stacked, rngs)
+
 
 class GNNedgeBased(GNNnodeBased):
     """GNN for edge-focused problems (reference GNN.py:286-302): readout on

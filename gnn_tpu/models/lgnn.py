@@ -424,12 +424,33 @@ class LGNN(BaseModel):
             training_mode=self.training_mode or "parallel")
         self._set_params(params, bns)
 
+    def training_step_dp(self, batches, mean: bool, mesh, axis: str = "data") -> None:
+        """One data-parallel step over the layer stack (train(mesh=...)):
+        make_lgnn_dp_train_step covers the 'parallel'/'residual' losses;
+        'serial' trains layers standalone and passes the mesh down."""
+        from gnn_tpu.parallel.data_parallel import shard_batches
+        key = ("dp", mesh, axis, mean)
+        if not hasattr(self, "_dp_fns"):
+            self._dp_fns = {}
+        if key not in self._dp_fns:
+            self._dp_fns[key] = make_lgnn_dp_train_step(
+                self._specs, self.loss_function, self.loss_args,
+                self.optimizer_config, mesh, axis, mean=mean,
+                get_state=self.get_state, get_output=self.get_output,
+                training_mode=self.training_mode or "parallel")
+        stacked = shard_batches(batches, mesh, axis)
+        rngs = jax.random.split(self._next_rng(), len(batches))
+        params, bns, self.opt_state, _ = self._dp_fns[key](
+            self._params(), self._bns(), self.opt_state, stacked, rngs)
+        self._set_params(params, bns)
+
     # ----------------------------------------------------------------- train
     def train(self, gTr, epochs: int, gVa=None, update_freq: int = 10,
               max_fails: int = 10, observed_metric: str = "Loss", policy: str = "min",
               *, mean: bool = True, training_mode: str = "parallel",
               verbose: int = 3, profile_dir=None,
-              nan_policy: str = "none") -> None:
+              nan_policy: str = "none", mesh=None,
+              mesh_axis: str = "data") -> None:
         assert training_mode in ("parallel", "serial", "residual")
         if self.training_mode is not None and self.training_mode != training_mode:
             raise ValueError("LGNN training_mode is sticky once set (reference LGNN.py:313-316)")
@@ -446,14 +467,16 @@ class LGNN(BaseModel):
                     print(f"\n\n------------------- GNN{idx} -------------------\n")
                 gnn.train(gTr1, epochs, gVa1, update_freq, max_fails, observed_metric,
                           policy, mean=mean, verbose=verbose,
-                          nan_policy=nan_policy)
+                          nan_policy=nan_policy, mesh=mesh,
+                          mesh_axis=mesh_axis)
                 gTr1 = [self._augment(gnn, base, cur) for base, cur in zip(gTr, gTr1)]
                 if gVa:
                     gVa1 = [self._augment(gnn, base, cur) for base, cur in zip(gVa, gVa1)]
         else:
             super().train(gTr, epochs, gVa, update_freq, max_fails, observed_metric,
                           policy, mean=mean, verbose=verbose,
-                          profile_dir=profile_dir, nan_policy=nan_policy)
+                          profile_dir=profile_dir, nan_policy=nan_policy,
+                          mesh=mesh, mesh_axis=mesh_axis)
 
     def _augment(self, gnn: GNNnodeBased, base: GraphBatch, cur: GraphBatch) -> GraphBatch:
         """Run one layer on its (already augmented) input graph and augment the

@@ -346,3 +346,83 @@ class TestLGNNDataParallel:
         expect = jax.tree_util.tree_map(lambda p, g: p - g / 8, params, gsum)
         assert leaves_close(p_dp, expect, atol=1e-5)
         assert iters.shape == (2,)
+
+
+class TestEngineMeshTraining:
+    """model.train(mesh=...) — the engine's data-parallel entry point must
+    equal manually driving make_dp_train_step with the same rng stream."""
+
+    def _model_and_batches(self, seed=0, n_batches=8):
+        from gnn_tpu import GNNnodeBased
+        from gnn_tpu.metrics import Metrics
+        from gnn_tpu.ops.mlp import get_inout_dims
+        rng = np.random.default_rng(3)
+        gs = [random_graph(14, 3, 1, 2, 0.5, focus="n", rng=rng)
+              for _ in range(4 * n_batches)]
+        batches = [GraphBatch.from_graph(Graph.merge(
+            gs[i:i + 4], focus="n", aggregation_mode="average"))
+            for i in range(0, len(gs), 4)]
+        in_s, l_s = get_inout_dims("state", 3, 1, 2, "n", 0, None)
+        in_o, l_o = get_inout_dims("output", 3, 1, 2, "n", 0, None)
+        m = GNNnodeBased(
+            net_state=MLPSpec(input_dim=in_s, units=tuple(l_s),
+                              activations="tanh", batch_normalization=False),
+            net_output=MLPSpec(input_dim=in_o, units=tuple(l_o),
+                               activations="softmax", batch_normalization=False),
+            optimizer={"name": "adam", "kwargs": {"learning_rate": 2e-3}},
+            loss_function="categorical_crossentropy",
+            loss_arguments={"from_logits": False},
+            max_iteration=4, threshold=0.01,
+            extra_metrics={"Acc": Metrics["Acc"]},
+            path_writer="/tmp/wmesh/", seed=seed)
+        return m, batches
+
+    def test_engine_dp_equals_manual_dp_steps(self):
+        mesh = make_mesh({"data": 4})
+        m1, batches = self._model_and_batches()
+        m1.train(batches, epochs=1, update_freq=1, verbose=0, mesh=mesh)
+
+        m2, _ = self._model_and_batches()
+        step = make_dp_train_step(m2.spec, m2.loss_function, m2.loss_args,
+                                  m2.optimizer_config, mesh, "data", mean=True)
+        p, b, o = m2.params, m2.bn, m2.opt_state
+        for i in range(0, len(batches), 4):
+            stacked = shard_batches(batches[i:i + 4], mesh, "data")
+            rngs = jax.random.split(m2._next_rng(), 4)
+            p, b, o, _ = step(p, b, o, stacked, rngs)
+        assert leaves_close(m1.params, p, atol=1e-6)
+
+    def test_engine_dp_trains_and_records_history(self):
+        mesh = make_mesh({"data": 4})
+        m, batches = self._model_and_batches()
+        m.train(batches, epochs=20, update_freq=10, verbose=0, mesh=mesh)
+        assert m.history["Epoch"] == [0, 10]
+        assert m.history["Loss Tr"][-1] < m.history["Loss Tr"][0]
+
+    def test_engine_dp_indivisible_batches_raises(self):
+        mesh = make_mesh({"data": 4})
+        m, batches = self._model_and_batches()
+        with pytest.raises(ValueError, match="divisible"):
+            m.train(batches[:6], epochs=1, verbose=0, mesh=mesh)
+
+    def test_lgnn_engine_dp_trains(self):
+        from gnn_tpu import LGNN, GNNnodeBased
+        from gnn_tpu.ops.mlp import get_inout_dims
+        mesh = make_mesh({"data": 4})
+        m0, batches = self._model_and_batches()
+        in_s, l_s = get_inout_dims("state", 3, 1, 2, "n", 0, None, layer=1,
+                                   get_state=True)
+        in_o, l_o = get_inout_dims("output", 3, 1, 2, "n", 0, None, layer=1,
+                                   get_state=True)
+        m1 = GNNnodeBased(
+            net_state=MLPSpec(input_dim=in_s, units=tuple(l_s),
+                              activations="tanh", batch_normalization=False),
+            net_output=MLPSpec(input_dim=in_o, units=tuple(l_o),
+                               activations="softmax", batch_normalization=False),
+            path_writer="/tmp/wmesh1/", seed=1)
+        lgnn = LGNN([m0, m1], get_state=True, get_output=False,
+                    path_writer="/tmp/wmesh_l/")
+        lgnn.train(batches, epochs=8, update_freq=4, verbose=0,
+                   training_mode="residual", mesh=mesh)
+        assert lgnn.history["Epoch"] == [0, 4]
+        assert all(np.isfinite(v) for v in lgnn.history["Loss Tr"])
