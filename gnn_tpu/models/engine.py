@@ -184,6 +184,19 @@ class BaseModel(ABC):
         raise NotImplementedError(
             f"{type(self).__name__} does not implement data-parallel training")
 
+    def _shard_for(self, gb: GraphBatch, mesh, axis: str, strategy: str):
+        """Place one batch for sharded-propagation training
+        (train(mesh=..., mesh_strategy='edge'|'node'))."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement {strategy}-sharded "
+            f"training (LGNN stacks scale via mesh_strategy='data')")
+
+    def training_step_sharded(self, gb_sharded, mean: bool, mesh, axis: str,
+                              strategy: str) -> None:
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement {strategy}-sharded "
+            f"training (LGNN stacks scale via mesh_strategy='data')")
+
     @abstractmethod
     def _weight_summaries(self):
         """[(namespace, net_name, [(leaf_name, array), ...]) ...] for logging."""
@@ -263,7 +276,8 @@ class BaseModel(ABC):
               *, mean: bool = True, verbose: int = 3,
               profile_dir: Optional[str] = None,
               nan_policy: str = "none", mesh=None,
-              mesh_axis: str = "data") -> None:
+              mesh_axis: Optional[str] = None,
+              mesh_strategy: str = "data") -> None:
         """:param profile_dir: when set, capture a jax.profiler trace of the
         first epoch's batch loop into this directory (SURVEY.md §5 tracing).
         :param nan_policy: divergence guard, checked at every update_freq
@@ -272,17 +286,25 @@ class BaseModel(ABC):
         FloatingPointError on a non-finite training loss; 'restore' stops
         training and restores the last good weights (best-validation
         weights when gVa is given, else the pre-training snapshot).
-        :param mesh: jax.sharding.Mesh — train data-parallel over
-        mesh[mesh_axis]: each step consumes that many batches (one per
-        device), per-replica grads are pmean-ed over ICI and one replicated
-        update applies (the synchronous-large-batch analogue of the
-        sequential per-batch updates; parallel/data_parallel.py, step
-        exactness tested). len(gTr) must divide evenly into device groups;
-        evaluation stays single-device."""
+        :param mesh: jax.sharding.Mesh — train across mesh[mesh_axis] using
+        mesh_strategy:
+          'data' (default axis 'data'): each step consumes that many batches
+          (one per device), per-replica grads are pmean-ed over ICI and one
+          replicated update applies (the synchronous-large-batch analogue of
+          the sequential per-batch updates); len(gTr) must divide evenly.
+          'edge' / 'node' (default axis 'graph'): the reference's sequential
+          per-batch updates, but each batch's propagation is sharded across
+          the devices (per-iteration partial-aggregation psum / all_gather
+          owner-computes — parallel/edge_shard.py, node_shard.py; for graphs
+          too large for one chip). All strategies' steps are exactness-tested
+          vs the single-device step. Evaluation stays single-device."""
         if verbose not in range(4):
             raise ValueError("param <verbose> not in [0,1,2,3]")
         if nan_policy not in ("none", "raise", "restore"):
             raise ValueError("param <nan_policy> not in ['none', 'raise', 'restore']")
+        if mesh_strategy not in ("data", "edge", "node"):
+            raise ValueError("param <mesh_strategy> not in ['data', 'edge', 'node']")
+        mesh_axis = mesh_axis or ("data" if mesh_strategy == "data" else "graph")
 
         def update_history(name, val):
             if name not in ("Tr", "Va"):
@@ -337,6 +359,7 @@ class BaseModel(ABC):
         edges_per_epoch = sum(int(b.n_real[1]) for b in gTr)
 
         e = initial_epoch
+        gTr_sh = None
         try:
           for e in range(initial_epoch, epochs):
               profiling = profile_dir and e == initial_epoch
@@ -345,8 +368,23 @@ class BaseModel(ABC):
                   jax.profiler.start_trace(profile_dir)
               if generator is not None and e > initial_epoch:
                   gTr = self.checktype(list(generator))
+                  gTr_sh = None
               _t0 = _time.perf_counter()
-              if mesh is not None:
+              if mesh is not None and mesh_strategy in ("edge", "node"):
+                  # reference's sequential per-batch updates, each batch's
+                  # propagation sharded across the mesh; the sharded
+                  # placements are built once and reused every epoch
+                  if gTr_sh is None:
+                      gTr_sh = [self._shard_for(b, mesh, mesh_axis,
+                                                mesh_strategy) for b in gTr]
+                  for i, elem in enumerate(gTr_sh):
+                      self.training_step_sharded(elem, mean=mean, mesh=mesh,
+                                                 axis=mesh_axis,
+                                                 strategy=mesh_strategy)
+                      if verbose > 2:
+                          print(f" > Epoch {e:4d}/{epochs} \t\t> Batch "
+                                f"{i + 1:4d}/{len(gTr)}", end="\r")
+              elif mesh is not None:
                   n_dev = mesh.shape[mesh_axis]
                   if len(gTr) % n_dev:
                       raise ValueError(

@@ -247,6 +247,40 @@ class GNNnodeBased(BaseModel):
         self.params, self.bn, self.opt_state, _ = self._train_fns[key](
             self.params, self.bn, self.opt_state, stacked, rngs)
 
+    def _shard_for(self, gb: GraphBatch, mesh, axis: str, strategy: str):
+        if strategy == "edge":
+            from gnn_tpu.parallel.edge_shard import shard_edges
+            return shard_edges(gb, mesh, axis)
+        from gnn_tpu.parallel.node_shard import shard_nodes
+        return shard_nodes(gb, mesh, axis)
+
+    def training_step_sharded(self, gb_sharded, mean: bool, mesh, axis: str,
+                              strategy: str) -> None:
+        """One optimizer step on a single batch whose propagation is sharded
+        across mesh[axis] (train(mesh=..., mesh_strategy='edge'|'node'));
+        per-iteration partial aggregations psum / all_gather owner-computes
+        (parallel/edge_shard.py, node_shard.py)."""
+        key = (strategy, mesh, axis, mean)
+        if key not in self._train_fns:
+            if strategy == "edge":
+                from gnn_tpu.models.composite import (
+                    CompositeGNNSpec, make_composite_edge_sharded_train_step)
+                from gnn_tpu.parallel.edge_shard import \
+                    make_edge_sharded_train_step
+                builder = (make_composite_edge_sharded_train_step
+                           if isinstance(self.spec, CompositeGNNSpec)
+                           else make_edge_sharded_train_step)
+            else:
+                from gnn_tpu.parallel.node_shard import \
+                    make_node_sharded_train_step
+                builder = make_node_sharded_train_step
+            self._train_fns[key] = builder(
+                self.spec, self.loss_function, self.loss_args,
+                self.optimizer_config, mesh, axis, mean=mean)
+        self.params, self.bn, self.opt_state, _ = self._train_fns[key](
+            self.params, self.bn, self.opt_state, gb_sharded,
+            self._next_rng())
+
 
 class GNNedgeBased(GNNnodeBased):
     """GNN for edge-focused problems (reference GNN.py:286-302): readout on

@@ -450,7 +450,7 @@ class LGNN(BaseModel):
               *, mean: bool = True, training_mode: str = "parallel",
               verbose: int = 3, profile_dir=None,
               nan_policy: str = "none", mesh=None,
-              mesh_axis: str = "data") -> None:
+              mesh_axis=None, mesh_strategy: str = "data") -> None:
         assert training_mode in ("parallel", "serial", "residual")
         if self.training_mode is not None and self.training_mode != training_mode:
             raise ValueError("LGNN training_mode is sticky once set (reference LGNN.py:313-316)")
@@ -468,7 +468,7 @@ class LGNN(BaseModel):
                 gnn.train(gTr1, epochs, gVa1, update_freq, max_fails, observed_metric,
                           policy, mean=mean, verbose=verbose,
                           nan_policy=nan_policy, mesh=mesh,
-                          mesh_axis=mesh_axis)
+                          mesh_axis=mesh_axis, mesh_strategy=mesh_strategy)
                 gTr1 = [self._augment(gnn, base, cur) for base, cur in zip(gTr, gTr1)]
                 if gVa:
                     gVa1 = [self._augment(gnn, base, cur) for base, cur in zip(gVa, gVa1)]
@@ -476,7 +476,8 @@ class LGNN(BaseModel):
             super().train(gTr, epochs, gVa, update_freq, max_fails, observed_metric,
                           policy, mean=mean, verbose=verbose,
                           profile_dir=profile_dir, nan_policy=nan_policy,
-                          mesh=mesh, mesh_axis=mesh_axis)
+                          mesh=mesh, mesh_axis=mesh_axis,
+                          mesh_strategy=mesh_strategy)
 
     def _augment(self, gnn: GNNnodeBased, base: GraphBatch, cur: GraphBatch) -> GraphBatch:
         """Run one layer on its (already augmented) input graph and augment the

@@ -426,3 +426,28 @@ class TestEngineMeshTraining:
                    training_mode="residual", mesh=mesh)
         assert lgnn.history["Epoch"] == [0, 4]
         assert all(np.isfinite(v) for v in lgnn.history["Loss Tr"])
+
+    @pytest.mark.parametrize("strategy", ["edge", "node"])
+    def test_engine_sharded_strategy_equals_single_device(self, strategy):
+        """mesh_strategy='edge'/'node' keeps the reference's sequential
+        per-batch updates — engine training must match plain single-device
+        training exactly (same rng stream, sharded step == single step)."""
+        mesh = make_mesh({"graph": 4})
+        m1, batches = self._model_and_batches(n_batches=3)
+        m1.train(batches, epochs=2, update_freq=2, verbose=0, mesh=mesh,
+                 mesh_strategy=strategy)
+        m2, _ = self._model_and_batches(n_batches=3)
+        m2.train(batches, epochs=2, update_freq=2, verbose=0)
+        assert leaves_close(m1.params, m2.params, atol=1e-5)
+        assert np.allclose(m1.history["Loss Tr"], m2.history["Loss Tr"],
+                           atol=1e-4)
+
+    def test_lgnn_sharded_strategy_raises(self):
+        from gnn_tpu import LGNN
+        mesh = make_mesh({"graph": 4})
+        m0, batches = self._model_and_batches(n_batches=3)
+        lgnn = LGNN([m0], get_state=True, get_output=False,
+                    path_writer="/tmp/wmesh_l2/")
+        with pytest.raises(NotImplementedError, match="data"):
+            lgnn.train(batches, epochs=1, verbose=0, training_mode="parallel",
+                       mesh=mesh, mesh_strategy="edge")
