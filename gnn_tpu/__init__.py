@@ -37,10 +37,10 @@ from gnn_tpu.models.composite import (CompositeGNNSpec, composite_forward,
                                       make_composite_dp_train_step,
                                       make_composite_edge_sharded_train_step)
 from gnn_tpu.ops.mlp import MLPSpec, get_inout_dims
-from gnn_tpu.serving import Predictor, ShardedPredictor
+from gnn_tpu.serving import BigGraphPredictor, Predictor, ShardedPredictor
 
 __all__ = [
-    "Predictor", "ShardedPredictor",
+    "Predictor", "ShardedPredictor", "BigGraphPredictor",
     "Graph", "GraphObject", "GraphBatch", "GraphDataGenerator",
     "SingleGraphDataGenerator", "GNNnodeBased", "GNNedgeBased", "GNNgraphBased",
     "LGNN", "MLPSpec", "get_inout_dims", "floatx", "set_floatx",

@@ -196,6 +196,64 @@ class Predictor:
         return self.predict(graphs)
 
 
+class BigGraphPredictor:
+    """Inference for single graphs too large for one chip: node states are
+    sharded over ``mesh[axis]`` and each propagation iteration runs
+    all_gather + owner-computes aggregation over ICI
+    (parallel/node_shard.py — exact vs the single-device forward, tested).
+    AOT-compiled per padding bucket like Predictor. Supports the homogeneous
+    and composite families (LGNN stacks: serve layers individually)."""
+
+    def __init__(self, model, mesh, *, axis: str = "graph"):
+        from gnn_tpu.models.lgnn import LGNN
+        from gnn_tpu.parallel.node_shard import make_node_sharded_forward
+        if isinstance(model, LGNN):
+            raise NotImplementedError(
+                "BigGraphPredictor serves single GNN/Composite models")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self._mesh, self._axis = mesh, axis
+        self._focus = model.spec.focus
+        self._spec = model.spec
+        rep = NamedSharding(mesh, P())
+        self._params = jax.device_put(model.params, rep)
+        self._bn = jax.device_put(model.bn, rep)
+        self._fwd = make_node_sharded_forward(model.spec, mesh, axis)
+        self._key = jax.random.key(0)
+        self._compiled: dict = {}
+        self.stats = {"requests": 0, "compiles": 0, "bucket_hits": 0,
+                      "last_ms": None, "last_compile_s": None}
+
+    def predict(self, g: Graph):
+        """Selected output rows for ONE (typically huge) Graph."""
+        if g.focus != self._focus:
+            raise ValueError(f"graph focus {g.focus!r} does not match "
+                             f"model focus {self._focus!r}")
+        from gnn_tpu.parallel.node_shard import shard_nodes
+        gb = GraphBatch.from_graph(g)          # config.pad_size buckets
+        nb = shard_nodes(gb, self._mesh, self._axis)
+        key = tuple((tuple(leaf.shape), str(leaf.dtype))
+                    for leaf in jax.tree_util.tree_leaves(nb))
+        exe = self._compiled.get(key)
+        if exe is None:
+            t0 = time.perf_counter()
+            exe = self._fwd.lower(self._params, self._bn, nb,
+                                  self._key).compile()
+            self._compiled[key] = exe
+            self.stats["compiles"] += 1
+            self.stats["last_compile_s"] = time.perf_counter() - t0
+        else:
+            self.stats["bucket_hits"] += 1
+        t0 = time.perf_counter()
+        _, out = exe(self._params, self._bn, nb, self._key)
+        rows = np.asarray(out)[np.asarray(gb.sel_mask)]
+        self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
+        self.stats["requests"] += 1
+        return rows
+
+    def __call__(self, g: Graph):
+        return self.predict(g)
+
+
 class ShardedPredictor(Predictor):
     """Data-parallel serving over a device mesh: the request's graphs are
     load-balanced across ``mesh[axis]``, each device runs the forward on its

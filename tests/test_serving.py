@@ -193,6 +193,37 @@ class TestShardedPredictor:
         assert sp.stats["bucket_hits"] == 1
 
 
+class TestBigGraphPredictor:
+    pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                    reason="needs 8 (virtual) devices")
+
+    def test_matches_single_device_forward(self, rng):
+        from jax.sharding import Mesh
+        from gnn_tpu import BigGraphPredictor
+        from gnn_tpu.graphs.batch import GraphBatch
+        model = build_model(focus="n")
+        big = Graph.merge(graphs_for(rng, focus="n", n_graphs=12),
+                          focus="n", aggregation_mode="average")
+        mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+        bp = BigGraphPredictor(model, mesh)
+        rows = bp.predict(big)
+        gb = GraphBatch.from_graph(big)
+        _, _, ref = model.Loop(gb)
+        np.testing.assert_allclose(rows, ref, atol=2e-5)
+        # second identical-bucket request reuses the executable
+        bp.predict(big)
+        assert bp.stats["compiles"] == 1 and bp.stats["bucket_hits"] == 1
+
+    def test_focus_mismatch_raises(self, rng):
+        from jax.sharding import Mesh
+        from gnn_tpu import BigGraphPredictor
+        model = build_model(focus="n")
+        mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+        g = graphs_for(rng, focus="g", n_graphs=1)[0]
+        with pytest.raises(ValueError, match="focus"):
+            BigGraphPredictor(model, mesh).predict(g)
+
+
 class TestCompositePredictor:
     def test_matches_composite_forward(self, rng):
         from gnn_tpu import CompositeGNNnodeBased
