@@ -1,0 +1,111 @@
+"""Hardware validation of the fused Pallas kernels (run ON THE CHIP).
+
+Compiles and runs every kernel family on small fused-layout workloads and
+compares against the XLA body (GNN_TPU_FUSED=0 semantics) computed in the
+same process on the same device. Prints one PASS/FAIL line per check and a
+JSON summary. Designed to be cheap on the tunnelled runtime: tiny shapes,
+one process, ~8 compiles.
+
+Run:  PYTHONUNBUFFERED=1 timeout 560 python tools/hw_validate.py
+Env:  HW_CHECKS=eval1,train1,eval2,train2 (default all)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from gnn_tpu.graphs.batch import from_graphs_blocked
+from gnn_tpu.graphs.datasets import random_graph
+from gnn_tpu.models.core import GNNSpec, evaluate_single, gnn_forward, gnn_init
+from gnn_tpu.ops.mlp import MLPSpec
+
+CHECKS = os.environ.get("HW_CHECKS", "eval1,train1,eval2,train2").split(",")
+
+
+def workload(rng, units, activations, dropout):
+    gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
+                       rng=rng) for _ in range(12)]
+    gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
+    gbf = from_graphs_blocked(gs, block_w=32, focus="g", fused_layout=True)
+    kw = (dict(dropout_rate=(0.15,), dropout_pos=(0,), alphadropout=True)
+          if dropout else {})
+    ss = MLPSpec(input_dim=13, units=units, activations=activations,
+                 kernel_initializer="lecun_normal",
+                 bias_initializer="lecun_normal", batch_normalization=False,
+                 **kw)
+    os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                  batch_normalization=False)
+    spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_, max_iteration=4,
+                   threshold=0.01, aggregation="auto")
+    params, bnst = gnn_init(spec, jax.random.key(0))
+    return gbf, spec, params, bnst
+
+
+def run_check(name, rng, units, activations, dropout, training):
+    gbf, spec, params, bnst = workload(rng, units, activations, dropout)
+    key = jax.random.key(7)
+    t0 = time.perf_counter()
+
+    jx = str(jax.make_jaxpr(lambda p: gnn_forward(
+        spec, p, bnst, gbf, key, training=training))(params))
+    if "pallas" not in jx:
+        return {"name": name, "ok": False, "why": "no kernel dispatch"}
+
+    def loss_grads(sp):
+        def f(p):
+            _, l, _ = evaluate_single(sp, p, bnst, gbf, key, "mse", {},
+                                      training=training)
+            return l
+        return jax.grad(f)(params)
+
+    # kernel path (auto) vs XLA body (aggregation='blocked' ignores the
+    # fused layout and runs the block-dense XLA scan — same math)
+    xla_spec = dataclasses.replace(spec, aggregation="blocked")
+    r_f = gnn_forward(spec, params, bnst, gbf, key, training=training)
+    r_x = gnn_forward(xla_spec, params, bnst, gbf, key, training=training)
+    s_f, s_x = np.asarray(r_f["state"]), np.asarray(r_x["state"])
+    fwd_err = float(np.max(np.abs(s_f - s_x)))
+    it_ok = float(r_f["iters"]) == float(r_x["iters"])
+
+    g_f, g_x = loss_grads(spec), loss_grads(xla_spec)
+    grad_err = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                   for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                                   jax.tree_util.tree_leaves(g_f)))
+    dt = time.perf_counter() - t0
+    ok = fwd_err < 1e-3 and grad_err < 1e-3 and it_ok
+    res = {"name": name, "ok": bool(ok), "fwd_max_abs_err": fwd_err,
+           "grad_max_abs_err": grad_err, "iters_equal": bool(it_ok),
+           "wall_s": round(dt, 1)}
+    print(("PASS " if ok else "FAIL ") + json.dumps(res), flush=True)
+    return res
+
+
+def main():
+    print(f"device: {jax.devices()[0]}", flush=True)
+    rng = np.random.default_rng(0)
+    matrix = {
+        "eval1": dict(units=(5,), activations="selu", dropout=False,
+                      training=False),
+        "train1": dict(units=(5,), activations="selu", dropout=True,
+                       training=True),
+        "eval2": dict(units=(16, 5), activations=("selu", "tanh"),
+                      dropout=False, training=False),
+        "train2": dict(units=(16, 5), activations=("selu", "tanh"),
+                       dropout=True, training=True),
+    }
+    results = [run_check(c, rng, **matrix[c]) for c in CHECKS if c in matrix]
+    ok = all(r["ok"] for r in results)
+    print(json.dumps({"all_ok": ok, "checks": results}), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
