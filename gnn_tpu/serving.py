@@ -135,8 +135,7 @@ class Predictor:
 
     # ---------------------------------------------------------- compilation
     def _executable(self, gb: GraphBatch):
-        key = tuple((tuple(leaf.shape), str(leaf.dtype))
-                    for leaf in jax.tree_util.tree_leaves(gb))
+        key = self._shape_key(gb)
         exe = self._compiled.get(key)
         if exe is None:
             t0 = time.perf_counter()
@@ -194,6 +193,115 @@ class Predictor:
 
     def __call__(self, graphs):
         return self.predict(graphs)
+
+    # -------------------------------------------------------------- export
+    @staticmethod
+    def _shape_key(gb) -> tuple:
+        return tuple((tuple(leaf.shape), str(leaf.dtype))
+                     for leaf in jax.tree_util.tree_leaves(gb))
+
+    def export(self, path: str, requests) -> int:
+        """Serialize this predictor as a self-contained deployment artifact:
+        one StableHLO module per shape bucket (jax.export) with the weight
+        snapshot BAKED IN as constants — a frozen pure function of the
+        batch, no model/engine code or weight files needed to run it — plus
+        the batch-routing config. One bucket per distinct shape in
+        `requests`; returns the number of buckets written. Load with
+        serving.load_exported(path)."""
+        import json
+        import os as _os
+        from jax import export as jexport
+        _register_batch_serialization()
+        if path and path[-1] != "/":
+            path += "/"
+        _os.makedirs(path, exist_ok=True)
+        fn, params, bn = self._fn, self._params, self._bn
+        frozen = jax.jit(lambda gb: fn(params, bn, gb))
+        buckets, seen = [], set()
+        for req in requests:
+            glist = [req] if isinstance(req, Graph) else list(req)
+            gb = self.build_batch(glist)
+            key = self._shape_key(gb)
+            if key in seen:
+                continue
+            seen.add(key)
+            exp = jexport.export(frozen)(gb)
+            fname = f"bucket_{len(buckets)}.stablehlo"
+            with open(path + fname, "wb") as f:
+                f.write(exp.serialize())
+            buckets.append({"file": fname,
+                            "key": [[list(s), d] for s, d in key]})
+        with open(path + "config.json", "w") as f:
+            json.dump({"focus": self._focus, "blocked": self._blocked,
+                       "block_w": self._block_w, "fused": self._fused,
+                       "bucket_multiple": self._bucket_multiple,
+                       "buckets": buckets}, f, indent=1)
+        return len(buckets)
+
+
+_BATCH_SER_DONE = False
+
+
+def _register_batch_serialization() -> None:
+    """Teach jax.export to (de)serialize the GraphBatch pytree: its auxdata
+    is the tuple of static fields (focus str, edges_sorted bool) — encoded
+    as JSON, no pickle."""
+    global _BATCH_SER_DONE
+    if _BATCH_SER_DONE:
+        return
+    import json
+    from jax import export as jexport
+    jexport.register_pytree_node_serialization(
+        GraphBatch,
+        serialized_name="gnn_tpu.graphs.batch.GraphBatch",
+        serialize_auxdata=lambda aux: json.dumps(list(aux)).encode(),
+        deserialize_auxdata=lambda blob: tuple(json.loads(blob.decode())))
+    _BATCH_SER_DONE = True
+
+
+def load_exported(path: str) -> "Predictor":
+    """Reload a Predictor.export() artifact: batch routing + deserialized
+    StableHLO bucket executables (weights baked in) — no model construction,
+    no retracing. Requests must land on an exported bucket (warmup
+    coverage); misses raise with the available buckets listed."""
+    import json
+    from jax import export as jexport
+    _register_batch_serialization()
+    if path and path[-1] != "/":
+        path += "/"
+    with open(path + "config.json") as f:
+        cfg = json.load(f)
+    p = Predictor.__new__(Predictor)
+    p._params, p._bn = None, None   # baked into the exported modules
+    p._focus = cfg["focus"]
+    p._blocked = cfg["blocked"]
+    p._block_w = cfg["block_w"]
+    p._fused = cfg["fused"]
+    p._bucket_multiple = cfg["bucket_multiple"]
+    p._compiled = {}
+    p.stats = {"requests": 0, "compiles": 0, "bucket_hits": 0,
+               "last_ms": None, "last_compile_s": None}
+    for b in cfg["buckets"]:
+        with open(path + b["file"], "rb") as f:
+            exp = jexport.deserialize(f.read())
+        key = tuple((tuple(s), d) for s, d in b["key"])
+        # predict() calls exe(params, bn, gb); the frozen module only takes gb
+        p._compiled[key] = (lambda e: lambda _p, _b, gb: e.call(gb))(exp)
+    known = sorted(b["file"] for b in cfg["buckets"])
+
+    def _executable(gb):
+        key = p._shape_key(gb)
+        exe = p._compiled.get(key)
+        if exe is None:
+            raise KeyError(
+                f"request shape bucket was not exported — re-export with a "
+                f"covering warmup sample (have: {known})")
+        p.stats["bucket_hits"] += 1
+        return exe
+
+    p._executable = _executable
+    p._fn = None   # exported artifacts replace the traced forward
+    return p
 
 
 class BigGraphPredictor:

@@ -193,6 +193,42 @@ class TestShardedPredictor:
         assert sp.stats["bucket_hits"] == 1
 
 
+class TestExportedPredictor:
+    def test_export_load_roundtrip_matches(self, rng, tmp_path):
+        from gnn_tpu.serving import load_exported
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=4)
+        pred = Predictor(model, block_w=32)
+        n = pred.export(str(tmp_path / "artifact"), [gs])
+        assert n == 1
+        loaded = load_exported(str(tmp_path / "artifact"))
+        rows = loaded.predict(gs, split=False)
+        ref = pred.predict(gs, split=False)
+        np.testing.assert_allclose(rows, ref, atol=1e-6)
+        parts = loaded.predict(gs)
+        assert len(parts) == 4
+
+    def test_unexported_bucket_raises(self, rng, tmp_path):
+        from gnn_tpu.serving import load_exported
+        model = build_model(focus="n")
+        pred = Predictor(model, block_w=32)
+        pred.export(str(tmp_path / "a2"), [graphs_for(rng, n_graphs=4)])
+        loaded = load_exported(str(tmp_path / "a2"))
+        big = [random_graph(60, 3, 1, 2, 0.5, focus="n", rng=rng)
+               for _ in range(40)]
+        with pytest.raises(KeyError, match="not exported"):
+            loaded.predict(big)
+
+    def test_duplicate_buckets_deduped(self, rng, tmp_path):
+        model = build_model(focus="n")
+        pred = Predictor(model, block_w=32)
+        req_a = [random_graph(15, 3, 1, 2, 0.5, focus="n", rng=rng)
+                 for _ in range(4)]
+        req_b = [random_graph(14, 3, 1, 2, 0.5, focus="n", rng=rng)
+                 for _ in range(4)]
+        assert pred.export(str(tmp_path / "a3"), [req_a, req_b]) == 1
+
+
 class TestBigGraphPredictor:
     pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                     reason="needs 8 (virtual) devices")
