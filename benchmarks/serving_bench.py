@@ -62,11 +62,13 @@ results = {}
 for k in SIZES:
     reqs = [request(k) for _ in range(REPS)]
     t0 = time.perf_counter()
-    n_compiled = pred.warmup(reqs[:3])
+    n_compiled = pred.warmup(reqs)      # cover EVERY timed request's bucket
     warm_s = time.perf_counter() - t0
 
     # end-to-end request latency (fresh request objects each call: includes
-    # bucket pack + H2D + launch + D2H of the selected rows)
+    # bucket pack + H2D + launch + D2H of the selected rows). Warmup covered
+    # all buckets, so a nonzero compile delta here flags a contaminated run.
+    compiles_before = pred.stats["compiles"]
     lat = []
     for req in reqs:
         t0 = time.perf_counter()
@@ -74,6 +76,7 @@ for k in SIZES:
         assert outs.shape[0] == k
         lat.append(time.perf_counter() - t0)
     lat_ms = sorted(x * 1e3 for x in lat)
+    timed_compiles = pred.stats["compiles"] - compiles_before
     edges = sum(g.n_arcs for g in reqs[-1])
 
     # device-only path: same packed batch launched REPS times back-to-back,
@@ -95,6 +98,7 @@ for k in SIZES:
         "edges_last_req": int(edges),
         "graphs_per_s_p50": round(k / (lat_ms[len(lat_ms) // 2] / 1e3)),
         "compiles": n_compiled,
+        "compiles_in_timed_loop": timed_compiles,   # must be 0 for a clean run
         "warmup_s": round(warm_s, 2),
     }
     print(f"size {k:4d}: {json.dumps(results[k])}", flush=True)

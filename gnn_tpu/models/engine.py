@@ -417,15 +417,7 @@ class BaseModel(ABC):
                   training_writer.write_scalars(metricsTr, e)
                   for ns, net, leaves in self._weight_summaries():
                       (netS_writer if net == "N1" else netO_writer).write_weights(ns, net, leaves, e)
-                  if nan_policy != "none" and not np.isfinite(metricsTr["Loss"]):
-                      msg = f"non-finite training loss at epoch {e}"
-                      if nan_policy == "raise":
-                          raise FloatingPointError(msg)
-                      if not gVa:   # with gVa the post-loop best-restore runs
-                          self.set_weights(guard_ws, guard_wo)
-                      if verbose > 0:
-                          print(f"\r Divergence Stop ({msg}; weights restored)")
-                      break
+                  tr_nonfinite = not np.isfinite(metricsTr["Loss"])
 
               if (e % update_freq == 0) and gVa:
                   metricsVa, *_ = self.evaluate(gVa)
@@ -443,6 +435,20 @@ class BaseModel(ABC):
                           self.printHistory()
                       print("\r Validation Stop")
                       break
+
+              # divergence guard — checked AFTER the validation block so a
+              # stop/raise never leaves history lists with unequal lengths
+              if (e % update_freq == 0) and nan_policy != "none" and tr_nonfinite:
+                  msg = f"non-finite training loss at epoch {e}"
+                  if nan_policy == "raise":
+                      raise FloatingPointError(msg)
+                  if not gVa:   # with gVa the post-loop best-restore runs
+                      self.set_weights(guard_ws, guard_wo)
+                  if verbose > 0:
+                      which = ("best-validation" if gVa else "pre-training")
+                      print(f"\r Divergence Stop ({msg}; {which} weights "
+                            f"restored)")
+                  break
 
               if (e % update_freq == 0) and verbose in (1, 3):
                   self.printHistory()

@@ -39,6 +39,21 @@ from gnn_tpu.graphs.batch import (GraphBatch, from_graphs_blocked,
 from gnn_tpu.graphs.graph import Graph
 
 
+def _lookup_or_compile(compiled: dict, stats: dict, key, build):
+    """Shared bucket-cache bookkeeping: compile-on-miss (timed into stats),
+    count hits otherwise."""
+    exe = compiled.get(key)
+    if exe is None:
+        t0 = time.perf_counter()
+        exe = build()
+        compiled[key] = exe
+        stats["compiles"] += 1
+        stats["last_compile_s"] = time.perf_counter() - t0
+    else:
+        stats["bucket_hits"] += 1
+    return exe
+
+
 def _forward_callable(model):
     """(fn, params, bn) with fn(params, bn, gb) -> target-aligned [Tp, DT]
     output rows, closed over the model's static spec(s). The rng is a fixed
@@ -135,18 +150,10 @@ class Predictor:
 
     # ---------------------------------------------------------- compilation
     def _executable(self, gb: GraphBatch):
-        key = self._shape_key(gb)
-        exe = self._compiled.get(key)
-        if exe is None:
-            t0 = time.perf_counter()
-            exe = jax.jit(self._fn).lower(self._params, self._bn,
-                                          gb).compile()
-            self._compiled[key] = exe
-            self.stats["compiles"] += 1
-            self.stats["last_compile_s"] = time.perf_counter() - t0
-        else:
-            self.stats["bucket_hits"] += 1
-        return exe
+        return _lookup_or_compile(
+            self._compiled, self.stats, self._shape_key(gb),
+            lambda: jax.jit(self._fn).lower(self._params, self._bn,
+                                            gb).compile())
 
     def _prepare(self, glist: Sequence[Graph]):
         """Request -> device operand (overridden by ShardedPredictor)."""
@@ -339,18 +346,10 @@ class BigGraphPredictor:
         from gnn_tpu.parallel.node_shard import shard_nodes
         gb = GraphBatch.from_graph(g)          # config.pad_size buckets
         nb = shard_nodes(gb, self._mesh, self._axis)
-        key = tuple((tuple(leaf.shape), str(leaf.dtype))
-                    for leaf in jax.tree_util.tree_leaves(nb))
-        exe = self._compiled.get(key)
-        if exe is None:
-            t0 = time.perf_counter()
-            exe = self._fwd.lower(self._params, self._bn, nb,
-                                  self._key).compile()
-            self._compiled[key] = exe
-            self.stats["compiles"] += 1
-            self.stats["last_compile_s"] = time.perf_counter() - t0
-        else:
-            self.stats["bucket_hits"] += 1
+        exe = _lookup_or_compile(
+            self._compiled, self.stats, Predictor._shape_key(nb),
+            lambda: self._fwd.lower(self._params, self._bn, nb,
+                                    self._key).compile())
         t0 = time.perf_counter()
         _, out = exe(self._params, self._bn, nb, self._key)
         rows = np.asarray(out)[np.asarray(gb.sel_mask)]
@@ -363,37 +362,29 @@ class BigGraphPredictor:
 
 
 class ShardedPredictor(Predictor):
-    """Data-parallel serving over a device mesh: the request's graphs are
-    load-balanced across ``mesh[axis]``, each device runs the forward on its
-    shard (no collectives — inference is embarrassingly parallel), and the
-    outputs are reassembled in request order. Convergence follows the
-    reference's batch semantics per shard (all nodes of a shard iterate
-    until the shard converges, GNN.py:202-220) — same as serving each shard
-    as its own request.
+    """Data-parallel serving across devices: the request's graphs are
+    load-balanced over the mesh's devices and each device serves its shard
+    with the SAME single-device executables as Predictor (compiled once per
+    shape bucket per device), dispatched asynchronously so shards execute
+    concurrently — inference is embarrassingly parallel, no collectives.
+    Results are exactly what serving each shard as its own request returns
+    (the reference's per-batch convergence semantics, GNN.py:202-220), and
+    shards may have completely different shapes/structure (e.g. one shard
+    holding an over-block_w graph with residual edges).
 
-    :param mesh: jax.sharding.Mesh; :param axis: mesh axis to shard over.
-    Requests need at least ``mesh.shape[axis]`` graphs.
+    :param mesh: jax.sharding.Mesh (all its devices are used) or a list of
+        jax.Device. Requests need at least that many graphs.
     """
 
-    def __init__(self, model, mesh, *, axis: str = "data", **kw):
+    def __init__(self, model, mesh, **kw):
         super().__init__(model, **kw)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        self._mesh = mesh
-        self._axis = axis
-        self._ndev = mesh.shape[axis]
-        rep = NamedSharding(mesh, P())
-        self._params = jax.device_put(self._params, rep)
-        self._bn = jax.device_put(self._bn, rep)
-        self._shard_sharding = NamedSharding(mesh, P(axis))
-        base = self._fn
-
-        def per_replica(params, bn, gb):
-            local = jax.tree_util.tree_map(lambda x: x[0], gb)
-            return base(params, bn, local)[None]          # [1, Tp, DT]
-
-        self._fn = jax.shard_map(per_replica, mesh=mesh,
-                                 in_specs=(P(), P(), P(axis)),
-                                 out_specs=P(axis), check_vma=False)
+        self._devices = (list(mesh) if isinstance(mesh, (list, tuple))
+                         else mesh.devices.flatten().tolist())
+        self._ndev = len(self._devices)
+        # weights replicated once: one copy resident per device
+        self._params_dev = [jax.device_put(self._params, d)
+                            for d in self._devices]
+        self._bn_dev = [jax.device_put(self._bn, d) for d in self._devices]
 
     def _split_request(self, glist: Sequence[Graph]) -> List[List[int]]:
         """Load-balance graph indices over devices (largest-first into the
@@ -401,7 +392,7 @@ class ShardedPredictor(Predictor):
         n = self._ndev
         if len(glist) < n:
             raise ValueError(f"sharded request needs >= {n} graphs "
-                             f"(mesh axis {self._axis!r}), got {len(glist)}")
+                             f"(one per device), got {len(glist)}")
         order = sorted(range(len(glist)), key=lambda i: -glist[i].n_nodes)
         shards: List[List[int]] = [[] for _ in range(n)]
         loads = [0] * n
@@ -411,53 +402,57 @@ class ShardedPredictor(Predictor):
             loads[j] += glist[i].n_nodes
         return [sorted(s) for s in shards]
 
-    def build_request(self, glist: Sequence[Graph]):
-        """(stacked sharded GraphBatch, per-shard graph indices). All shards
-        share one shape bucket (max over shards) so they stack."""
-        from gnn_tpu.graphs.batch import stack_batches
-        self._check(glist)
-        shards = self._split_request(glist)
-        subsets = [[glist[i] for i in idx] for idx in shards]
-        ep = pad_size(max(sum(g.n_arcs for g in sub) for sub in subsets),
-                      multiple=256, pow2_from=256)
-        tp = pad_size(max(sum(g.targets.shape[0] for g in sub)
-                          for sub in subsets), multiple=128, pow2_from=128)
-        Bb = pad_size(max(packed_block_count(sub, self._block_w)
-                          for sub in subsets),
-                      multiple=self._bucket_multiple,
-                      pow2_from=self._bucket_multiple)
-        batches = [from_graphs_blocked(sub, block_w=self._block_w,
-                                       focus=self._focus, edge_pad=ep,
-                                       target_pad=tp, min_blocks=Bb,
-                                       fused_layout=self._fused)
-                   for sub in subsets]
-        stacked = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self._shard_sharding),
-            stack_batches(batches))
-        return stacked, shards
+    def _executable_on(self, gb_d, d: int):
+        key = (self._shape_key(gb_d), d)
+        return _lookup_or_compile(
+            self._compiled, self.stats, key,
+            lambda: jax.jit(self._fn).lower(self._params_dev[d],
+                                            self._bn_dev[d], gb_d).compile())
 
-    def _prepare(self, glist: Sequence[Graph]):
-        return self.build_request(glist)[0]
+    def _placed_shards(self, glist: Sequence[Graph]):
+        shards = self._split_request(glist)
+        placed = []
+        for d, idx in enumerate(shards):
+            gb = self.build_batch([glist[i] for i in idx])
+            placed.append((d, idx, jax.device_put(gb, self._devices[d])))
+        return placed
+
+    def warmup(self, requests: Sequence[Union[Graph, Sequence[Graph]]]):
+        before = self.stats["compiles"]
+        for req in requests:
+            glist = [req] if isinstance(req, Graph) else list(req)
+            for d, _, gb_d in self._placed_shards(glist):
+                self._executable_on(gb_d, d)
+        return self.stats["compiles"] - before
+
+    def export(self, path: str, requests) -> int:
+        raise NotImplementedError(
+            "export the single-device Predictor; artifacts are device-count "
+            "agnostic and can be sharded by the loading deployment")
 
     def predict(self, graphs: Union[Graph, Sequence[Graph]],
                 split: bool = True):
-        glist = [graphs] if isinstance(graphs, Graph) else list(graphs)
-        stacked, shards = self.build_request(glist)
-        exe = self._executable(stacked)
+        single = isinstance(graphs, Graph)
+        glist = [graphs] if single else list(graphs)
+        placed = self._placed_shards(glist)
         t0 = time.perf_counter()
-        out = exe(self._params, self._bn, stacked)        # [ndev, Tp, DT]
-        out_np = np.asarray(out)                          # device->host barrier
-        sel_np = np.asarray(stacked.sel_mask)             # [ndev, Tp]
-        self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
-        self.stats["requests"] += 1
+        # launch every shard before pulling any result: jax dispatch is
+        # async, so the per-device executions overlap
+        launched = [(d, idx, gb_d,
+                     self._executable_on(gb_d, d)(self._params_dev[d],
+                                                  self._bn_dev[d], gb_d))
+                    for d, idx, gb_d in placed]
         results: List[np.ndarray] = [None] * len(glist)   # type: ignore
-        for d, idx in enumerate(shards):
-            rows = out_np[d][sel_np[d]]
+        for d, idx, gb_d, out in launched:
+            sel = np.asarray(gb_d.sel_mask)
+            rows = np.asarray(out)[sel]                   # host barrier
             spans = np.cumsum([glist[i].targets.shape[0] for i in idx])
             starts = np.concatenate([[0], spans[:-1]])
-            counts = [int(sel_np[d][a:b].sum()) for a, b in zip(starts, spans)]
+            counts = [int(sel[a:b].sum()) for a, b in zip(starts, spans)]
             for i, part in zip(idx, np.split(rows, np.cumsum(counts)[:-1])):
                 results[i] = part
-        if split:
-            return results
-        return np.concatenate(results, axis=0)
+        self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
+        self.stats["requests"] += 1
+        if not split:
+            return np.concatenate(results, axis=0)
+        return results[0] if single else results

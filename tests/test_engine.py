@@ -70,6 +70,22 @@ class TestTrainLoop:
         np.testing.assert_array_equal(
             np.asarray(gnn.params["state"]["dense_0"]["w"]), snap)
 
+    def test_nan_policy_with_validation_keeps_history_aligned(self, rng, tmp_path):
+        """A divergence stop with gVa must not leave history lists with
+        unequal lengths (printHistory/saveHistory would crash), and the
+        post-loop best-validation restore must still run."""
+        gs = dataset(rng)
+        batch = Graph.merge(gs, focus="n", aggregation_mode="average")
+        gva = Graph.merge(dataset(rng, n_graphs=4), focus="n",
+                          aggregation_mode="average")
+        gnn = build_gnn(tmp=str(tmp_path / "w") + "/")
+        self._poison(gnn)
+        gnn.train(batch, epochs=5, gVa=gva, update_freq=1, verbose=0,
+                  nan_policy="restore")
+        lengths = {k: len(v) for k, v in gnn.history.items()}
+        assert len(set(lengths.values())) == 1, lengths
+        gnn.printHistory()   # must not raise
+
     def test_nan_policy_default_keeps_reference_behavior(self, rng, tmp_path):
         gs = dataset(rng)
         batch = Graph.merge(gs, focus="n", aggregation_mode="average")

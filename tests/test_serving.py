@@ -160,6 +160,29 @@ class TestShardedPredictor:
             for i, r in zip(idx, ref):
                 np.testing.assert_allclose(parts[i], r, atol=2e-5)
 
+    def test_heterogeneous_shards_with_oversize_graph(self, rng):
+        """A request where one graph exceeds block_w gives that shard a
+        residual/dep structure the others lack — per-device executables must
+        serve it anyway (regression: the stacked shard_map design crashed)."""
+        from gnn_tpu.serving import ShardedPredictor
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=8)
+        gs[2] = random_graph(60, 3, 1, 2, 0.3, focus="n", rng=rng)
+        sp = ShardedPredictor(model, self._mesh(4), block_w=32)
+        parts = sp.predict(gs)
+        single = Predictor(model, block_w=32)
+        for idx in sp._split_request(gs):
+            ref = single.predict([gs[i] for i in idx])
+            for i, r in zip(idx, ref):
+                np.testing.assert_allclose(parts[i], r, atol=2e-5)
+
+    def test_export_is_rejected(self, rng, tmp_path):
+        from gnn_tpu.serving import ShardedPredictor
+        model = build_model(focus="n")
+        sp = ShardedPredictor(model, self._mesh(4), block_w=32)
+        with pytest.raises(NotImplementedError, match="single-device"):
+            sp.export(str(tmp_path / "x"), [graphs_for(rng, n_graphs=8)])
+
     def test_all_graphs_assigned_once(self, rng):
         from gnn_tpu.serving import ShardedPredictor
         model = build_model(focus="n")
@@ -180,6 +203,8 @@ class TestShardedPredictor:
             sp.predict(graphs_for(rng, focus="n", n_graphs=3))
 
     def test_warmup_and_bucket_reuse(self, rng):
+        """Executables are per (bucket, device): one bucket over 4 devices
+        compiles 4 executables; a same-bucket request reuses all of them."""
         from gnn_tpu.serving import ShardedPredictor
         model = build_model(focus="n")
         sp = ShardedPredictor(model, self._mesh(4), block_w=32)
@@ -187,10 +212,10 @@ class TestShardedPredictor:
                  for _ in range(8)]
         req_b = [random_graph(14, 3, 1, 2, 0.5, focus="n", rng=rng)
                  for _ in range(8)]
-        assert sp.warmup([req_a]) == 1
+        assert sp.warmup([req_a]) == 4
         sp.predict(req_b)
-        assert sp.stats["compiles"] == 1
-        assert sp.stats["bucket_hits"] == 1
+        assert sp.stats["compiles"] == 4
+        assert sp.stats["bucket_hits"] == 4
 
 
 class TestExportedPredictor:

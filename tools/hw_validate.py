@@ -89,8 +89,6 @@ def run_check(name, rng, units, activations, dropout, training):
 
 
 def main():
-    print(f"device: {jax.devices()[0]}", flush=True)
-    rng = np.random.default_rng(0)
     matrix = {
         "eval1": dict(units=(5,), activations="selu", dropout=False,
                       training=False),
@@ -101,8 +99,14 @@ def main():
         "train2": dict(units=(16, 5), activations=("selu", "tanh"),
                        dropout=True, training=True),
     }
-    results = [run_check(c, rng, **matrix[c]) for c in CHECKS if c in matrix]
-    ok = all(r["ok"] for r in results)
+    unknown = [c for c in CHECKS if c not in matrix]
+    if unknown:
+        raise SystemExit(f"unknown HW_CHECKS entries {unknown}; "
+                         f"valid: {sorted(matrix)}")
+    print(f"device: {jax.devices()[0]}", flush=True)
+    rng = np.random.default_rng(0)
+    results = [run_check(c, rng, **matrix[c]) for c in CHECKS]
+    ok = bool(results) and all(r["ok"] for r in results)
     print(json.dumps({"all_ok": ok, "checks": results}), flush=True)
     sys.exit(0 if ok else 1)
 
