@@ -413,6 +413,11 @@ def _pool_ranges(graph_ids, n_nodes, target_pad):
 
 
 def _host_agg(values, weights, dst, num_nodes):
+    if values.dtype == np.float32:
+        from gnn_tpu import native
+        out = native.seg_rows(values, weights, dst, num_nodes)
+        if out is not None:
+            return out
     out = np.zeros((num_nodes, values.shape[1]), dtype=values.dtype)
     np.add.at(out, dst, values * weights[:, None])
     return out
@@ -495,10 +500,11 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
                   if any(g.node_types is not None for g in glist) else None)
     for gi, (g, off) in enumerate(zip(glist, offsets)):
         s = g.n_nodes
-        nodes[off:off + s] = g.nodes.astype(dt)
+        nodes[off:off + s] = g.nodes      # slice assignment casts to dt
         node_mask[off:off + s] = True
         graph_ids[off:off + s] = gi
-        pool_w[off:off + s] = g.pool_weights().astype(dt) if focus == "g" else 0.0
+        if focus == "g":
+            pool_w[off:off + s] = g.pool_weights()
         if node_types is not None and g.node_types is not None:
             node_types[off:off + s] = g.node_types
 
@@ -506,20 +512,25 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
     AL = glist[0].DIM_ARC_LABEL
     src_all, dst_all, w_all, lab_all = [], [], [], []
     for g, off in zip(glist, offsets):
-        src_all.append(g.src.astype(np.int64) + off)
-        dst_all.append(g.dst.astype(np.int64) + off)
+        src_all.append(np.add(g.src, off, dtype=np.int64))
+        dst_all.append(np.add(g.dst, off, dtype=np.int64))
         w_all.append(g.edge_weights())
-        lab_all.append(g.arc_labels.astype(dt))
+        lab_all.append(g.arc_labels)
     src = np.concatenate(src_all)
     dst = np.concatenate(dst_all)
-    w = np.concatenate(w_all).astype(dt)
-    labs = np.concatenate(lab_all) if AL else np.zeros((len(src), 0), dt)
+    w = np.concatenate(w_all).astype(dt, copy=False)
+    labs = (np.concatenate(lab_all).astype(dt, copy=False) if AL
+            else np.zeros((len(src), 0), dt))
     E = len(src)
 
     # block-dense adjacency for intra-block edges, residual for the rest
     intra = (src // W) == (dst // W)
     adj = np.zeros((B, W, W), dtype=dt)
-    np.add.at(adj, (dst[intra] // W, dst[intra] % W, src[intra] % W), w[intra])
+    si, di, wi = src[intra], dst[intra], w[intra]
+    from gnn_tpu import native
+    if not (adj.dtype == np.float32
+            and native.block_adj(si, di, np.asarray(wi, np.float32), W, adj)):
+        np.add.at(adj, (di // W, di % W, si % W), wi)
     r_src = src[~intra].astype(np.int32)
     r_dst = dst[~intra].astype(np.int32)
     r_w = w[~intra]
@@ -536,18 +547,25 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
                             ).astype(np.int64)
         loop_ids_np = np.setdiff1d(np.arange(B, dtype=np.int64), dep_set)
         Bi = len(loop_ids_np)
-        adjT = np.ascontiguousarray(adj.transpose(0, 2, 1))
         # hi/lo-pack whenever the EFFECTIVE adjacency precision is above
         # bf16 (adj_dtype=None keeps the batch dtype; an explicit f32/f64
         # request must not silently degrade the fused path to single bf16)
         eff_dt = np.dtype(adj_dtype) if adj_dtype is not None else adj.dtype
         if eff_dt != np.dtype(bf16):
-            a32 = adjT.astype(np.float32)
-            hi = a32.astype(bf16)
-            lo = (a32 - hi.astype(np.float32)).astype(bf16)
-            packed = np.concatenate([hi, lo], axis=2)     # [B, W, 2W]
+            packed = None
+            if adj.dtype == np.float32:
+                # one-pass native transpose + hi/lo split (bit-identical
+                # round-to-nearest-even; gnn_tpu/native)
+                from gnn_tpu import native as _native
+                packed = _native.pack_hilo_T(adj)
+            if packed is None:
+                a32 = np.ascontiguousarray(
+                    adj.transpose(0, 2, 1)).astype(np.float32)
+                hi = a32.astype(bf16)
+                lo = (a32 - hi.astype(np.float32)).astype(bf16)
+                packed = np.concatenate([hi, lo], axis=2)  # [B, W, 2W]
         else:
-            packed = adjT.astype(bf16)
+            packed = np.ascontiguousarray(adj.transpose(0, 2, 1)).astype(bf16)
         # the per-step kernels (training / dep-block iteration) read the
         # full packed adjacency in global block order
         fl["adj_packT"] = jnp.asarray(packed)

@@ -137,13 +137,24 @@ class Graph:
     def n_graphs(self) -> int:
         return 1 if self.NodeGraph is None else self.NodeGraph.shape[1]
 
+    # src/dst/edge_weights/graph_ids/pool_weights are cached per instance:
+    # batch builders call them repeatedly and the copies dominated host
+    # packing time. Returned arrays are shared — treat them as read-only.
     @property
     def src(self) -> np.ndarray:
-        return self.arcs[:, 0].astype(np.int32)
+        c = self.__dict__.get("_src_cache")
+        if c is None or c.shape[0] != self.arcs.shape[0]:
+            c = np.ascontiguousarray(self.arcs[:, 0], dtype=np.int32)
+            self.__dict__["_src_cache"] = c
+        return c
 
     @property
     def dst(self) -> np.ndarray:
-        return self.arcs[:, 1].astype(np.int32)
+        c = self.__dict__.get("_dst_cache")
+        if c is None or c.shape[0] != self.arcs.shape[0]:
+            c = np.ascontiguousarray(self.arcs[:, 1], dtype=np.int32)
+            self.__dict__["_dst_cache"] = c
+        return c
 
     @property
     def arc_labels(self) -> np.ndarray:
@@ -154,8 +165,19 @@ class Graph:
         """Per-edge aggregation weights w_e (reference ArcNode values,
         graph_class.py:108-118). Aggregation of any per-edge quantity q_e into
         node n is sum_{e: dst_e == n} w_e * q_e. Uses the native C++ runtime
-        when available (gnn_tpu/native)."""
+        when available (gnn_tpu/native). Cached per (instance,
+        aggregation_mode) — treat the result as read-only."""
         E = self.n_arcs
+        cached = self.__dict__.get("_ew_cache")
+        if (cached is not None and cached[0] == self.aggregation_mode
+                and cached[1].shape[0] == E
+                and cached[1].dtype == floatx()):
+            return cached[1]
+        w = self._edge_weights_impl(E)
+        self.__dict__["_ew_cache"] = (self.aggregation_mode, w)
+        return w
+
+    def _edge_weights_impl(self, E: int) -> np.ndarray:
         try:
             from gnn_tpu import native
             w = native.edge_weights(self.dst, self.n_nodes, self.aggregation_mode)
@@ -201,17 +223,32 @@ class Graph:
 
     def graph_ids(self) -> np.ndarray:
         """Per-node graph membership (int32, shape (N,)). Derived from the
-        block structure of NodeGraph; all-zeros when not graph-focused."""
+        block structure of NodeGraph; all-zeros when not graph-focused.
+        Cached (NodeGraph is fixed after construction) — read-only result."""
+        c = self.__dict__.get("_gid_cache")
+        if c is not None and c.shape[0] == self.n_nodes:
+            return c
         if self.NodeGraph is None:
-            return np.zeros(self.n_nodes, dtype=np.int32)
-        return np.argmax(self.NodeGraph != 0, axis=1).astype(np.int32)
+            c = np.zeros(self.n_nodes, dtype=np.int32)
+        else:
+            c = np.argmax(self.NodeGraph != 0, axis=1).astype(np.int32)
+        self.__dict__["_gid_cache"] = c
+        return c
 
     def pool_weights(self) -> np.ndarray:
-        """Per-node pooling weight (NodeGraph nonzero value per row: 1/n_g)."""
+        """Per-node pooling weight (NodeGraph nonzero value per row: 1/n_g).
+        Cached — read-only result."""
+        c = self.__dict__.get("_pw_cache")
+        if (c is not None and c.shape[0] == self.n_nodes
+                and c.dtype == floatx()):
+            return c
         if self.NodeGraph is None:
-            return np.zeros(self.n_nodes, dtype=floatx())
-        gid = self.graph_ids()
-        return self.NodeGraph[np.arange(self.n_nodes), gid].astype(floatx())
+            c = np.zeros(self.n_nodes, dtype=floatx())
+        else:
+            gid = self.graph_ids()
+            c = self.NodeGraph[np.arange(self.n_nodes), gid].astype(floatx())
+        self.__dict__["_pw_cache"] = c
+        return c
 
     # ------------------------------------------------------------------- copy
     def copy(self) -> "Graph":

@@ -27,12 +27,16 @@ _tried = False
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
 
 
 def _build() -> Optional[str]:
     for cc in ("c++", "g++", "clang++"):
         try:
-            subprocess.run([cc, "-O3", "-march=native", "-std=c++17", "-shared",
+            # -ffp-contract=off: no FMA contraction — float kernels
+            # (seg_rows, block_adj) must match numpy's rounding exactly
+            subprocess.run([cc, "-O3", "-march=native", "-ffp-contract=off",
+                            "-std=c++17", "-shared",
                             "-fPIC", _SRC, "-o", _SO], check=True,
                            capture_output=True, timeout=240)
             return _SO
@@ -65,6 +69,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int64, ctypes.c_int64,
                                      _i32p, _i32p, _f32p, _i32p, _i32p]
         lib.gc_in_degrees.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int64, _i32p]
+        lib.gc_block_adj.argtypes = [_i64p, _i64p, _f32p, ctypes.c_int64,
+                                     ctypes.c_int64, _f32p]
+        lib.gc_seg_rows.argtypes = [_f32p, _f32p, _i64p, ctypes.c_int64,
+                                    ctypes.c_int64, _f32p]
+        lib.gc_pack_hilo_T.argtypes = [_f32p, ctypes.c_int64, ctypes.c_int64,
+                                       _u16p]
         _lib = lib
         return _lib
 
@@ -93,6 +103,52 @@ def sort_edges_by_dst(dst: np.ndarray) -> Optional[np.ndarray]:
     dst = np.ascontiguousarray(dst, np.int32)
     out = np.empty(len(dst), np.int64)
     lib.gc_sort_edges_by_dst(dst, len(dst), out)
+    return out
+
+
+def block_adj(src: np.ndarray, dst: np.ndarray, w: np.ndarray, block_w: int,
+              adj: np.ndarray) -> bool:
+    """Accumulate intra-block edges into the pre-zeroed f32 [B, W, W]
+    block-dense adjacency in place. Returns False when the native library is
+    unavailable (caller falls back to np.add.at)."""
+    lib = _load()
+    if lib is None:
+        return False
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    w = np.ascontiguousarray(w, np.float32)
+    lib.gc_block_adj(src, dst, w, len(src), block_w, adj)
+    return True
+
+
+def seg_rows(values: np.ndarray, weights: np.ndarray, dst: np.ndarray,
+             num_nodes: int) -> Optional[np.ndarray]:
+    """out[n] = sum_{e: dst_e == n} w_e * values[e] as f32, or None when the
+    native library is unavailable (caller falls back to np.add.at)."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(values, np.float32)
+    w = np.ascontiguousarray(weights, np.float32)
+    d64 = np.ascontiguousarray(dst, np.int64)
+    out = np.zeros((num_nodes, vals.shape[1]), np.float32)
+    lib.gc_seg_rows(vals, w, d64, len(d64), vals.shape[1], out)
+    return out
+
+
+def pack_hilo_T(adj: np.ndarray) -> Optional[np.ndarray]:
+    """Transpose + bf16 hi/lo pack of the f32 block adjacency in one pass:
+    [B, W, W] f32 -> [B, W, 2W] bf16 [hi | lo] (round-to-nearest-even,
+    bit-identical to the numpy/ml_dtypes reference). None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+    B, W, _ = adj.shape
+    adj = np.ascontiguousarray(adj, np.float32)
+    out = np.empty((B, W, 2 * W), dtype=ml_dtypes.bfloat16)
+    lib.gc_pack_hilo_T(adj, B, W, out.view(np.uint16))
     return out
 
 

@@ -51,6 +51,66 @@ void gc_sort_edges_by_dst(const int32_t* dst, int64_t e, int64_t* out_perm) {
 }
 
 // ---------------------------------------------------------------------------
+// Accumulate INTRA-block edges into the [B, W, W] block-dense adjacency:
+// adj[dst/W][dst%W][src%W] += w (graphs/batch.py::from_graphs_blocked —
+// numpy's add.at is an order of magnitude slower). Caller pre-filters to
+// intra-block edges and pre-zeroes adj.
+void gc_block_adj(const int64_t* src, const int64_t* dst, const float* w,
+                  int64_t e, int64_t W, float* adj) {
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t d = dst[i];
+    adj[(d / W) * W * W + (d % W) * W + (src[i] % W)] += w[i];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// f32 -> bf16 with round-to-nearest-even (matches ml_dtypes / XLA; finite
+// inputs — adjacency weights).
+static inline uint16_t f32_to_bf16(float x) {
+  uint32_t b;
+  std::memcpy(&b, &x, 4);
+  b += 0x7FFFu + ((b >> 16) & 1u);
+  return static_cast<uint16_t>(b >> 16);
+}
+static inline float bf16_to_f32(uint16_t h) {
+  uint32_t b = static_cast<uint32_t>(h) << 16;
+  float x;
+  std::memcpy(&x, &b, 4);
+  return x;
+}
+
+// Transpose + bf16 hi/lo pack in one pass (graphs/batch.py fused layout):
+// adj [B][d][s] f32 -> out [B][s][2W] bf16 with out[b][s][d] = hi and
+// out[b][s][W+d] = lo = RNE(v - hi). Replaces 4 full-array numpy passes.
+void gc_pack_hilo_T(const float* adj, int64_t B, int64_t W, uint16_t* out) {
+  for (int64_t b = 0; b < B; ++b) {
+    const float* a = adj + b * W * W;
+    uint16_t* o = out + b * W * 2 * W;
+    for (int64_t d = 0; d < W; ++d)
+      for (int64_t s = 0; s < W; ++s) {
+        const float v = a[d * W + s];
+        const uint16_t hi = f32_to_bf16(v);
+        o[s * 2 * W + d] = hi;
+        o[s * 2 * W + W + d] = f32_to_bf16(v - bf16_to_f32(hi));
+      }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Weighted row scatter-add: out[dst[i], :] += w[i] * vals[i, :]
+// (graphs/batch.py::_host_agg — per-node aggregation of edge labels).
+// out is pre-zeroed [n, d] f32.
+void gc_seg_rows(const float* vals, const float* w, const int64_t* dst,
+                 int64_t e, int64_t d, float* out) {
+  for (int64_t i = 0; i < e; ++i) {
+    float* o = out + dst[i] * d;
+    const float* v = vals + i * d;
+    const float wi = w[i];
+    for (int64_t j = 0; j < d; ++j) o[j] += wi * v[j];
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Disjoint-union merge: offset each graph's src/dst ids by the cumulative
 // node count. sizes: [g] edge counts per graph; node_counts: [g].
 // src/dst are concatenated edge arrays, modified in place.
