@@ -66,3 +66,21 @@ es_step = make_edge_sharded_train_step(spec, "mse", None, cfg, mesh_g)
 params, bn, opt_state, iters = es_step(params, bn, opt_state, gb_sharded,
                                        jax.random.key(2))
 print(f"edge-sharded step over {n_dev} shards OK (iters={float(iters)})")
+
+# --- or first-class through the training engine ----------------------------
+# model.train(gTr, ..., mesh=mesh) groups mesh["data"] batches per step
+# (grads pmean over ICI); mesh_strategy='edge'/'node' keeps sequential
+# per-batch updates with each batch's propagation sharded across chips.
+from gnn_tpu import GNNnodeBased, MLPSpec
+
+model = GNNnodeBased(
+    net_state=MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                      batch_normalization=False),
+    net_output=MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                       batch_normalization=False),
+    loss_function="mse", max_iteration=5, threshold=0.01,
+    path_writer="writer/multichip_engine/", seed=0)
+gTr = [random_graph(30, 3, 1, 2, 0.5, focus="n", rng=rng)
+       for _ in range(2 * n_dev)]
+model.train(gTr, epochs=3, update_freq=1, verbose=0, mesh=mesh)
+print(f"engine mesh training OK (loss {model.history['Loss Tr'][-1]:.3f})")

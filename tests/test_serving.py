@@ -176,6 +176,34 @@ class TestShardedPredictor:
             for i, r in zip(idx, ref):
                 np.testing.assert_allclose(parts[i], r, atol=2e-5)
 
+    def test_lgnn_sharded_serving(self, rng):
+        """ShardedPredictor is family-agnostic: LGNN stacks serve sharded
+        too (per-device executables over the stack forward)."""
+        from gnn_tpu import LGNN, GNNnodeBased
+        from gnn_tpu.serving import ShardedPredictor
+        g0 = build_model(focus="n")
+        in_s, l_s = get_inout_dims("state", 3, 1, 2, "n", 0, None, layer=1,
+                                   get_state=True)
+        in_o, l_o = get_inout_dims("output", 3, 1, 2, "n", 0, None, layer=1,
+                                   get_state=True)
+        g1 = GNNnodeBased(
+            net_state=MLPSpec(input_dim=in_s, units=tuple(l_s),
+                              activations="tanh", batch_normalization=False),
+            net_output=MLPSpec(input_dim=in_o, units=tuple(l_o),
+                               activations="softmax",
+                               batch_normalization=False),
+            path_writer="/tmp/wserve_ls1/", seed=1)
+        lgnn = LGNN([g0, g1], get_state=True, get_output=False,
+                    path_writer="/tmp/wserve_ls/")
+        gs = graphs_for(rng, focus="n", n_graphs=8)
+        sp = ShardedPredictor(lgnn, self._mesh(4), block_w=32)
+        parts = sp.predict(gs)
+        single = Predictor(lgnn, block_w=32)
+        for idx in sp._split_request(gs):
+            ref = single.predict([gs[i] for i in idx])
+            for i, r in zip(idx, ref):
+                np.testing.assert_allclose(parts[i], r, atol=2e-5)
+
     def test_export_is_rejected(self, rng, tmp_path):
         from gnn_tpu.serving import ShardedPredictor
         model = build_model(focus="n")

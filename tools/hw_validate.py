@@ -8,6 +8,9 @@ one process, ~8 compiles.
 
 Run:  PYTHONUNBUFFERED=1 timeout 560 python tools/hw_validate.py
 Env:  HW_CHECKS=eval1,train1,eval2,train2 (default all)
+      HW_TIMING=1 (default) — after the exactness checks, time the kernel
+      path vs the XLA body on a mid-size workload (chained dispatches ending
+      in a real host pull, per the bench-honesty rules in NOTES_r2.md)
 """
 
 import json
@@ -107,8 +110,53 @@ def main():
     rng = np.random.default_rng(0)
     results = [run_check(c, rng, **matrix[c]) for c in CHECKS]
     ok = bool(results) and all(r["ok"] for r in results)
-    print(json.dumps({"all_ok": ok, "checks": results}), flush=True)
+    timing = {}
+    if ok and os.environ.get("HW_TIMING", "1") != "0":
+        timing = timing_probe(rng)
+        print("timing: " + json.dumps(timing), flush=True)
+    print(json.dumps({"all_ok": ok, "checks": results, "timing": timing}),
+          flush=True)
     sys.exit(0 if ok else 1)
+
+
+def timing_probe(rng, reps: int = 30):
+    """Kernel path vs XLA body, training step on a mid-size 2-layer dropout
+    workload (the config the new kernels serve). Chained calls feeding each
+    step's params forward, one real host pull at the end."""
+    from gnn_tpu.models.core import make_train_step, gnn_init
+    gs = [random_graph(int(rng.integers(20, 60)), 5, 3, 2, 0.3, focus="g",
+                       rng=rng) for _ in range(96)]
+    gbf = from_graphs_blocked(gs, block_w=128, fused_layout=True)
+    ss = MLPSpec(input_dim=13, units=(32, 5), activations=("selu", "tanh"),
+                 kernel_initializer="lecun_normal",
+                 bias_initializer="lecun_normal", batch_normalization=False,
+                 dropout_rate=(0.1,), dropout_pos=(0,), alphadropout=True)
+    os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                  batch_normalization=False)
+    out = {}
+    for name, agg in (("kernel", "auto"), ("xla_body", "blocked")):
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_,
+                       max_iteration=5, threshold=0.01, aggregation=agg)
+        params, bn = gnn_init(spec, jax.random.key(0))
+        step = make_train_step(spec, "categorical_crossentropy",
+                               {"from_logits": False},
+                               {"name": "adam",
+                                "kwargs": {"learning_rate": 1e-3}},
+                               mean=True)
+        from gnn_tpu.training.optimizers import make_optimizer
+        opt_state = make_optimizer({"name": "adam",
+                                    "kwargs": {"learning_rate": 1e-3}}
+                                   ).init(params)
+        p, b, o = params, bn, opt_state
+        p, b, o, it = step(p, b, o, gbf, jax.random.key(1))
+        np.asarray(it)                        # compile + real pull
+        t0 = time.perf_counter()
+        for i in range(reps):
+            p, b, o, it = step(p, b, o, gbf, jax.random.key(i + 2))
+        np.asarray(p["state"]["dense_0"]["b"])
+        out[f"train_ms_{name}"] = round(
+            (time.perf_counter() - t0) / reps * 1e3, 3)
+    return out
 
 
 if __name__ == "__main__":
