@@ -514,11 +514,28 @@ def from_graphs_blocked(glist, *, block_w: int = 128, focus: Optional[str] = Non
     for g, off in zip(glist, offsets):
         src_all.append(np.add(g.src, off, dtype=np.int64))
         dst_all.append(np.add(g.dst, off, dtype=np.int64))
-        w_all.append(g.edge_weights())
         lab_all.append(g.arc_labels)
     src = np.concatenate(src_all)
     dst = np.concatenate(dst_all)
-    w = np.concatenate(w_all).astype(dt, copy=False)
+    E = len(src)
+    # edge weights follow the REQUESTED aggregation_mode with Graph.merge
+    # semantics (the reference re-derives ArcNode on the merged union,
+    # graph_class.py:285-319): 'normalized' is 1/E over the UNION edge set;
+    # 'average' (per-dst in-degree) and 'sum' are union-invariant so the
+    # per-graph (cached) weights are reused when the graph's mode matches
+    if aggregation_mode == "normalized":
+        w = np.full(E, 1.0 / max(E, 1), dtype=dt)
+    elif aggregation_mode == "sum":
+        w = np.ones(E, dtype=dt)
+    else:
+        for g in glist:
+            if g.aggregation_mode == "average":
+                w_all.append(g.edge_weights())
+            else:
+                _, inv, counts = np.unique(g.dst, return_inverse=True,
+                                           return_counts=True)
+                w_all.append((1.0 / counts[inv]))
+        w = np.concatenate(w_all).astype(dt, copy=False)
     labs = (np.concatenate(lab_all).astype(dt, copy=False) if AL
             else np.zeros((len(src), 0), dt))
     E = len(src)

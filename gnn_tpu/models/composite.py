@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 
 from gnn_tpu.graphs.batch import GraphBatch
-from gnn_tpu.models.core import (GNNSpec, _tree_where, make_agg_closures,
+from gnn_tpu.models.core import (GNNSpec, _moving_mask, _tree_where,
+                                 make_agg_closures,
                                  weighted_loss)
 from gnn_tpu.ops.mlp import MLPSpec, mlp_apply, mlp_init, mlp_regularization
 from gnn_tpu.training.losses import get_loss
@@ -131,10 +132,7 @@ def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
 
     def body(carry, step_rng):
         k, state, state_old, active, bn = carry
-        diff = (state - state_old).astype(jnp.float32)
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
-        norm = jnp.sqrt(jnp.sum(jnp.square(state_old.astype(jnp.float32)), axis=1))
-        moving = (dist > thr * norm) & nm
+        moving = _moving_mask(state, state_old, thr) & nm
         active = active & jnp.any(moving)
 
         inp = jnp.concatenate([state, agg_state(state), agg_arcs], axis=1)

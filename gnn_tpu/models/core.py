@@ -202,6 +202,22 @@ def make_agg_closures(spec: GNNSpec, gb: GraphBatch):
     return agg_state, agg
 
 
+
+def _moving_mask(state, state_old, thr):
+    """Convergence predicate dist > thr * ||old|| per entity, computed under
+    stop_gradient: it only feeds booleans (the reference evaluates it outside
+    the tape, GNN.py:202-220), and differentiating sqrt at an exactly-
+    converged entity (diff == 0, e.g. a padded lane whose state goes constant
+    under standard dropout) injects 0*inf = NaN cotangents
+    (found by tools/fuzz_parity.py)."""
+    st = jax.lax.stop_gradient(state).astype(jnp.float32)
+    so = jax.lax.stop_gradient(state_old).astype(jnp.float32)
+    diff = st - so
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+    norm = jnp.sqrt(jnp.sum(so * so, axis=1))
+    return dist > thr * norm
+
+
 def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
               rng: jax.Array, training: bool):
     """Run the fixed-point propagation loop.
@@ -434,11 +450,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
 
                 def body_dep(carry, loop_any_k):
                     k, sd, sd_old, active = carry
-                    diff = (sd - sd_old).astype(jnp.float32)
-                    dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
-                    normv = jnp.sqrt(jnp.sum(
-                        jnp.square(sd_old.astype(jnp.float32)), axis=1))
-                    moving = (dist > thr * normv) & nm_dep
+                    moving = _moving_mask(sd, sd_old, thr) & nm_dep
                     active = active & (loop_any_k | jnp.any(moving))
                     new = dep_new_state(sd)
                     sd_next = jnp.where(active, new.astype(sd.dtype), sd)
@@ -482,11 +494,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
 
         def bodyT(carry, step_rng):
             k, sT3, sT3_old, active = carry
-            diff = (sT3 - sT3_old).astype(jnp.float32)
-            dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))          # [B, Wb]
-            norm = jnp.sqrt(jnp.sum(jnp.square(sT3_old.astype(jnp.float32)),
-                                    axis=1))
-            moving = (dist > thr * norm) & nm3
+            moving = _moving_mask(sT3, sT3_old, thr) & nm3   # [B, Wb]
             active = active & jnp.any(moving)
             new3 = fused_new_state(sT3)
             sT3_next = jnp.where(active, new3.astype(sT3.dtype), sT3)
@@ -621,11 +629,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
 
                 def _dep_conv(carry, loop_any_k):
                     k, sd, sd_old, active = carry
-                    diff = (sd - sd_old).astype(jnp.float32)
-                    dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
-                    normv = jnp.sqrt(jnp.sum(
-                        jnp.square(sd_old.astype(jnp.float32)), axis=1))
-                    moving = (dist > thr * normv) & nm_dep
+                    moving = _moving_mask(sd, sd_old, thr) & nm_dep
                     return active & (loop_any_k | jnp.any(moving))
 
                 def _dep_res(sd):
@@ -705,11 +709,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
 
         def body_ft(carry, step_rng):
             k, sT3, sT3_old, active, bn = carry
-            diff = (sT3 - sT3_old).astype(jnp.float32)
-            dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))        # [B, Wb]
-            norm = jnp.sqrt(jnp.sum(
-                jnp.square(sT3_old.astype(jnp.float32)), axis=1))
-            moving = (dist > thr * norm) & nm3
+            moving = _moving_mask(sT3, sT3_old, thr) & nm3   # [B, Wb]
             active = active & jnp.any(moving)
             if rate > 0.0:
                 # bit-identical mask stream to the XLA body: mlp_apply does
@@ -762,10 +762,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         k, state, state_old, active, bn = carry
         # convergence predicate evaluated BEFORE the update (GNN.py:202-220);
         # padded nodes never block convergence.
-        diff = (state - state_old).astype(jnp.float32)
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
-        norm = jnp.sqrt(jnp.sum(jnp.square(state_old.astype(jnp.float32)), axis=1))
-        moving = (dist > thr * norm) & nm
+        moving = _moving_mask(state, state_old, thr) & nm
         active = active & jnp.any(moving)
 
         new_state, new_bn = mlp_apply(

@@ -52,8 +52,13 @@ _ACTS = {
     "linear": lambda x: x,
     "tanh": jnp.tanh,
     "relu": lambda x: jnp.maximum(x, 0.0),
+    # the exp argument is clamped to <= 0 (inner where) so reverse-mode
+    # through the XLA uses of this table (dep-block bodies, kernel VJP rules)
+    # never computes cotangent * exp(large) = 0 * inf = NaN — the standard
+    # grad-safe formulation jax.nn.selu/elu uses (found by fuzz_parity)
     "selu": lambda x: 1.0507009873554805 * jnp.where(
-        x > 0, x, 1.6732632423543772 * (jnp.exp(x) - 1.0)),
+        x > 0, x,
+        1.6732632423543772 * jnp.expm1(jnp.where(x > 0, 0.0, x))),
 }
 FUSABLE_ACTIVATIONS = tuple(_ACTS)
 
@@ -338,7 +343,8 @@ def _act_grad(activation, h):
         return (h > 0).astype(h.dtype)
     if activation == "selu":
         return jnp.where(h > 0, 1.0507009873554805,
-                         1.0507009873554805 * 1.6732632423543772 * jnp.exp(h))
+                         1.0507009873554805 * 1.6732632423543772
+                         * jnp.exp(jnp.where(h > 0, 0.0, h)))
     raise ValueError(activation)  # pragma: no cover
 
 

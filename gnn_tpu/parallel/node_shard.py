@@ -180,7 +180,7 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
     new_bn). Runs INSIDE shard_map — array args are shard-local. Accepts a
     GNNSpec or a CompositeGNNSpec (per-type state nets on local rows)."""
     from gnn_tpu.models.composite import CompositeGNNSpec
-    from gnn_tpu.models.core import check_dims
+    from gnn_tpu.models.core import _moving_mask, check_dims
     _is_composite = isinstance(spec, CompositeGNNSpec)
     if _is_composite and nb.node_types is None:
         raise ValueError("composite node sharding needs a batch with node_types")
@@ -206,10 +206,7 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
 
     def body(carry, step_rng):
         k, s, s_old, active, bnl = carry
-        diff = (s - s_old).astype(jnp.float32)
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=1))
-        norm = jnp.sqrt(jnp.sum(jnp.square(s_old.astype(jnp.float32)), axis=1))
-        moving = (dist > thr * norm) & nm
+        moving = _moving_mask(s, s_old, thr) & nm
         any_moving = jax.lax.psum(jnp.any(moving).astype(jnp.int32), axis) > 0
         active = active & any_moving
         inp = jnp.concatenate([s, agg_state(s), agg_arcs], axis=1)

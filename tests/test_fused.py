@@ -644,3 +644,32 @@ class TestTwoLayerTrainingLoop:
                           training=True)
         np.testing.assert_allclose(np.asarray(r_f["state"]),
                                    np.asarray(r_x["state"]), atol=1e-6)
+
+
+class TestGradSafety:
+    """Regression (found by tools/fuzz_parity.py): selu's raw
+    where(x>0, x, a*(exp(x)-1)) form has NaN reverse-mode gradients once
+    exp overflows in the untaken branch (0*inf); the dep-block XLA bodies
+    differentiate _ACTS, so large pre-activations poisoned every state-net
+    gradient. The clamped formulation must stay finite."""
+
+    def test_selu_grads_finite_under_large_preactivations(self, rng):
+        from gnn_tpu.models.core import evaluate_single
+        gb, gbf, spec, params, bnst = hybrid_workload2(rng)
+        ss = dataclasses.replace(spec.state_spec,
+                                 activations=("selu", "linear"),
+                                 dropout_rate=(0.1,), dropout_pos=(0,),
+                                 alphadropout=False)
+        base = dataclasses.replace(spec, state_spec=ss, threshold=0.0)
+        params2, bn2 = gnn_init(base, jax.random.key(0))
+        # blow up the pre-activations so exp(h) overflows in selu's
+        # negative branch expression
+        params2["state"]["dense_0"]["w"] = params2["state"]["dense_0"]["w"] * 25.0
+        for b in (gb, gbf):
+            def f(p):
+                _, l, _ = evaluate_single(base, p, bn2, b, jax.random.key(3),
+                                          "mse", {}, training=True)
+                return l
+            g = jax.grad(f)(params2)
+            for leaf in jax.tree_util.tree_leaves(g):
+                assert np.isfinite(np.asarray(leaf)).all()

@@ -276,3 +276,50 @@ class TestToGraph:
         g2 = GraphBatch.from_graph(merged).to_graph()
         assert g2.NodeGraph.shape == merged.NodeGraph.shape
         assert np.allclose(g2.NodeGraph, merged.NodeGraph, atol=1e-6)
+
+
+class TestBlockedAggregationModes:
+    """from_graphs_blocked must honor the requested aggregation_mode with
+    Graph.merge semantics (the reference re-derives ArcNode on the merged
+    union, graph_class.py:285-319). Regression: the aggregation_mode
+    parameter used to be ignored for edge weights, and 'normalized' must be
+    1/E over the UNION edge set, not per-graph (found by fuzz_parity)."""
+
+    @pytest.mark.parametrize("mode", ["sum", "normalized", "average"])
+    def test_blocked_weights_match_merged(self, rng, mode):
+        from gnn_tpu.graphs.batch import from_graphs_blocked
+        gs = [random_graph(rng, n=int(rng.integers(8, 15)), e=30, nl=3, al=1,
+                           agg=mode) for _ in range(4)]
+        merged = Graph.merge(gs, focus="n", aggregation_mode=mode)
+        gb = from_graphs_blocked(gs, block_w=16, focus="n",
+                                 aggregation_mode=mode)
+        E = merged.n_arcs
+        w_m = np.sort(np.asarray(merged.edge_weights()))
+        w_b = np.sort(np.asarray(gb.edge_w)[:E])
+        np.testing.assert_allclose(w_b, w_m, atol=1e-7)
+
+    def test_blocked_forward_matches_segment_normalized(self, rng):
+        import dataclasses
+        from gnn_tpu.graphs.batch import from_graphs_blocked
+        from gnn_tpu.models.core import GNNSpec, gnn_forward, gnn_init
+        from gnn_tpu.ops.mlp import MLPSpec
+        gs = [random_graph(rng, n=int(rng.integers(8, 15)), e=30, nl=3, al=1,
+                           agg="normalized") for _ in range(4)]
+        merged = Graph.merge(gs, focus="n", aggregation_mode="normalized")
+        gb_seg = GraphBatch.from_graph(merged)
+        gb_blk = from_graphs_blocked(gs, block_w=16, focus="n",
+                                     aggregation_mode="normalized")
+        ss = MLPSpec(input_dim=7, units=(3,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=3, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01,
+                       aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        r1 = gnn_forward(spec, params, bn, gb_seg, jax.random.key(1))
+        r2 = gnn_forward(dataclasses.replace(spec, aggregation="blocked"),
+                         params, bn, gb_blk, jax.random.key(1))
+        o1 = np.asarray(r1["out"])[np.asarray(gb_seg.sel_mask)]
+        o2 = np.asarray(r2["out"])[np.asarray(gb_blk.sel_mask)]
+        np.testing.assert_allclose(o2, o1, atol=1e-5)
