@@ -52,13 +52,15 @@ _ACTS = {
     "linear": lambda x: x,
     "tanh": jnp.tanh,
     "relu": lambda x: jnp.maximum(x, 0.0),
-    # the exp argument is clamped to <= 0 (inner where) so reverse-mode
-    # through the XLA uses of this table (dep-block bodies, kernel VJP rules)
-    # never computes cotangent * exp(large) = 0 * inf = NaN — the standard
-    # grad-safe formulation jax.nn.selu/elu uses (found by fuzz_parity)
+    # the exp argument is clamped to <= 0 so reverse-mode through the XLA
+    # uses of this table (dep-block bodies, kernel VJP rules) never computes
+    # cotangent * exp(large) = 0 * inf = NaN (found by fuzz_parity). Uses
+    # exp(x) - 1 rather than jax.nn.selu's expm1 because Mosaic has no
+    # expm1 lowering (hw_validate round-2 regression); the difference is
+    # <= ~1e-7 absolute for x <= 0, far below kernel-vs-XLA tolerances.
     "selu": lambda x: 1.0507009873554805 * jnp.where(
         x > 0, x,
-        1.6732632423543772 * jnp.expm1(jnp.where(x > 0, 0.0, x))),
+        1.6732632423543772 * (jnp.exp(jnp.minimum(x, 0.0)) - 1.0)),
 }
 FUSABLE_ACTIVATIONS = tuple(_ACTS)
 
@@ -70,14 +72,33 @@ def _split16(x):
     return hi, lo
 
 
+# Kernel-interior dots pin DEFAULT precision explicitly: these run inside
+# Mosaic, where bf16 operands are single-pass MXU issues no matter what, and
+# an ambient jax.default_matmul_precision("highest") context (e.g. around an
+# exactness check) would otherwise tag them fp32-contract — which Mosaic
+# rejects for bf16 lhs ("Bad lhs type"). f32 faithfulness inside the kernels
+# comes from the hi/lo packing, not from a precision attribute.
 _BD = functools.partial(jax.lax.dot_general,
                         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
 
 # batched contraction over the LAST axis of both operands (x · adjᵀ-style)
 _BDT = functools.partial(jax.lax.dot_general,
                          dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT)
+
+# f32 × f32 contraction for the backward kernels' dw accumulators: at
+# DEFAULT precision Mosaic lowers an f32 matmul as a single bf16 pass,
+# which costs ~1e-3 absolute in the weight gradients on hardware
+# (hw_validate round-2 finding); HIGHEST forces the 3-pass f32 emulation.
+# The dw products are tiny ([g, R, C] with R, C <= ~2H) so the extra
+# passes are noise next to the adjacency stream.
+_BDT_HI = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
 
 
 def _contract_dst(x, adj, *, hp: bool):
@@ -537,7 +558,7 @@ def _loop_bwd_kernel(refs, *, activation: str, hp: bool, K: int, group: int,
         dfT = dfT + dh
         dua = _contract_dst(dh, adj, hp=hp)               # [g, H, Wb]
         du = jnp.concatenate([dh, dua], axis=1)           # [g, 2H, Wb]
-        dw2 = dw2 + jnp.sum(_BDT(du, s_in.astype(jnp.float32)),
+        dw2 = dw2 + jnp.sum(_BDT_HI(du, s_in.astype(jnp.float32)),
                             axis=0)                       # [2H, D]
         # gs = w2ᵀ @ du (hi/lo packed columns)
         gs = _mm_packed(wT4 if hp else wT_b, du, D, hp=hp, Wb=Wb,
@@ -1008,7 +1029,7 @@ def _loop_train_bwd_kernel(refs, *, activation: str, hp: bool, K: int,
         dfT_ref[k] = dh.astype(dfT_ref.dtype)
         # dw += dh · x2ᵀ (contract the lane axis; tiny result, accumulated
         # in registers/VMEM across k and written once per group)
-        dw = dw + jnp.sum(_BDT(dh, x2), axis=0)           # [H, 2D]
+        dw = dw + jnp.sum(_BDT_HI(dh, x2), axis=0)        # [H, 2D]
         # dx2 = wᵀ · dh (hi/lo packed)
         dx2 = _mm_packed(wT4 if hp else wT_b, dh, 2 * D, hp=hp, Wb=Wb,
                          cdt=adj.dtype)                    # [g, 2D, Wb]
@@ -1415,14 +1436,14 @@ def _loop2_bwd_kernel(refs, *, act0: str, act1: str, hp: bool, K: int,
             gy = gy_raw
         dh1 = gy * _act_grad(act1, h1)                     # [g, D, Wb]
         db1 = db1 + jnp.sum(dh1, axis=(0, 2))[:, None]
-        dw1 = dw1 + jnp.sum(_BDT(dh1, y0), axis=0)         # [D, H1]
+        dw1 = dw1 + jnp.sum(_BDT_HI(dh1, y0), axis=0)         # [D, H1]
         dy0 = _mm_packed(w1T4 if hp else w1T_b, dh1, H1, hp=hp, Wb=Wb,
                          cdt=adj.dtype)                    # [g, H1, Wb]
         dh0 = dy0 * _act_grad(act0, h0)
         dfT = dfT + dh0
         dua = _contract_dst(dh0, adj, hp=hp)
         du = jnp.concatenate([dh0, dua], axis=1)           # [g, 2H1, Wb]
-        dw20 = dw20 + jnp.sum(_BDT(du, s_in.astype(jnp.float32)), axis=0)
+        dw20 = dw20 + jnp.sum(_BDT_HI(du, s_in.astype(jnp.float32)), axis=0)
         gs = _mm_packed(w20T4 if hp else w20T_b, du, D, hp=hp, Wb=Wb,
                         cdt=adj.dtype)                     # [g, D, Wb]
     gs_ref[:] = gs.astype(gs_ref.dtype)
@@ -1722,12 +1743,12 @@ def _loop2_train_bwd_kernel(refs, *, act0: str, act1: str, hp: bool, K: int,
         gy = gt_ref[k].astype(jnp.float32) + gs
         dh1 = gy * _act_grad(act1, h1)                    # [g, D, Wb]
         db1 = db1 + jnp.sum(dh1, axis=(0, 2))[:, None]
-        dw1 = dw1 + jnp.sum(_BDT(dh1, y0), axis=0)        # [D, H1]
+        dw1 = dw1 + jnp.sum(_BDT_HI(dh1, y0), axis=0)        # [D, H1]
         dy0 = _mm_packed(w1T4 if hp else w1T_b, dh1, H1, hp=hp, Wb=Wb,
                          cdt=adj.dtype)                   # [g, H1, Wb]
         dh0 = dy0 * _act_grad(act0, h0)
         db0 = db0 + jnp.sum(dh0, axis=(0, 2))[:, None]
-        dw0 = dw0 + jnp.sum(_BDT(dh0, x3), axis=0)        # [H1, 2D+AL]
+        dw0 = dw0 + jnp.sum(_BDT_HI(dh0, x3), axis=0)        # [H1, 2D+AL]
         dx3 = _mm_packed(w0T4 if hp else w0T_b, dh0, I, hp=hp, Wb=Wb,
                          cdt=adj.dtype)                   # [g, 2D+AL, Wb]
         dfd_ref[k] = dx3[:, 2 * D:].astype(dfd_ref.dtype)

@@ -67,13 +67,21 @@ def run_check(name, rng, units, activations, dropout, training):
             _, l, _ = evaluate_single(sp, p, bnst, gbf, key, "mse", {},
                                       training=training)
             return l
-        return jax.grad(f)(params)
+        with jax.default_matmul_precision("highest"):
+            return jax.grad(f)(params)
 
     # kernel path (auto) vs XLA body (aggregation='blocked' ignores the
-    # fused layout and runs the block-dense XLA scan — same math)
+    # fused layout and runs the block-dense XLA scan — same math).
+    # Exactness checks run under HIGHEST matmul precision: on TPU, XLA's
+    # DEFAULT f32 dot is single-pass bf16 (~1e-2 divergence over 4
+    # iterations), so at default precision the XLA body — not the kernel —
+    # is the imprecise side; the kernels' hi/lo packing is ~f32-faithful
+    # regardless of this config. The timing probe below keeps the
+    # production default.
     xla_spec = dataclasses.replace(spec, aggregation="blocked")
-    r_f = gnn_forward(spec, params, bnst, gbf, key, training=training)
-    r_x = gnn_forward(xla_spec, params, bnst, gbf, key, training=training)
+    with jax.default_matmul_precision("highest"):
+        r_f = gnn_forward(spec, params, bnst, gbf, key, training=training)
+        r_x = gnn_forward(xla_spec, params, bnst, gbf, key, training=training)
     s_f, s_x = np.asarray(r_f["state"]), np.asarray(r_x["state"])
     fwd_err = float(np.max(np.abs(s_f - s_x)))
     it_ok = float(r_f["iters"]) == float(r_x["iters"])
