@@ -134,6 +134,39 @@ def check_dims(spec: GNNSpec, nl: int, al: int, dt: int) -> None:
             f"output net output dim {spec.output_spec.units[-1]} != target dim {dt}")
 
 
+@jax.custom_vjp
+def _pool_csum(weighted, starts, ends, graph_ids, node_maskf):
+    """Contiguous-range graph pooling as a cumsum difference (forward), with
+    the backward expressed as a GATHER by graph id instead of XLA's
+    scatter-into-[Np+1] + reverse-cumsum derivative — the scatter costs
+    ~0.5 ms on the full-MUTAG batch (lane-padded [Np, DT] rows), the gather
+    is bandwidth-bound. d pooled[g]/d weighted[n] = 1 for n in graph g, so
+    d weighted = g[graph_ids] masked to real nodes — exact."""
+    csum = jnp.concatenate(
+        [jnp.zeros((1, weighted.shape[1]), weighted.dtype),
+         jnp.cumsum(weighted, axis=0)], axis=0)
+    return (jnp.take(csum, ends, axis=0) - jnp.take(csum, starts, axis=0))
+
+
+def _pool_csum_fwd(weighted, starts, ends, graph_ids, node_maskf):
+    return (_pool_csum(weighted, starts, ends, graph_ids, node_maskf),
+            (starts, ends, graph_ids, node_maskf))
+
+
+def _pool_csum_bwd(res, g):
+    import numpy as _np
+    starts, ends, graph_ids, node_maskf = res
+    # node_maskf is cast to weighted's dtype at the call site
+    dw = (jnp.take(g, graph_ids, axis=0)
+          * node_maskf[:, None].astype(g.dtype)).astype(node_maskf.dtype)
+    f0 = lambda x: _np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (dw, f0(starts), f0(ends), f0(graph_ids),
+            jnp.zeros_like(node_maskf))
+
+
+_pool_csum.defvjp(_pool_csum_fwd, _pool_csum_bwd)
+
+
 def _entity_mask(gb: GraphBatch) -> jnp.ndarray:
     """set_mask ∧ output_mask at entity level (GNN.py:275), padding excluded."""
     base = gb.set_mask & gb.output_mask
@@ -266,6 +299,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
     use_fused = spec.aggregation == "fused"
     fused_train = False
     fused_train2 = False
+    fused_bn = False
     # kill-switch: GNN_TPU_FUSED=0 keeps 'auto' on the XLA body (debugging /
     # A-B comparisons on hardware without touching the spec)
     import os as _os
@@ -296,9 +330,9 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         if not use_fused and base_ok and _sf2(spec.state_spec, training):
             use_fused = True
         # dropout-only training configs (no BN) ride the looped TRAINING
-        # kernel; BN configs keep the XLA body (BN's batch moments are a
-        # global cross-block reduction every iteration — fusing the loop
-        # per-block is impossible, and the per-step kernel measured slower)
+        # kernel; BN configs ride the per-iteration BN loop below (BN's
+        # batch moments are a global cross-block reduction every iteration,
+        # so the whole-loop kernels cannot apply — ops/pallas_bn.py)
         fused_train = (training and not use_fused and eligible
                        and not spec.state_spec.batch_normalization
                        and _sft(spec.state_spec))
@@ -307,6 +341,13 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         # batch, so the loop/dep split is always available)
         fused_train2 = (training and not use_fused and base_ok
                         and _sft2(spec.state_spec))
+        # BN-on training (the reference DEFAULT config, MLP.py:13,63): the
+        # custom-VJP per-iteration kernel chain with in-XLA moment glue
+        if (training and not use_fused and eligible
+                and spec.state_spec.batch_normalization
+                and _os.environ.get("GNN_TPU_FUSED_BN", "1") != "0"):
+            from gnn_tpu.ops.pallas_bn import supports_fused_bn_train
+            fused_bn = supports_fused_bn_train(spec.state_spec)
     if use_fused or fused_train or fused_train2 or spec.aggregation == "fused":
         from gnn_tpu.ops.pallas_fused import (_ACTS, FUSABLE_ACTIVATIONS,
                                               _drop_coeffs,
@@ -344,7 +385,11 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         if spec.state_spec.num_layers == 1:
             use_fused = supports_fused(spec.state_spec, training)
             fused_train = (training and not use_fused
+                           and not spec.state_spec.batch_normalization
                            and supports_fused_train(spec.state_spec))
+            if training and not use_fused and not fused_train:
+                from gnn_tpu.ops.pallas_bn import supports_fused_bn_train
+                fused_bn = supports_fused_bn_train(spec.state_spec)
         else:
             # 2-layer: eval fuses (dropout inactive, BN affine fuses);
             # dropout TRAINING rides the looped 2-layer training kernel when
@@ -354,6 +399,13 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             fused_train2 = (training and not use_fused
                             and gb.adj_loop is not None
                             and supports_fused2_train(spec.state_spec))
+    if fused_bn:
+        # reference-default BN-on training: per-iteration kernel chain with
+        # global-moment glue (ops/pallas_bn.py), exact XLA-body semantics
+        # incl. active-gated moving statistics
+        from gnn_tpu.ops.pallas_bn import bn_train_propagate
+        return bn_train_propagate(spec, params_state, bn_state, gb, state0,
+                                  agg_arcs, step_rngs, nm)
     if use_fused:
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
@@ -868,12 +920,11 @@ def gnn_forward(spec: GNNSpec, params, bn, gb: GraphBatch, rng: jax.Array,
             weighted = out_entity * (gb.pool_w * gb.node_mask.astype(out_entity.dtype))[:, None]
             if gb.pool_starts is not None:
                 # contiguous node ranges: pool as a cumsum difference — no
-                # scatter (pool[g] = csum[end_g] - csum[start_g])
-                csum = jnp.concatenate(
-                    [jnp.zeros((1, weighted.shape[1]), weighted.dtype),
-                     jnp.cumsum(weighted, axis=0)], axis=0)
-                pooled = (jnp.take(csum, gb.pool_ends, axis=0)
-                          - jnp.take(csum, gb.pool_starts, axis=0))
+                # scatter forward (pool[g] = csum[end_g] - csum[start_g]) and
+                # a gather-by-graph-id backward (_pool_csum custom VJP)
+                pooled = _pool_csum(
+                    weighted, gb.pool_starts, gb.pool_ends, gb.graph_ids,
+                    gb.node_mask.astype(weighted.dtype))
             else:
                 pooled = pool_graphs(out_entity * gb.node_mask[:, None].astype(out_entity.dtype),
                                      gb.graph_ids, gb.pool_w, gb.n_target_pad)

@@ -343,9 +343,10 @@ class TestFusedExactness:
             np.testing.assert_allclose(np.asarray(r_f["state"]),
                                        np.asarray(r_x["state"]), atol=1e-4)
 
-    def test_hybrid_training_bn_config_keeps_xla_body(self, rng):
-        """BN training configs must NOT ride the looped kernel under 'auto'
-        (global batch moments every iteration) — XLA body, exact match."""
+    def test_hybrid_training_bn_config_rides_bn_kernel_loop(self, rng):
+        """BN training configs ride the per-iteration BN kernel chain under
+        'auto' (ops/pallas_bn.py) — exact vs the XLA body incl. the updated
+        moving statistics and the realised iteration count."""
         gb, gbf, spec, params, bnst = hybrid_workload(rng)
         ss = dataclasses.replace(spec.state_spec, dropout_rate=(0.1,),
                                  dropout_pos=(0,), alphadropout=True,
@@ -355,13 +356,18 @@ class TestFusedExactness:
         jx = str(jax.make_jaxpr(
             lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(2),
                                   training=True))(params2))
-        assert "pallas" not in jx
+        assert "pallas" in jx
         r_x = gnn_forward(base, params2, bn2, gb, jax.random.key(2),
                           training=True)
         r_f = gnn_forward(base, params2, bn2, gbf, jax.random.key(2),
                           training=True)
+        assert float(r_f["iters"]) == float(r_x["iters"])
         np.testing.assert_allclose(np.asarray(r_f["state"]),
-                                   np.asarray(r_x["state"]), atol=1e-6)
+                                   np.asarray(r_x["state"]), atol=2e-4)
+        for key in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(r_f["bn"]["state"][key]),
+                np.asarray(r_x["bn"]["state"][key]), atol=1e-5)
 
     def test_rejects_three_layer_state_net(self, rng):
         gb, spec, params, bnst = blocked_workload(rng)
@@ -673,3 +679,110 @@ class TestGradSafety:
             g = jax.grad(f)(params2)
             for leaf in jax.tree_util.tree_leaves(g):
                 assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestBNKernelLoop:
+    """ops/pallas_bn.py — the per-iteration BN training kernel chain (the
+    reference's DEFAULT config, trailing BatchNormalization on the state
+    net, MLP.py:13,63). Exactness vs the XLA body (aggregation='blocked')
+    under highest matmul precision, incl. gradients, moving statistics and
+    the realised iteration count."""
+
+    def _pair(self, rng, dropout, fused_layout=True):
+        gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
+                           rng=rng) for _ in range(12)]
+        gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
+        gbf = from_graphs_blocked(gs, block_w=32, focus="g",
+                                  fused_layout=fused_layout)
+        kw = (dict(dropout_rate=(0.15,), dropout_pos=(0,), alphadropout=True)
+              if dropout else {})
+        ss = MLPSpec(input_dim=13, units=(5,), activations="selu",
+                     kernel_initializer="lecun_normal",
+                     bias_initializer="lecun_normal",
+                     batch_normalization=True, **kw)
+        os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01, aggregation="auto")
+        params, bnst = gnn_init(spec, jax.random.key(0))
+        return gbf, spec, params, bnst
+
+    @pytest.mark.parametrize("dropout", [False, True])
+    def test_forward_and_bn_state_match_xla_body(self, rng, dropout):
+        gbf, spec, params, bnst = self._pair(rng, dropout)
+        key = jax.random.key(7)
+        jx = str(jax.make_jaxpr(lambda p: gnn_forward(
+            spec, p, bnst, gbf, key, training=True))(params))
+        assert "pallas" in jx
+        xla = dataclasses.replace(spec, aggregation="blocked")
+        with jax.default_matmul_precision("highest"):
+            r_f = gnn_forward(spec, params, bnst, gbf, key, training=True)
+            r_x = gnn_forward(xla, params, bnst, gbf, key, training=True)
+        assert float(r_f["iters"]) == float(r_x["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=2e-4)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(r_f["bn"]["state"][k]),
+                                       np.asarray(r_x["bn"]["state"][k]),
+                                       atol=1e-5)
+
+    @pytest.mark.parametrize("dropout", [False, True])
+    def test_grads_match_xla_body(self, rng, dropout):
+        from gnn_tpu.models.core import evaluate_single
+        gbf, spec, params, bnst = self._pair(rng, dropout)
+        key = jax.random.key(7)
+        xla = dataclasses.replace(spec, aggregation="blocked")
+
+        def lg(sp):
+            def f(p):
+                _, l, _ = evaluate_single(sp, p, bnst, gbf, key, "mse", {},
+                                          training=True)
+                return l
+            with jax.default_matmul_precision("highest"):
+                return jax.grad(f)(params)
+
+        g_f, g_x = lg(spec), lg(xla)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
+    def test_dynamic_iteration_count_and_snapshot(self, rng):
+        gbf, spec, params, bnst = self._pair(rng, dropout=True)
+        key = jax.random.key(5)
+        xla = dataclasses.replace(spec, aggregation="blocked")
+        for th in (0.4, 1.5, 1e9):
+            b = dataclasses.replace(spec, threshold=th, max_iteration=6)
+            x = dataclasses.replace(xla, threshold=th, max_iteration=6)
+            with jax.default_matmul_precision("highest"):
+                r_f = gnn_forward(b, params, bnst, gbf, key, training=True)
+                r_x = gnn_forward(x, params, bnst, gbf, key, training=True)
+            assert float(r_f["iters"]) == float(r_x["iters"])
+            np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                       np.asarray(r_x["state"]), atol=2e-4)
+
+    def test_kill_switch_keeps_xla_body(self, rng, monkeypatch):
+        monkeypatch.setenv("GNN_TPU_FUSED_BN", "0")
+        gbf, spec, params, bnst = self._pair(rng, dropout=True)
+        jx = str(jax.make_jaxpr(lambda p: gnn_forward(
+            spec, p, bnst, gbf, jax.random.key(2), training=True))(params))
+        assert "pallas" not in jx
+
+    def test_non_fused_layout_blocked_batch_also_dispatches(self, rng):
+        # plain block-dense batch (no loop/dep split): under 'auto' the gate
+        # requires a fused-layout batch, but explicit aggregation='fused'
+        # routes 1-layer BN training onto the BN loop as well
+        gbf, spec, params, bnst = self._pair(rng, dropout=True,
+                                             fused_layout=False)
+        fused = dataclasses.replace(spec, aggregation="fused")
+        xla = dataclasses.replace(spec, aggregation="blocked")
+        key = jax.random.key(9)
+        jx = str(jax.make_jaxpr(lambda p: gnn_forward(
+            fused, p, bnst, gbf, key, training=True))(params))
+        assert "pallas" in jx
+        with jax.default_matmul_precision("highest"):
+            r_f = gnn_forward(fused, params, bnst, gbf, key, training=True)
+            r_x = gnn_forward(xla, params, bnst, gbf, key, training=True)
+        assert float(r_f["iters"]) == float(r_x["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=2e-4)

@@ -30,10 +30,11 @@ from gnn_tpu.graphs.datasets import random_graph
 from gnn_tpu.models.core import GNNSpec, evaluate_single, gnn_forward, gnn_init
 from gnn_tpu.ops.mlp import MLPSpec
 
-CHECKS = os.environ.get("HW_CHECKS", "eval1,train1,eval2,train2").split(",")
+CHECKS = os.environ.get(
+    "HW_CHECKS", "eval1,train1,eval2,train2,bn1,bn1_nodrop").split(",")
 
 
-def workload(rng, units, activations, dropout):
+def workload(rng, units, activations, dropout, bn=False):
     gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
                        rng=rng) for _ in range(12)]
     gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
@@ -42,7 +43,7 @@ def workload(rng, units, activations, dropout):
           if dropout else {})
     ss = MLPSpec(input_dim=13, units=units, activations=activations,
                  kernel_initializer="lecun_normal",
-                 bias_initializer="lecun_normal", batch_normalization=False,
+                 bias_initializer="lecun_normal", batch_normalization=bn,
                  **kw)
     os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
                   batch_normalization=False)
@@ -52,8 +53,8 @@ def workload(rng, units, activations, dropout):
     return gbf, spec, params, bnst
 
 
-def run_check(name, rng, units, activations, dropout, training):
-    gbf, spec, params, bnst = workload(rng, units, activations, dropout)
+def run_check(name, rng, units, activations, dropout, training, bn=False):
+    gbf, spec, params, bnst = workload(rng, units, activations, dropout, bn)
     key = jax.random.key(7)
     t0 = time.perf_counter()
 
@@ -109,6 +110,12 @@ def main():
                       dropout=False, training=False),
         "train2": dict(units=(16, 5), activations=("selu", "tanh"),
                        dropout=True, training=True),
+        # the reference-DEFAULT config: trailing BatchNormalization on the
+        # state net (ops/pallas_bn.py per-iteration BN kernel chain)
+        "bn1": dict(units=(5,), activations="selu", dropout=True,
+                    training=True, bn=True),
+        "bn1_nodrop": dict(units=(5,), activations="selu", dropout=False,
+                           training=True, bn=True),
     }
     unknown = [c for c in CHECKS if c not in matrix]
     if unknown:
