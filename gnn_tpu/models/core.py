@@ -191,7 +191,12 @@ def make_agg_closures(spec: GNNSpec, gb: GraphBatch):
 
     def agg(values_per_edge):
         # per-edge values (arc labels / once-off precomputes): XLA segment sum
-        strat = ("segment" if spec.aggregation in ("pallas", "fused")
+        # per-edge aggregation strategies understood by aggregate_to_nodes;
+        # the block-dense / kernel modes fall back to the segment sum here
+        # (found by fuzz_parity: 'blocked' crashed when an LGNN layer cleared
+        # the arc-label cache and this closure actually ran)
+        strat = ("segment" if spec.aggregation in ("pallas", "fused",
+                                                   "blocked", "auto")
                  else spec.aggregation)
         return _psum(aggregate_to_nodes(values_per_edge, gb.edge_w, gb.dst, Np,
                                         strategy=strat,
@@ -874,7 +879,10 @@ def _ift_state_step(spec: GNNSpec, training: bool, params_state, s, consts):
         inp = jnp.concatenate([s, agg_state(s), consts["agg_arcs"]], axis=1)
     out, _ = mlp_apply(spec.state_spec, params_state, consts["bn"], inp,
                        training=training, rng=None, stat_mask=gb.node_mask)
-    return out
+    # keep the fixed-point map type-stable: with a bf16 state carry
+    # (spec.state_dtype) the MLP promotes to f32, which breaks the IFT
+    # adjoint's VJP dtypes (found by fuzz_parity: ift x bfloat16 trials)
+    return out.astype(s.dtype)
 
 
 def gnn_forward(spec: GNNSpec, params, bn, gb: GraphBatch, rng: jax.Array,

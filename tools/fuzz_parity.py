@@ -1,9 +1,7 @@
 """Differential fuzz: random model/batch configs, three independent
 compute paths, assert they agree.
 
-Per trial a random config (focus, 1/2-layer state net, activations,
-dropout, BN, threshold, block width, graph mix incl. over-block graphs) is
-evaluated through:
+Per trial a random config is evaluated through:
 
   A. 'segment' aggregation on a plain merged GraphBatch  (index-vector path)
   B. 'blocked' aggregation on a block-dense batch        (XLA bmm body)
@@ -14,8 +12,22 @@ Forward outputs, realised iteration counts and full-loss gradients must
 agree (training mode too, where the bernoulli streams are bit-shared).
 Failures print the reproducing trial seed.
 
+Trial kinds (drawn per seed), covering every dispatch branch of
+core.propagate plus the stacked/heterogeneous families:
+
+  gnn        homogeneous single GNN: focus, 1/2-layer state net, random
+             activations, dropout, BN (incl. the pallas_bn training loop),
+             threshold, block width, over-block graphs; sub-knobs add
+             state_dim>0 (GNN.py:261-266), grad_mode='ift' (implicit
+             adjoint — compared IFT-vs-IFT across paths), and
+             state_dtype='bfloat16' (looser tolerance: bf16 rounding is
+             amplified differently by each path's op order)
+  lgnn       2-3 layer stacks, serial-augmentation geometry via
+             update_graph_batch, parallel/residual loss formulations
+  composite  heterogeneous per-type state nets on typed graphs
+
 Run: python tools/fuzz_parity.py            (N=40 trials by default)
-Env: FUZZ_N=200  FUZZ_SEED=0
+Env: FUZZ_N=200  FUZZ_SEED=0  FUZZ_KINDS=gnn,lgnn,composite
 """
 
 import os
@@ -43,6 +55,7 @@ from gnn_tpu.ops.mlp import MLPSpec
 
 N = int(os.environ.get("FUZZ_N", "40"))
 SEED = int(os.environ.get("FUZZ_SEED", "0"))
+KINDS = os.environ.get("FUZZ_KINDS", "gnn,lgnn,composite").split(",")
 ACTS = ("tanh", "relu", "selu", "linear")
 
 
@@ -59,24 +72,32 @@ def build_trial(seed: int):
                                   focus=focus, rng=rng))
     two = bool(rng.random() < 0.5)
     h = int(rng.integers(5, 24))
-    units = (h, nl) if two else (nl,)
-    acts = tuple(rng.choice(ACTS) for _ in units)
+    sd = int(rng.choice([0, 0, 0, 2, 4]))        # state_dim>0: GNN.py:261-266
     drop = bool(rng.random() < 0.5)
+    ift = bool(rng.random() < 0.2) and not drop
+    bf16 = bool(rng.random() < 0.15)
+    out_dim = sd if sd else nl
+    units = (h, out_dim) if two else (out_dim,)
+    acts = tuple(rng.choice(ACTS) for _ in units)
     bn = bool(rng.random() < 0.3)
     kw = (dict(dropout_rate=(float(rng.choice([0.1, 0.2])),),
                dropout_pos=(0,), alphadropout=bool(rng.random() < 0.5))
           if drop else {})
-    ss = MLPSpec(input_dim=2 * nl + al, units=units, activations=acts,
+    ss = MLPSpec(input_dim=2 * (nl + sd) + al, units=units, activations=acts,
                  kernel_initializer="glorot_normal",
                  bias_initializer="glorot_normal",
                  batch_normalization=bn, **kw)
-    o_in = {"n": nl, "g": nl, "a": 2 * nl + al}[focus]
+    comp = nl + sd if sd else nl
+    o_in = {"n": comp, "g": comp, "a": 2 * comp + al}[focus]
     os_ = MLPSpec(input_dim=o_in, units=(dt,), activations="softmax",
                   batch_normalization=False)
     spec = GNNSpec(focus=focus, state_spec=ss, output_spec=os_,
+                   state_dim=sd,
                    max_iteration=int(rng.integers(3, 6)),
                    threshold=float(rng.choice([0.0, 0.01, 0.5])),
-                   aggregation="auto")
+                   aggregation="auto",
+                   grad_mode="ift" if ift else "unroll",
+                   state_dtype="bfloat16" if bf16 else None)
     merged = Graph.merge(gs, focus=focus,
                          aggregation_mode=str(rng.choice(
                              ["sum", "normalized", "average"])))
@@ -90,37 +111,18 @@ def build_trial(seed: int):
     return spec, params, bnst, gb_seg, gb_blk, gb_fus
 
 
-def run_trial(seed: int, training: bool):
-    spec, params, bnst, gb_seg, gb_blk, gb_fus = build_trial(seed)
-    key = jax.random.key(seed + 1)
-    seg_spec = dataclasses.replace(spec, aggregation="segment")
-    blk_spec = dataclasses.replace(spec, aggregation="blocked")
-    paths = [("segment", seg_spec, gb_seg), ("blocked", blk_spec, gb_blk),
-             ("auto", spec, gb_fus)]
-    if training and spec.state_spec.dropout_rate:
-        # dropout masks are drawn over the padded node geometry, which
-        # differs between the merged and block-packed containers — only the
-        # same-geometry blocked vs fused comparison is meaningful
-        paths = paths[1:]
-    outs, iters, grads = {}, {}, {}
-    for name, sp, gb in paths:
-        r = gnn_forward(sp, params, bnst, gb, key, training=training)
-        sel = np.asarray(gb.sel_mask)
-        outs[name] = np.asarray(r["out"])[sel]
-        iters[name] = float(r["iters"])
-
-        def loss_of(p, sp=sp, gb=gb):
-            _, l, _ = evaluate_single(sp, p, bnst, gb, key, "mse", {},
-                                      training=training)
-            return l
-
-        grads[name] = jax.grad(loss_of)(params)
+def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0):
+    # un-normalised random weights can blow the state fixed point up to
+    # O(100s); the kernels' hi/lo rounding is RELATIVE to that scale, so the
+    # output tolerance must track it (seed-6 finding: 820-magnitude states,
+    # 7e-6 relative kernel rounding, tripping a fixed 2e-4 atol)
+    atol_out = max(atol, 1e-5 * state_scale)
     ref = paths[0][0]
     for name, _, _ in paths[1:]:
         if iters[name] != iters[ref]:
             raise AssertionError(
                 f"iters mismatch {name}={iters[name]} vs {ref}={iters[ref]}")
-        np.testing.assert_allclose(outs[name], outs[ref], atol=2e-4,
+        np.testing.assert_allclose(outs[name], outs[ref], atol=atol_out,
                                    err_msg=f"outputs {name} vs {ref}")
         for a, b in zip(jax.tree_util.tree_leaves(grads[ref]),
                         jax.tree_util.tree_leaves(grads[name])):
@@ -129,21 +131,213 @@ def run_trial(seed: int, training: bool):
             # elementwise — near-zero entries of large-magnitude leaves pick
             # up absolute noise proportional to the leaf maximum
             scale = max(1.0, float(np.max(np.abs(a))))
-            np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-4 * scale,
+            g_rtol, g_atol = rtol, atol * scale
+            if state_scale > 50.0:
+                # exploding (non-contractive) fixed points: selu/relu
+                # derivative discontinuities flip branches under rounding,
+                # so isolated grad elements legitimately diverge — keep a
+                # loose sanity band instead of elementwise exactness
+                g_rtol, g_atol = 0.1, max(g_atol, 1e-3 * state_scale)
+            np.testing.assert_allclose(b, a, rtol=g_rtol, atol=g_atol,
                                        err_msg=f"grads {name} vs {ref}")
+
+
+def run_trial(seed: int, training: bool):
+    spec, params, bnst, gb_seg, gb_blk, gb_fus = build_trial(seed)
+    key = jax.random.key(seed + 1)
+    seg_spec = dataclasses.replace(spec, aggregation="segment")
+    blk_spec = dataclasses.replace(spec, aggregation="blocked")
+    paths = [("segment", seg_spec, gb_seg), ("blocked", blk_spec, gb_blk),
+             ("auto", spec, gb_fus)]
+    if (training and spec.state_spec.dropout_rate) or spec.state_dim > 0:
+        # dropout masks and the random state0 (state_dim>0) are drawn over
+        # the padded node geometry, which differs between the merged and
+        # block-packed containers — only the same-geometry blocked vs fused
+        # comparison is meaningful
+        paths = paths[1:]
+    outs, iters, grads = {}, {}, {}
+    state_scale = 1.0
+    for name, sp, gb in paths:
+        r = gnn_forward(sp, params, bnst, gb, key, training=training)
+        sel = np.asarray(gb.sel_mask)
+        outs[name] = np.asarray(r["out"])[sel]
+        iters[name] = float(r["iters"])
+        state_scale = max(state_scale, float(np.max(np.abs(
+            np.asarray(r["state"], dtype=np.float32)))))
+
+        def loss_of(p, sp=sp, gb=gb):
+            _, l, _ = evaluate_single(sp, p, bnst, gb, key, "mse", {},
+                                      training=training)
+            return l
+
+        grads[name] = jax.grad(loss_of)(params)
+    # bf16 state-carry: rounding is amplified differently by each path's op
+    # order — tolerance is bf16-class, not f32-class
+    atol, rtol = ((2e-2, 5e-2) if spec.state_dtype == "bfloat16"
+                  else (2e-4, 5e-3))
+    _compare(paths, outs, iters, grads, atol, rtol, state_scale)
+
+
+def build_lgnn_trial(seed: int):
+    from gnn_tpu.models.lgnn import _lgnn_loss, lgnn_forward
+    rng = np.random.default_rng(seed)
+    focus = rng.choice(["n", "a", "g"])
+    nl, al, dt = int(rng.integers(2, 6)), int(rng.integers(1, 3)), 2
+    W = int(rng.choice([16, 32]))
+    gs = [random_graph(int(rng.integers(6, 22)), nl, al, dt, 0.5,
+                       focus=focus, rng=rng) for _ in range(int(rng.integers(4, 9)))]
+    if rng.random() < 0.5:
+        gs.insert(1, random_graph(int(W * 2.2), nl, al, dt, 0.25,
+                                  focus=focus, rng=rng))
+    n_layers = int(rng.integers(2, 4))
+    get_state = bool(rng.random() < 0.7)
+    get_output = bool(rng.random() < 0.5)
+    if not get_state and not get_output:
+        get_state = True
+    tmode = str(rng.choice(["parallel", "residual"]))
+    from gnn_tpu.ops.mlp import get_inout_dims
+    specs = []
+    for li in range(n_layers):
+        in_s, l_s = get_inout_dims("state", nl, al, dt, focus, 0,
+                                   int(rng.integers(4, 12)), layer=li,
+                                   get_state=get_state, get_output=get_output)
+        in_o, l_o = get_inout_dims("output", nl, al, dt, focus, 0, None,
+                                   layer=li, get_state=get_state,
+                                   get_output=get_output)
+        acts = tuple(rng.choice(ACTS) for _ in l_s[:-1]) + ("tanh",)
+        ss = MLPSpec(input_dim=in_s, units=tuple(l_s), activations=acts,
+                     kernel_initializer="glorot_normal",
+                     bias_initializer="glorot_normal",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=in_o, units=tuple(l_o), activations="softmax",
+                      batch_normalization=False)
+        specs.append(GNNSpec(focus=focus, state_spec=ss, output_spec=os_,
+                             max_iteration=int(rng.integers(2, 5)),
+                             threshold=float(rng.choice([0.0, 0.01])),
+                             aggregation="auto"))
+    merged = Graph.merge(gs, focus=focus, aggregation_mode=str(
+        rng.choice(["sum", "normalized", "average"])))
+    gb_seg = GraphBatch.from_graph(merged)
+    gb_blk = from_graphs_blocked(gs, block_w=W, focus=focus,
+                                 aggregation_mode=merged.aggregation_mode)
+    gb_fus = from_graphs_blocked(gs, block_w=W, focus=focus,
+                                 aggregation_mode=merged.aggregation_mode,
+                                 fused_layout=True)
+    keys = jax.random.split(jax.random.key(seed), n_layers)
+    pb = [gnn_init(sp, k) for sp, k in zip(specs, keys)]
+    params = tuple(p for p, _ in pb)
+    bns = tuple(b for _, b in pb)
+    return (tuple(specs), params, bns, gb_seg, gb_blk, gb_fus, get_state,
+            get_output, tmode, _lgnn_loss, lgnn_forward)
+
+
+def run_lgnn_trial(seed: int, training: bool):
+    (specs, params, bns, gb_seg, gb_blk, gb_fus, gst, gout, tmode,
+     lgnn_loss, lgnn_forward) = build_lgnn_trial(seed)
+    key = jax.random.key(seed + 1)
+    paths = [("segment", "segment", gb_seg), ("blocked", "blocked", gb_blk),
+             ("auto", "auto", gb_fus)]
+    outs, iters, grads = {}, {}, {}
+    for name, agg, gb in paths:
+        sps = tuple(dataclasses.replace(sp, aggregation=agg) for sp in specs)
+        its, os_, _, _ = lgnn_forward(sps, params, bns, gb, key, training,
+                                      gst, gout)
+        sel = np.asarray(gb.sel_mask)
+        outs[name] = np.concatenate([np.asarray(o)[sel] for o in os_])
+        iters[name] = tuple(float(i) for i in its)
+
+        def loss_of(p, sps=sps, gb=gb):
+            _, os2, _, _ = lgnn_forward(sps, p, bns, gb, key, training,
+                                        gst, gout)
+            return lgnn_loss(sps, "mse", {}, gb, os2, tmode)
+
+        grads[name] = jax.grad(loss_of)(params)
+    _compare(paths, outs, iters, grads, 2e-4, 5e-3)
+
+
+def build_composite_trial(seed: int):
+    from gnn_tpu.models.composite import (CompositeGNNSpec, composite_forward,
+                                          composite_init)
+    rng = np.random.default_rng(seed)
+    focus = rng.choice(["n", "a", "g"])
+    nl, al, dt = int(rng.integers(2, 6)), int(rng.integers(1, 3)), 2
+    n_types = int(rng.integers(2, 4))
+    W = int(rng.choice([16, 32]))
+    gs = []
+    for _ in range(int(rng.integers(4, 9))):
+        g = random_graph(int(rng.integers(6, 22)), nl, al, dt, 0.5,
+                         focus=focus, rng=rng)
+        g.node_types = rng.integers(0, n_types, g.n_nodes).astype(np.int32)
+        gs.append(g)
+    sss = tuple(
+        MLPSpec(input_dim=2 * nl + al, units=(nl,),
+                activations=str(rng.choice(ACTS)),
+                kernel_initializer="glorot_normal",
+                bias_initializer="glorot_normal", batch_normalization=False)
+        for _ in range(n_types))
+    o_in = {"n": nl, "g": nl, "a": 2 * nl + al}[focus]
+    os_ = MLPSpec(input_dim=o_in, units=(dt,), activations="softmax",
+                  batch_normalization=False)
+    spec = CompositeGNNSpec(focus=focus, state_specs=sss, output_spec=os_,
+                            max_iteration=int(rng.integers(2, 5)),
+                            threshold=float(rng.choice([0.0, 0.01])),
+                            aggregation="auto")
+    merged = Graph.merge(gs, focus=focus, aggregation_mode=str(
+        rng.choice(["sum", "normalized", "average"])))
+    gb_seg = GraphBatch.from_graph(merged)
+    gb_blk = from_graphs_blocked(gs, block_w=W, focus=focus,
+                                 aggregation_mode=merged.aggregation_mode)
+    params, bnst = composite_init(spec, jax.random.key(seed))
+    return spec, params, bnst, gb_seg, gb_blk, composite_forward
+
+
+def run_composite_trial(seed: int, training: bool):
+    from gnn_tpu.models.core import weighted_loss
+    from gnn_tpu.training.losses import get_loss
+    spec, params, bnst, gb_seg, gb_blk, cfwd = build_composite_trial(seed)
+    key = jax.random.key(seed + 1)
+    paths = [("segment", dataclasses.replace(spec, aggregation="segment"),
+              gb_seg),
+             ("blocked", dataclasses.replace(spec, aggregation="blocked"),
+              gb_blk)]
+    outs, iters, grads = {}, {}, {}
+    for name, sp, gb in paths:
+        r = cfwd(sp, params, bnst, gb, key, training=training)
+        sel = np.asarray(gb.sel_mask)
+        outs[name] = np.asarray(r["out"])[sel]
+        iters[name] = float(r["iters"])
+
+        def loss_of(p, sp=sp, gb=gb):
+            r2 = cfwd(sp, p, bnst, gb, key, training=training)
+            return weighted_loss(get_loss("mse"), {}, gb, r2["out"])
+
+        grads[name] = jax.grad(loss_of)(params)
+    _compare(paths, outs, iters, grads, 2e-4, 5e-3)
+
+
+RUNNERS = {"gnn": run_trial, "lgnn": run_lgnn_trial,
+           "composite": run_composite_trial}
+# gnn gets the lion's share: it covers every propagate dispatch branch
+WEIGHTS = {"gnn": 0.6, "lgnn": 0.25, "composite": 0.15}
 
 
 def main():
     failures = []
     t0 = time.perf_counter()
+    kinds = [k for k in KINDS if k in RUNNERS]
+    probs = np.array([WEIGHTS[k] for k in kinds], dtype=np.float64)
+    probs = probs / probs.sum()
+    pick = np.random.default_rng(SEED + 7)
     for i in range(N):
         seed = SEED * 100003 + i
+        kind = str(pick.choice(kinds, p=probs))
         for training in (False, True):
             try:
-                run_trial(seed, training)
+                RUNNERS[kind](seed, training)
             except Exception:
-                failures.append((seed, training))
-                print(f"FAIL seed={seed} training={training}", flush=True)
+                failures.append((kind, seed, training))
+                print(f"FAIL kind={kind} seed={seed} training={training}",
+                      flush=True)
                 traceback.print_exc(limit=3)
         if (i + 1) % 5 == 0:
             print(f"[{i + 1}/{N}] ok so far: {2 * (i + 1) - len(failures)}"
