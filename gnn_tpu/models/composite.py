@@ -194,13 +194,20 @@ def composite_forward(spec: CompositeGNNSpec, params, bn, gb: GraphBatch,
     emask = _core._entity_mask(gb)
     out_spec = spec.output_spec
     if gb.focus == "a":
+        # under edge sharding the arc rows are shard-local: BN moments psum
+        # over the axis and the target-aligned gather runs on the
+        # all-gathered per-arc outputs (models/core.py focus-'a' contract)
         arc_inp = jnp.concatenate(
             [jnp.take(state, gb.src, axis=0), jnp.take(state, gb.dst, axis=0),
              gb.arc_labels], axis=1)
         out_entity, bn_o = mlp_apply(out_spec, params["output"], bn["output"],
                                      arc_inp, training=training, rng=rng_out,
-                                     stat_mask=emask)
-        out_rows = jnp.take(out_entity, gb.out_index, axis=0)
+                                     stat_mask=emask,
+                                     axis_name=spec.shard_axis)
+        ent = out_entity
+        if spec.shard_axis is not None:
+            ent = jax.lax.all_gather(ent, spec.shard_axis, tiled=True)
+        out_rows = jnp.take(ent, gb.out_index, axis=0)
     else:
         out_entity, bn_o = mlp_apply(out_spec, params["output"], bn["output"],
                                      state, training=training, rng=rng_out,
@@ -341,8 +348,6 @@ def make_composite_edge_sharded_train_step(spec: CompositeGNNSpec,
 
     from gnn_tpu.parallel.edge_shard import _gb_pspecs
 
-    if spec.focus == "a":
-        raise NotImplementedError("edge-focused models scale via data parallelism")
     loss_args = dict(loss_args or {})
     sspec = dataclasses.replace(spec, shard_axis=axis)
     opt = make_optimizer(optimizer_cfg)

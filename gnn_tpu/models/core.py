@@ -324,9 +324,13 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         D0 = gb.nodes.shape[1]
         # grad_mode='ift' opts into the implicit adjoint installed after the
         # XLA body below — the fused kernels' unrolled custom VJPs would
-        # silently override it, so ift specs never dispatch to them
-        base_ok = (spec.state_dim == 0 and spec.shard_axis is None
-                   and spec.state_spec.units[-1] == D0
+        # silently override it, so ift specs never dispatch to them.
+        # state_dim>0 (GNN.py:261-266) is eligible: the labels and constant
+        # aggregations are loop-invariant and fold into the kernels' feature
+        # term, leaving the same [Ws;Wa] @ [state;agg] core
+        base_ok = (spec.shard_axis is None
+                   and spec.state_spec.units[-1]
+                   == (spec.state_dim if spec.state_dim else D0)
                    and spec.grad_mode != "ift")
         eligible = base_ok and spec.state_spec.num_layers == 1
         use_fused = eligible and _sf(spec.state_spec, training)
@@ -374,9 +378,9 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         if gb.adj_blocks is None:
             raise ValueError("aggregation='fused' needs a block-dense batch "
                              "(graphs/batch.from_graphs_blocked)")
-        if spec.state_dim != 0 or spec.shard_axis is not None:
-            raise ValueError("aggregation='fused' implements state_dim=0, "
-                             "unsharded semantics")
+        if spec.shard_axis is not None:
+            raise ValueError("aggregation='fused' implements unsharded "
+                             "semantics")
         if spec.grad_mode == "ift":
             raise ValueError("aggregation='fused' uses the kernels' unrolled "
                              "custom VJPs — incompatible with grad_mode='ift' "
@@ -410,7 +414,8 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         # incl. active-gated moving statistics
         from gnn_tpu.ops.pallas_bn import bn_train_propagate
         return bn_train_propagate(spec, params_state, bn_state, gb, state0,
-                                  agg_arcs, step_rngs, nm)
+                                  agg_arcs, step_rngs, nm,
+                                  const_feats if spec.state_dim > 0 else None)
     if use_fused:
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
@@ -424,10 +429,22 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         b1 = params_state["dense_0"]["b"]
         D = state0.shape[1]
         # reassociate dense0 through the aggregation (see pallas_fused.py):
-        # w2 = [Ws; Wa] enters the kernel; the feats term Wf@feats + b is
+        # w2 = [Ws; Wa] enters the kernel; the feats term Wfold@fold + b is
         # loop-invariant and computed ONCE here; the residual term rides
-        # through Wa inside the per-iteration segment sum (linear => exact)
-        Wa = w1T[:, D:2 * D]
+        # through Wa inside the per-iteration segment sum (linear => exact).
+        # With state_dim>0 the input is [state, labels, Σstate, Σlabels,
+        # Σarcs] (GNN.py:261-266): labels + both constant aggregations fold.
+        sd_ = spec.state_dim
+        nl_ = gb.nodes.shape[1]
+        if sd_ > 0:
+            Wa = w1T[:, sd_ + nl_:2 * sd_ + nl_]
+            Wfold = jnp.concatenate([w1T[:, sd_:sd_ + nl_],
+                                     w1T[:, 2 * sd_ + nl_:]], axis=1)
+            fold_feats = jnp.concatenate([gb.nodes, const_feats], axis=1)
+        else:
+            Wa = w1T[:, D:2 * D]
+            Wfold = w1T[:, 2 * D:]
+            fold_feats = agg_arcs
         w2 = jnp.concatenate([w1T[:, :D], Wa], axis=0)    # [2H(1), D]
         _hp = partial(jnp.einsum, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
@@ -435,8 +452,8 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         to3 = partial(to_blocks_fm, block_w=Wb)
         from3 = from_blocks_fm
 
-        featsT3 = to3(agg_arcs.astype(state0.dtype))
-        fT3H = (_hp("hf,bfw->bhw", w1T[:, 2 * D:], featsT3)
+        featsT3 = to3(fold_feats.astype(state0.dtype))
+        fT3H = (_hp("hf,bfw->bhw", Wfold, featsT3)
                 + b1[None, :, None]).astype(state0.dtype)
         nm3 = nm.reshape(Bb, Wb)
         act_name = spec.state_spec.activations[0]
@@ -580,9 +597,31 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         w1T = params_state["dense_0"]["w"].T          # [H(1), in_dim]
         b1 = params_state["dense_0"]["b"]
         D = state0.shape[1]
-        in_dim = spec.state_spec.input_dim            # = 2D + arc-label dim
-        w_cat = w1T[:, :2 * D]                        # [H, 2D] = [Ws | Wa]
-        Wf = w1T[:, 2 * D:]                           # [H, AL]
+        in_dim = spec.state_spec.input_dim
+        # column layout of the dense input (GNN.py:261-266): state_dim == 0
+        # -> [state, Σstate, Σarcs]; state_dim > 0 -> [state, labels, Σstate,
+        # Σlabels, Σarcs]. labels + constant aggregations fold into the
+        # feature term; w1T_k is the KERNEL-ordered column permutation
+        # [Ws | Wa | fold] for the kernels that evaluate dense0 in full.
+        sd_ = spec.state_dim
+        nl_ = gb.nodes.shape[1]
+        if sd_ > 0:
+            w_cat = jnp.concatenate([w1T[:, :sd_],
+                                     w1T[:, sd_ + nl_:2 * sd_ + nl_]], axis=1)
+            Wf = jnp.concatenate([w1T[:, sd_:sd_ + nl_],
+                                  w1T[:, 2 * sd_ + nl_:]], axis=1)
+            fold_feats = jnp.concatenate([gb.nodes, const_feats], axis=1)
+            w1T_k = jnp.concatenate([w_cat, Wf], axis=1)
+            fold_cols = lambda kp: jnp.concatenate(  # noqa: E731
+                [kp[..., sd_:sd_ + nl_], kp[..., 2 * sd_ + nl_:]], axis=-1)
+            agg_cols = lambda kp: kp[..., sd_ + nl_:2 * sd_ + nl_]  # noqa: E731
+        else:
+            w_cat = w1T[:, :2 * D]                    # [H, 2D] = [Ws | Wa]
+            Wf = w1T[:, 2 * D:]                       # [H, AL]
+            fold_feats = agg_arcs
+            w1T_k = w1T
+            fold_cols = lambda kp: kp[..., 2 * D:]    # noqa: E731
+            agg_cols = lambda kp: kp[..., D:2 * D]    # noqa: E731
         act_name = spec.state_spec.activations[0]
         if two:
             w1b = params_state["dense_1"]["w"].T      # [D, H1]
@@ -602,7 +641,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                     else pack_adjacency(jnp.swapaxes(gb.adj_blocks, 1, 2)))
         fuse_group = pick_group(Bb)
         nm3 = nm.reshape(Bb, Wb)
-        featsT3 = to3(agg_arcs.astype(state0.dtype))   # [B, AL, Wb]
+        featsT3 = to3(fold_feats.astype(state0.dtype))  # [B, F, Wb]
         if not two:
             # 1-layer kernels stream the folded feature term Wf@feats + b;
             # the 2-layer kernel consumes the raw dropped feats (AL rows)
@@ -638,9 +677,9 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                                          1.0 - rate, (Np, in_dim))
                     for i in range(K)]).astype(jnp.float32)
                 ms_all = jax.vmap(to3)(keeps[:, :, :D])
-                ma_all = jax.vmap(to3)(keeps[:, :, D:2 * D])
+                ma_all = jax.vmap(to3)(agg_cols(keeps))
                 featsd = jax.vmap(lambda kf: drop_half(
-                    featsT3.astype(jnp.float32), to3(kf)))(keeps[:, :, 2 * D:])
+                    featsT3.astype(jnp.float32), to3(kf)))(fold_cols(keeps))
                 if two:
                     fd_all = featsd.astype(state0.dtype)  # [K, B, AL, Wb]
                 else:
@@ -662,7 +701,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 traj, margins = fused_train_loop2(
                     gb.adj_loop, jnp.take(s03, li, axis=0),
                     jnp.take(ms_all, li, axis=1), jnp.take(ma_all, li, axis=1),
-                    jnp.take(fd_all, li, axis=1), w1T, b1, w1b, b1v,
+                    jnp.take(fd_all, li, axis=1), w1T_k, b1, w1b, b1v,
                     gb.loop_nm, K, float(spec.threshold), act_name, act1_name,
                     alpha, rate, pick_group(Bi_pad, cap=8, loop=True))
             else:
@@ -720,7 +759,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                         aggd = drop_half(agg, mak) if rate > 0.0 else agg
                         x3 = jnp.concatenate(
                             [sdd, aggd, fdk.astype(jnp.float32)], axis=1)
-                        h0 = (_hp("hi,biw->bhw", w1T.astype(jnp.float32), x3)
+                        h0 = (_hp("hi,biw->bhw", w1T_k.astype(jnp.float32), x3)
                               + b1.astype(jnp.float32)[None, :, None])
                         y0 = _ACTS[act_name](h0)
                         h1 = (_hp("dh,bhw->bdw", w1b.astype(jnp.float32), y0)
@@ -775,11 +814,11 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 sub = jax.random.split(step_rng)[1]
                 keep = jax.random.bernoulli(sub, 1.0 - rate, (Np, in_dim))
                 keepf = keep.astype(jnp.float32)
-                keep_a3 = to3(keepf[:, D:2 * D])
+                keep_a3 = to3(agg_cols(keepf))
                 sd3 = drop_half(sT3.astype(jnp.float32),
                                 to3(keepf[:, :D])).astype(sT3.dtype)
                 featsd = drop_half(featsT3.astype(jnp.float32),
-                                   to3(keepf[:, 2 * D:]))
+                                   to3(fold_cols(keepf)))
                 fT3H = (_hp("hf,bfw->bhw", Wf, featsd)
                         + b1[None, :, None]).astype(state0.dtype)
             else:
@@ -909,15 +948,23 @@ def gnn_forward(spec: GNNSpec, params, bn, gb: GraphBatch, rng: jax.Array,
     emask = _entity_mask(gb)
 
     if gb.focus == "a":
-        # intended edge readout: [state_src, state_dst, arc_label] per arc
+        # intended edge readout: [state_src, state_dst, arc_label] per arc.
+        # Under edge sharding (spec.shard_axis) the arc rows are shard-local
+        # while node state is replicated: BN moments psum over the axis, and
+        # the target-aligned gather runs on the all-gathered per-arc outputs
+        # (the gather transpose is a psum-scatter — exact through shard_map)
         arc_inp = jnp.concatenate(
             [jnp.take(node_comp, gb.src, axis=0),
              jnp.take(node_comp, gb.dst, axis=0),
              gb.arc_labels], axis=1)
         out_entity, bn_o = mlp_apply(spec.output_spec, params["output"], bn["output"],
                                      arc_inp, training=training, rng=rng_out,
-                                     stat_mask=emask)
-        out_rows = jnp.take(out_entity, gb.out_index, axis=0)
+                                     stat_mask=emask,
+                                     axis_name=spec.shard_axis)
+        ent = out_entity
+        if spec.shard_axis is not None:
+            ent = jax.lax.all_gather(ent, spec.shard_axis, tiled=True)
+        out_rows = jnp.take(ent, gb.out_index, axis=0)
     else:
         out_entity, bn_o = mlp_apply(spec.output_spec, params["output"], bn["output"],
                                      node_comp, training=training, rng=rng_out,

@@ -152,6 +152,65 @@ def _lgnn_eval_impl(specs, params, bns, gb, rng, *, loss_name, loss_args_t,
     return jnp.stack(iters), loss, tuple(outs), state
 
 
+def make_lgnn_edge_sharded_train_step(specs, loss_name: str,
+                                      loss_args: Optional[dict],
+                                      optimizer_cfg: dict, mesh,
+                                      axis: str = "graph", mean: bool = True,
+                                      get_state: bool = False,
+                                      get_output: bool = True,
+                                      training_mode: str = "parallel",
+                                      edges_sorted: bool = True):
+    """Edge-sharded LGNN training step: the WHOLE layer stack runs inside one
+    shard_map over an edge-partitioned batch (parallel/edge_shard.py). Every
+    layer's propagation psums its partial aggregations per iteration; the
+    update_graph_batch augmentation stays consistent because node-level
+    arrays are replicated and arc-level arrays (focus 'a' output scatter)
+    are shard-local on both sides of the concat. Covers the
+    'parallel'/'residual' loss formulations; 'serial' trains layers
+    standalone and passes the mesh down (LGNN.train)."""
+    import dataclasses as _dc
+
+    from jax.sharding import PartitionSpec as P
+
+    from gnn_tpu.parallel.edge_shard import _gb_pspecs
+    sspecs = tuple(_dc.replace(sp, shard_axis=axis) for sp in specs)
+    focus = specs[0].focus
+    largs = dict(loss_args or {})
+    opt = make_optimizer(optimizer_cfg)
+
+    def shard_loss(params, bns, gb, rng):
+        iters, outs, _, new_bns = lgnn_forward(sspecs, params, bns, gb, rng,
+                                               True, get_state, get_output)
+        loss = _lgnn_loss(sspecs, loss_name, largs, gb, outs, training_mode)
+        return loss, (jnp.stack(iters), new_bns)
+
+    mapped = jax.shard_map(
+        shard_loss, mesh=mesh,
+        in_specs=(P(), P(), _gb_pspecs(axis, focus, edges_sorted), P()),
+        out_specs=(P(), (P(), P())), check_vma=False)
+
+    @jax.jit
+    def step(params, bns, opt_state, gb, rng):
+        def loss_fn(p):
+            loss, aux = mapped(p, bns, gb, rng)
+            return (loss + sum(_reg_any(s, pi)
+                               for s, pi in zip(sspecs, p)), aux)
+
+        grads, (iters, new_bns) = jax.grad(loss_fn, has_aux=True)(params)
+        if mean:
+            # per-layer division of state-net grads by that layer's realised
+            # iterations (GNN_BaseClass.py:239-241 applied per layer)
+            grads = tuple(
+                {**g, "state": jax.tree_util.tree_map(
+                    lambda x, it=it: x / jnp.maximum(it, 1.0), g["state"])}
+                for g, it in zip(grads, iters))
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return params, new_bns, opt_state, iters
+
+    return step
+
+
 def make_lgnn_dp_train_step(specs, loss_name: str, loss_args: Optional[dict],
                             optimizer_cfg: dict, mesh, axis: str = "data",
                             mean: bool = True, get_state: bool = False,
@@ -442,6 +501,33 @@ class LGNN(BaseModel):
         rngs = jax.random.split(self._next_rng(), len(batches))
         params, bns, self.opt_state, _ = self._dp_fns[key](
             self._params(), self._bns(), self.opt_state, stacked, rngs)
+        self._set_params(params, bns)
+
+    def _shard_for(self, gb: GraphBatch, mesh, axis: str, strategy: str):
+        if strategy != "edge":
+            raise NotImplementedError(
+                "LGNN stacks shard propagation over edges "
+                "(mesh_strategy='edge') or scale via 'data'; node-state "
+                "sharding of a layer stack is not implemented")
+        from gnn_tpu.parallel.edge_shard import shard_edges
+        return shard_edges(gb, mesh, axis)
+
+    def training_step_sharded(self, gb_sharded, mean: bool, mesh, axis: str,
+                              strategy: str) -> None:
+        """One optimizer step with every layer's propagation edge-sharded
+        across mesh[axis] (train(mesh=..., mesh_strategy='edge'))."""
+        key = (strategy, mesh, axis, mean)
+        if not hasattr(self, "_sh_fns"):
+            self._sh_fns = {}
+        if key not in self._sh_fns:
+            self._sh_fns[key] = make_lgnn_edge_sharded_train_step(
+                self._specs, self.loss_function, self.loss_args,
+                self.optimizer_config, mesh, axis, mean=mean,
+                get_state=self.get_state, get_output=self.get_output,
+                training_mode=self.training_mode or "parallel")
+        params, bns, self.opt_state, _ = self._sh_fns[key](
+            self._params(), self._bns(), self.opt_state, gb_sharded,
+            self._next_rng())
         self._set_params(params, bns)
 
     # ----------------------------------------------------------------- train

@@ -528,7 +528,7 @@ def supports_fused_bn_train(state_spec) -> bool:
 
 
 def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
-                       step_rngs, nm):
+                       step_rngs, nm, const_feats=None):
     """Orchestrate the BN training kernel path for models/core.py::propagate:
     precompute the bit-identical dropout mask stream, run the custom-VJP
     loop, and apply the active-gated moving-statistics update
@@ -543,8 +543,26 @@ def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
     in_dim = spec.state_spec.input_dim
     w1T = params_state["dense_0"]["w"].T                   # [H, in_dim]
     b1 = params_state["dense_0"]["b"]
-    w_cat = w1T[:, :2 * D]
-    Wf = w1T[:, 2 * D:]
+    # column layout (models/core.py): state_dim == 0 -> [state, Σstate,
+    # Σarcs]; state_dim > 0 -> [state, labels, Σstate, Σlabels, Σarcs]
+    # (labels + constant aggregations fold into the feature term)
+    sd_ = spec.state_dim
+    nl_ = gb.nodes.shape[1]
+    if sd_ > 0:
+        w_cat = jnp.concatenate([w1T[:, :sd_],
+                                 w1T[:, sd_ + nl_:2 * sd_ + nl_]], axis=1)
+        Wf = jnp.concatenate([w1T[:, sd_:sd_ + nl_],
+                              w1T[:, 2 * sd_ + nl_:]], axis=1)
+        fold_feats = jnp.concatenate([gb.nodes, const_feats], axis=1)
+        fold_cols = lambda kp: jnp.concatenate(  # noqa: E731
+            [kp[..., sd_:sd_ + nl_], kp[..., 2 * sd_ + nl_:]], axis=-1)
+        agg_cols = lambda kp: kp[..., sd_ + nl_:2 * sd_ + nl_]  # noqa: E731
+    else:
+        w_cat = w1T[:, :2 * D]
+        Wf = w1T[:, 2 * D:]
+        fold_feats = agg_arcs
+        fold_cols = lambda kp: kp[..., 2 * D:]    # noqa: E731
+        agg_cols = lambda kp: kp[..., D:2 * D]    # noqa: E731
     gamma = params_state["bn"]["gamma"]
     beta = params_state["bn"]["beta"]
     act = spec.state_spec.activations[0]
@@ -559,7 +577,7 @@ def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
     adj_pack = (gb.adj_packT if gb.adj_packT is not None
                 else pack_adjacency(jnp.swapaxes(gb.adj_blocks, 1, 2)))
     nm3 = nm.astype(jnp.float32).reshape(Bb, 1, Wb)
-    featsT3 = to3(agg_arcs.astype(state0.dtype))           # [B, AL, Wb]
+    featsT3 = to3(fold_feats.astype(state0.dtype))         # [B, F, Wb]
     if rate > 0.0:
         # bit-identical mask stream to the XLA body (mlp_apply: one split +
         # one bernoulli over the full input row per step); static unroll, not
@@ -571,9 +589,9 @@ def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
                                  1.0 - rate, (Np, in_dim))
             for i in range(K)])
         ms = jax.vmap(to3)(keeps[:, :, :D]).astype(jnp.float32)
-        ma = jax.vmap(to3)(keeps[:, :, D:2 * D]).astype(jnp.float32)
+        ma = jax.vmap(to3)(agg_cols(keeps)).astype(jnp.float32)
         a_c, b_c = _drop_coeffs(alpha, rate)
-        kf3 = jax.vmap(to3)(keeps[:, :, 2 * D:])
+        kf3 = jax.vmap(to3)(fold_cols(keeps))
         if alpha:
             featsd = a_c * jnp.where(kf3,
                                      featsT3.astype(jnp.float32)[None],

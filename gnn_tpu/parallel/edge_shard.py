@@ -13,8 +13,10 @@ This halo-free pattern is exact and communication-light when state_dim is
 small (one [N, D] psum per iteration); a node-sharded all_gather/
 reduce_scatter variant for HBM-exceeding graphs is the planned next step.
 
-Supported focuses: 'n' and 'g' (node-level supervision structures are
-replicated). Edge-focused models scale via data parallelism instead.
+Supported focuses: 'n', 'g' and 'a'. For edge focus the arc-level
+supervision masks shard with the edges, the per-arc readout runs on the
+local shard (BN moments psum-ed over the axis) and the target-aligned rows
+come from one all_gather of the per-arc outputs.
 """
 
 from __future__ import annotations
@@ -31,6 +33,8 @@ from gnn_tpu.models.core import GNNSpec, evaluate_single, regularization
 from gnn_tpu.training.optimizers import make_optimizer
 
 _EDGE_FIELDS = ("src", "dst", "arc_labels", "edge_w", "edge_mask")
+# focus 'a': set/output masks are ARC-level (GNN.py:289-302) — shard them
+_EDGE_FIELDS_A = _EDGE_FIELDS + ("set_mask", "output_mask")
 # optional structures absent from from_graph batches used in sharded paths
 _OPTIONAL_NONE = ("agg_plan", "adj_blocks", "res_src", "res_dst", "res_w",
                   "node_types")
@@ -55,6 +59,7 @@ def _gb_pspecs(axis: str, focus: str, edges_sorted: bool,
     Optional structures (pallas plans, block-dense adjacency) are None —
     sharded paths consume plain from_graph batches. node_types (composite
     models) is a replicated node-level field when present."""
+    efields = _EDGE_FIELDS_A if focus == "a" else _EDGE_FIELDS
     kw = {}
     for f in _array_fields():
         if f.name == "node_types":
@@ -62,28 +67,27 @@ def _gb_pspecs(axis: str, focus: str, edges_sorted: bool,
         elif f.name in _OPTIONAL_NONE:
             kw[f.name] = None
         else:
-            kw[f.name] = P(axis) if f.name in _EDGE_FIELDS else P()
+            kw[f.name] = P(axis) if f.name in efields else P()
     return GraphBatch(**_static_kw(focus, edges_sorted), **kw)
 
 
 def shard_edges(gb: GraphBatch, mesh: Mesh, axis: str = "graph") -> GraphBatch:
     """Place a GraphBatch with edge arrays sharded over mesh[axis] and
     node/target arrays replicated."""
-    if gb.focus == "a":
-        raise NotImplementedError("edge-focused models scale via data parallelism")
     n = mesh.shape[axis]
     if gb.n_edge_pad % n:
         raise ValueError(f"edge pad {gb.n_edge_pad} not divisible by axis size {n}")
     if gb.adj_blocks is not None or gb.agg_plan is not None:
         raise ValueError("edge sharding takes plain from_graph batches "
                          "(no block-dense adjacency / pallas plan)")
+    efields = _EDGE_FIELDS_A if gb.focus == "a" else _EDGE_FIELDS
     out = {}
     for f in _array_fields():
         leaf = getattr(gb, f.name)
         if leaf is None:
             out[f.name] = None
             continue
-        spec = P(axis) if f.name in _EDGE_FIELDS else P()
+        spec = P(axis) if f.name in efields else P()
         out[f.name] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return GraphBatch(**_static_kw(gb), **out)
 
@@ -96,10 +100,6 @@ def make_edge_sharded_train_step(spec: GNNSpec, loss_name: str,
 
     step(params, bn, opt_state, gb_sharded, rng) -> (params, bn, opt_state, iters)
     """
-    if spec.focus == "a":
-        raise NotImplementedError("edge-focused models scale via data "
-                                  "parallelism or node sharding "
-                                  "(parallel/node_shard.py supports focus 'a')")
     loss_args = dict(loss_args or {})
     sspec = dataclasses.replace(spec, shard_axis=axis)
     opt = make_optimizer(optimizer_cfg)

@@ -25,19 +25,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gnn_tpu.graphs.batch import GraphBatch, stack_batches
 from gnn_tpu.models.core import GNNSpec, evaluate_single, regularization
-from gnn_tpu.parallel.edge_shard import _EDGE_FIELDS, _array_fields
+from gnn_tpu.parallel.edge_shard import (_EDGE_FIELDS, _EDGE_FIELDS_A,
+                                          _array_fields)
 from gnn_tpu.training.optimizers import make_optimizer
 
 
 def _gb_pspecs_2d(data_axis: str, graph_axis: str, focus: str,
                   edges_sorted: bool) -> GraphBatch:
     from gnn_tpu.parallel.edge_shard import _OPTIONAL_NONE
+    efields = _EDGE_FIELDS_A if focus == "a" else _EDGE_FIELDS
     kw = {}
     for f in _array_fields():
         if f.name in _OPTIONAL_NONE:
             kw[f.name] = None
         else:
-            kw[f.name] = (P(data_axis, graph_axis) if f.name in _EDGE_FIELDS
+            kw[f.name] = (P(data_axis, graph_axis) if f.name in efields
                           else P(data_axis))
     return GraphBatch(focus=focus, edges_sorted=edges_sorted, **kw)
 
@@ -48,13 +50,14 @@ def shard_batches_2d(batches, mesh: Mesh, data_axis: str = "data",
     if len(batches) != mesh.shape[data_axis]:
         raise ValueError(f"need {mesh.shape[data_axis]} batches, got {len(batches)}")
     stacked = stack_batches(batches)
+    efields = _EDGE_FIELDS_A if stacked.focus == "a" else _EDGE_FIELDS
     out = {}
     for f in _array_fields():
         leaf = getattr(stacked, f.name)
         if leaf is None:
             out[f.name] = None
             continue
-        spec = (P(data_axis, graph_axis) if f.name in _EDGE_FIELDS else P(data_axis))
+        spec = (P(data_axis, graph_axis) if f.name in efields else P(data_axis))
         out[f.name] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return GraphBatch(focus=stacked.focus, edges_sorted=stacked.edges_sorted, **out)
 
@@ -65,8 +68,6 @@ def make_hybrid_train_step(spec: GNNSpec, loss_name: str, loss_args: Optional[di
                            edges_sorted: bool = True):
     """Jitted hybrid train step: step(params, bn, opt_state, gb2d, rngs) with
     rngs = jax.random.split(key, mesh.shape[data_axis])."""
-    if spec.focus == "a":
-        raise NotImplementedError("edge-focused models scale via data parallelism")
     loss_args = dict(loss_args or {})
     sspec = dataclasses.replace(spec, shard_axis=graph_axis)
     opt = make_optimizer(optimizer_cfg)

@@ -198,10 +198,32 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
         return jax.ops.segment_sum(msgs, e_dstl, num_segments=L)
 
     agg_arcs = nb.agg_arcs_cache
-    state = nb.nodes
-    state_old = jnp.ones_like(state)
-    rng, rng_loop, rng_out = jax.random.split(rng, 3)
+    # mirror models/core.py's rng split structure (gnn_forward -> propagate)
+    # so the state_dim>0 initial-state draw is bit-identical to the
+    # single-device path: each shard draws the FULL (Np, sd) normal with the
+    # replicated key and slices its rows
+    _, rng_prop, rng_out = jax.random.split(rng, 3)
+    _, rng_init, rng_loop = jax.random.split(rng_prop, 3)
     step_rngs = jax.random.split(rng_loop, spec.max_iteration)
+    sd = spec.state_dim
+    if sd > 0:
+        full0 = 0.1 * jax.random.normal(
+            rng_init, (L * nb.n_shards, sd), dtype=nb.nodes.dtype)
+        i0 = jax.lax.axis_index(axis) * L
+        state = (jax.lax.dynamic_slice_in_dim(full0, i0, L, 0)
+                 * nm[:, None].astype(nb.nodes.dtype))
+        # loop-invariant constant aggregations (GNN.py:259-263)
+        const_feats = jnp.concatenate([agg_state(nb.nodes), agg_arcs], axis=1)
+
+        def step_input(sv):
+            return jnp.concatenate([sv, nb.nodes, agg_state(sv), const_feats],
+                                   axis=1)
+    else:
+        state = nb.nodes
+
+        def step_input(sv):
+            return jnp.concatenate([sv, agg_state(sv), agg_arcs], axis=1)
+    state_old = jnp.ones_like(state)
     thr = jnp.float32(spec.threshold)
 
     def body(carry, step_rng):
@@ -209,7 +231,7 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
         moving = _moving_mask(s, s_old, thr) & nm
         any_moving = jax.lax.psum(jnp.any(moving).astype(jnp.int32), axis) > 0
         active = active & any_moving
-        inp = jnp.concatenate([s, agg_state(s), agg_arcs], axis=1)
+        inp = step_input(s)
         # decorrelate dropout masks across shards
         shard_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis))
         if _is_composite:
@@ -241,13 +263,16 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
     carry0 = (jnp.float32(0.0), state, state_old, jnp.bool_(True), bn["state"])
     (iters, state, _, _, bn_s), _ = jax.lax.scan(body, carry0, step_rngs)
 
+    # node components for readout (GNN.py:245-248): state_dim>0 appends the
+    # node labels to the converged state
+    comp = state if sd == 0 else jnp.concatenate([state, nb.nodes], axis=1)
     if nb.focus == "a":
         # edge readout on the dst-owner shard (GNN.py:286-302): src states
         # from one all_gather, dst states are this shard's local rows
-        full = jax.lax.all_gather(state, axis, tiled=True)            # [Np, D]
+        full = jax.lax.all_gather(comp, axis, tiled=True)             # [Np, D]
         arc_inp = jnp.concatenate(
             [jnp.take(full, e_src, axis=0),
-             jnp.take(state, e_dstl, axis=0),
+             jnp.take(comp, e_dstl, axis=0),
              nb.e_arc_labels[0]], axis=1)
         out_local, bn_o = mlp_apply(spec.output_spec, params["output"],
                                     bn["output"], arc_inp, training=training,
@@ -259,7 +284,7 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
 
     emask = nb.set_mask & nb.output_mask & nm
     out_local, bn_o = mlp_apply(spec.output_spec, params["output"], bn["output"],
-                                state, training=training, rng=rng_out,
+                                comp, training=training, rng=rng_out,
                                 stat_mask=emask, axis_name=axis)
     if nb.focus == "g":
         # average readout per graph (GNN.py:318-333): weight locally, gather
@@ -283,9 +308,6 @@ def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict]
                                  axis: str = "graph", mean: bool = True):
     """Jitted node-sharded training step:
     step(params, bn, opt_state, nb, rng) -> (params, bn, opt_state, iters)."""
-    if spec.state_dim:
-        raise NotImplementedError("node sharding implements the state_dim=0 "
-                                  "input layout (labels are the state)")
     loss_args = dict(loss_args or {})
     opt = make_optimizer(optimizer_cfg)
     d = mesh.shape[axis]
@@ -328,9 +350,6 @@ def make_node_sharded_train_step(spec, loss_name: str, loss_args: Optional[dict]
 
 
 def make_node_sharded_forward(spec, mesh: Mesh, axis: str = "graph"):
-    if spec.state_dim:
-        raise NotImplementedError("node sharding implements the state_dim=0 "
-                                  "input layout (labels are the state)")
     d = mesh.shape[axis]
     _comp = _spec_is_composite(spec)
 

@@ -786,3 +786,65 @@ class TestBNKernelLoop:
         assert float(r_f["iters"]) == float(r_x["iters"])
         np.testing.assert_allclose(np.asarray(r_f["state"]),
                                    np.asarray(r_x["state"]), atol=2e-4)
+
+
+class TestStateDimKernels:
+    """state_dim>0 (GNN.py:261-266) on the fused kernel paths: the labels
+    and constant aggregations fold into the kernels' feature term; all five
+    kernel families (eval1/2, train1/2, bn1) must dispatch and match the
+    XLA body exactly."""
+
+    def _pair(self, rng, units, acts, dropout, bn, sd=4):
+        gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
+                           rng=rng) for _ in range(12)]
+        gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
+        gbf = from_graphs_blocked(gs, block_w=32, focus="g", fused_layout=True)
+        kw = (dict(dropout_rate=(0.15,), dropout_pos=(0,), alphadropout=True)
+              if dropout else {})
+        ss = MLPSpec(input_dim=2 * (5 + sd) + 3, units=units,
+                     activations=acts, kernel_initializer="lecun_normal",
+                     bias_initializer="lecun_normal",
+                     batch_normalization=bn, **kw)
+        os_ = MLPSpec(input_dim=5 + sd, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_,
+                       state_dim=sd, max_iteration=4, threshold=0.01,
+                       aggregation="auto")
+        params, bnst = gnn_init(spec, jax.random.key(0))
+        return gbf, spec, params, bnst
+
+    @pytest.mark.parametrize("units,acts,dropout,bn", [
+        ((4,), "tanh", False, False),            # eval1
+        ((4,), "selu", True, False),             # train1 (looped)
+        ((16, 4), ("selu", "tanh"), False, False),  # eval2
+        ((16, 4), ("selu", "tanh"), True, False),   # train2 (looped)
+        ((4,), "selu", True, True),              # bn1 (BN kernel chain)
+    ])
+    def test_kernel_matches_xla_body(self, rng, units, acts, dropout, bn):
+        from gnn_tpu.models.core import evaluate_single
+        gbf, spec, params, bnst = self._pair(rng, units, acts, dropout, bn)
+        training = dropout or bn
+        key = jax.random.key(7)
+        jx = str(jax.make_jaxpr(lambda p: gnn_forward(
+            spec, p, bnst, gbf, key, training=training))(params))
+        assert "pallas" in jx
+        xla = dataclasses.replace(spec, aggregation="blocked")
+        with jax.default_matmul_precision("highest"):
+            r_f = gnn_forward(spec, params, bnst, gbf, key, training=training)
+            r_x = gnn_forward(xla, params, bnst, gbf, key, training=training)
+        assert float(r_f["iters"]) == float(r_x["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=2e-4)
+
+        def lg(sp):
+            def f(p):
+                _, l, _ = evaluate_single(sp, p, bnst, gbf, key, "mse", {},
+                                          training=training)
+                return l
+            with jax.default_matmul_precision("highest"):
+                return jax.grad(f)(params)
+
+        for a, b in zip(jax.tree_util.tree_leaves(lg(spec)),
+                        jax.tree_util.tree_leaves(lg(xla))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)

@@ -451,3 +451,247 @@ class TestEngineMeshTraining:
         with pytest.raises(NotImplementedError, match="data"):
             lgnn.train(batches, epochs=1, verbose=0, training_mode="parallel",
                        mesh=mesh, mesh_strategy="edge")
+
+
+class TestNodeShardedStateDim:
+    """state_dim>0 node sharding: the random initial state is drawn with the
+    replicated key over the full geometry and sliced per shard, so the step
+    is numerically identical to the single-device path (GNN.py:261-266)."""
+
+    def test_state_dim_matches_single_device(self, setup):
+        rng, *_ = setup
+        from gnn_tpu.parallel.node_shard import (make_node_sharded_forward,
+                                                 make_node_sharded_train_step,
+                                                 shard_nodes)
+        g = random_graph(100, 3, 1, 2, 0.3, focus="n", rng=rng)
+        gb = GraphBatch.from_graph(g, node_pad=128, edge_pad=2048,
+                                   target_pad=128)
+        sd = 4
+        ss = MLPSpec(input_dim=2 * (3 + sd) + 1, units=(sd,),
+                     activations="tanh", batch_normalization=True)
+        os_ = MLPSpec(input_dim=3 + sd, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                       state_dim=sd, max_iteration=5, threshold=0.01,
+                       aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        mesh = make_mesh({"graph": 8})
+        nb = shard_nodes(gb, mesh)
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        ns = make_node_sharded_train_step(spec, "mse", None, sgd, mesh,
+                                          mean=False)
+        ref = make_train_step(spec, "mse", None, sgd, mean=False)
+        rk = jax.random.key(3)
+        p_ns, bn_ns, _, it_ns = ns(params, bn,
+                                   make_optimizer(sgd).init(params), nb, rk)
+        p_rf, bn_rf, _, it_rf = ref(params, bn,
+                                    make_optimizer(sgd).init(params), gb, rk)
+        assert float(it_ns) == float(it_rf)
+        assert leaves_close(p_ns, p_rf)
+        assert leaves_close(bn_ns, bn_rf, atol=1e-5)
+        fwd = make_node_sharded_forward(spec, mesh)
+        _, out = fwd(params, bn, nb, jax.random.key(1))
+        from gnn_tpu.models.core import gnn_forward
+        r = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        assert np.allclose(np.asarray(out)[:100], np.asarray(r["out"])[:100],
+                           atol=1e-4)
+
+
+class TestEdgeShardedFocusA:
+    """Focus 'a' in edge-sharded and hybrid training (uniform sharding
+    matrix): arc-level supervision masks shard with the edges, per-arc
+    readout BN moments psum over the axis, and the target-aligned rows come
+    from an all_gather of the per-arc outputs."""
+
+    def _model(self, rng, bn_out=False):
+        g = random_graph(60, 3, 2, 2, 0.4, focus="a", rng=rng)
+        gb = GraphBatch.from_graph(g, node_pad=64, edge_pad=2048,
+                                   target_pad=2048)
+        ss = MLPSpec(input_dim=8, units=(3,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=8, units=(2,), activations="softmax",
+                      batch_normalization=bn_out)
+        spec = GNNSpec(focus="a", state_spec=ss, output_spec=os_,
+                       max_iteration=5, threshold=0.01,
+                       aggregation="segment")
+        params, bn = gnn_init(spec, jax.random.key(0))
+        return gb, spec, params, bn
+
+    @pytest.mark.parametrize("bn_out", [False, True])
+    def test_edge_sharded_matches_single_device(self, setup, bn_out):
+        rng, *_ = setup
+        from gnn_tpu.parallel.edge_shard import (make_edge_sharded_forward,
+                                                 make_edge_sharded_train_step,
+                                                 shard_edges)
+        gb, spec, params, bn = self._model(rng, bn_out)
+        mesh = make_mesh({"graph": 8})
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        es = make_edge_sharded_train_step(spec, "mse", None, sgd, mesh,
+                                          mean=False)
+        ref = make_train_step(spec, "mse", None, sgd, mean=False)
+        gbs = shard_edges(gb, mesh)
+        rk = jax.random.key(3)
+        p_s, bn_s, _, it_s = es(params, bn, make_optimizer(sgd).init(params),
+                                gbs, rk)
+        p_r, bn_r, _, it_r = ref(params, bn, make_optimizer(sgd).init(params),
+                                 gb, rk)
+        assert float(it_s) == float(it_r)
+        assert leaves_close(p_s, p_r)
+        assert leaves_close(bn_s, bn_r, atol=1e-5)
+        fwd = make_edge_sharded_forward(spec, mesh)
+        _, out = fwd(params, bn, gbs, jax.random.key(1))
+        from gnn_tpu.models.core import gnn_forward
+        r = gnn_forward(spec, params, bn, gb, jax.random.key(1))
+        assert np.allclose(np.asarray(out), np.asarray(r["out"]), atol=1e-4)
+
+    def test_hybrid_single_replica_matches_single_device(self, setup):
+        rng, *_ = setup
+        gb, spec, params, bn = self._model(rng)
+        mesh = make_mesh({"data": 1, "graph": 8})
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        gb2d = shard_batches_2d([gb], mesh)
+        hyb = make_hybrid_train_step(spec, "mse", None, sgd, mesh, mean=False)
+        ref = make_train_step(spec, "mse", None, sgd, mean=False)
+        rngs = jax.random.split(jax.random.key(5), 1)
+        p_h, _, _, _ = hyb(params, bn, make_optimizer(sgd).init(params),
+                           gb2d, rngs)
+        p_r, _, _, _ = ref(params, bn, make_optimizer(sgd).init(params),
+                           gb, rngs[0])
+        assert leaves_close(p_h, p_r)
+
+
+class TestLGNNEdgeSharded:
+    """Sharded propagation for LGNN stacks (mesh_strategy='edge'): the whole
+    layer stack inside one shard_map, exact vs the single-device step."""
+
+    def _stack(self, rng, focus):
+        from gnn_tpu.ops.mlp import get_inout_dims
+        gs = [random_graph(16, 3, 1, 2, 0.4, focus=focus, rng=rng)
+              for _ in range(5)]
+        merged = Graph.merge(gs, focus=focus, aggregation_mode="average")
+        tp = 1024 if focus == "a" else 128
+        gb = GraphBatch.from_graph(merged, node_pad=128, edge_pad=1024,
+                                   target_pad=tp)
+        specs, ps, bs = [], [], []
+        for li in range(3):
+            in_s, l_s = get_inout_dims("state", 3, 1, 2, focus, 0, 6,
+                                       layer=li, get_state=True,
+                                       get_output=True)
+            in_o, l_o = get_inout_dims("output", 3, 1, 2, focus, 0, None,
+                                       layer=li, get_state=True,
+                                       get_output=True)
+            ss = MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
+                         batch_normalization=False)
+            os_ = MLPSpec(input_dim=in_o, units=tuple(l_o),
+                          activations="softmax", batch_normalization=False)
+            sp = GNNSpec(focus=focus, state_spec=ss, output_spec=os_,
+                         max_iteration=4, threshold=0.01,
+                         aggregation="segment")
+            p, b = gnn_init(sp, jax.random.key(li))
+            specs.append(sp)
+            ps.append(p)
+            bs.append(b)
+        return gb, tuple(specs), tuple(ps), tuple(bs)
+
+    @pytest.mark.parametrize("focus,tmode", [
+        ("n", "parallel"), ("a", "parallel"), ("g", "residual")])
+    def test_matches_single_device(self, setup, focus, tmode):
+        rng, *_ = setup
+        from gnn_tpu.models.lgnn import (_lgnn_train_impl,
+                                         make_lgnn_edge_sharded_train_step)
+        from gnn_tpu.parallel.edge_shard import shard_edges
+        from gnn_tpu.training.optimizers import freeze_config
+        gb, specs, ps, bs = self._stack(rng, focus)
+        mesh = make_mesh({"graph": 8})
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        o0 = make_optimizer(sgd).init(ps)
+        step = make_lgnn_edge_sharded_train_step(
+            specs, "mse", None, sgd, mesh, mean=True, get_state=True,
+            get_output=True, training_mode=tmode)
+        gbs = shard_edges(gb, mesh)
+        rk = jax.random.key(3)
+        p_s, _, _, it_s = step(ps, bs, o0, gbs, rk)
+        p_r, _, _, it_r = _lgnn_train_impl(
+            specs, ps, bs, o0, gb, rk, loss_name="mse", loss_args_t=(),
+            optimizer=freeze_config(sgd), mean=True, get_state=True,
+            get_output=True, training_mode=tmode)
+        np.testing.assert_array_equal(np.asarray(it_s), np.asarray(it_r))
+        assert leaves_close(p_s, p_r)
+
+    def test_engine_mesh_strategy_edge(self, setup):
+        rng, *_ = setup
+        from gnn_tpu import LGNN, GNNnodeBased
+        gs = [random_graph(16, 3, 1, 2, 0.4, focus="n", rng=rng)
+              for _ in range(6)]
+        merged = Graph.merge(gs, focus="n", aggregation_mode="average")
+        gb = GraphBatch.from_graph(merged, node_pad=128, edge_pad=1024,
+                                   target_pad=128)
+        from gnn_tpu.ops.mlp import get_inout_dims
+        layers = []
+        for li in range(2):
+            in_s, l_s = get_inout_dims("state", 3, 1, 2, "n", 0, 6, layer=li,
+                                       get_state=False, get_output=True)
+            in_o, l_o = get_inout_dims("output", 3, 1, 2, "n", 0, None,
+                                       layer=li, get_state=False,
+                                       get_output=True)
+            layers.append(GNNnodeBased(
+                net_state=MLPSpec(input_dim=in_s, units=tuple(l_s),
+                                  activations="tanh",
+                                  batch_normalization=False),
+                net_output=MLPSpec(input_dim=in_o, units=tuple(l_o),
+                                   activations="softmax",
+                                   batch_normalization=False),
+                optimizer={"name": "adam",
+                           "kwargs": {"learning_rate": 1e-2}},
+                loss_function="mse", loss_arguments=None,
+                max_iteration=4, threshold=0.01))
+        lgnn = LGNN(layers, get_state=False, get_output=True,
+                    optimizer={"name": "adam",
+                               "kwargs": {"learning_rate": 1e-2}},
+                    loss_function="mse", loss_arguments=None)
+        mesh = make_mesh({"graph": 8})
+        lgnn.train(gb, 3, verbose=0, mesh=mesh, mesh_strategy="edge")
+        assert len(lgnn.history["Loss Tr"]) >= 1
+
+
+class TestCompositeEdgeShardedFocusA:
+    def test_matches_single_device(self, setup):
+        rng, *_ = setup
+        from gnn_tpu.models.composite import (
+            CompositeGNNSpec, composite_init,
+            make_composite_edge_sharded_train_step, make_composite_train_step)
+        from gnn_tpu.parallel.edge_shard import shard_edges
+        n, e, nl, al = 48, 256, 3, 2
+        nodes = rng.standard_normal((n, nl)).astype(np.float32)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        arcs = np.concatenate(
+            [src[:, None], dst[:, None],
+             rng.standard_normal((e, al)).astype(np.float32)], axis=1)
+        targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, e)]
+        g = Graph(arcs=arcs, nodes=nodes, targets=targets, focus="a",
+                  aggregation_mode="average",
+                  node_types=rng.integers(0, 2, n).astype(np.int32))
+        gb = GraphBatch.from_graph(g, node_pad=64, edge_pad=512,
+                                   target_pad=512)
+        ss = MLPSpec(input_dim=2 * nl + al, units=(nl,), activations="tanh",
+                     batch_normalization=False)
+        os_ = MLPSpec(input_dim=2 * nl + al, units=(2,),
+                      activations="softmax", batch_normalization=False)
+        spec = CompositeGNNSpec(focus="a", state_specs=(ss, ss),
+                                output_spec=os_, max_iteration=4,
+                                threshold=0.01, aggregation="segment")
+        params, bn = composite_init(spec, jax.random.key(0))
+        mesh = make_mesh({"graph": 8})
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        es = make_composite_edge_sharded_train_step(spec, "mse", None, sgd,
+                                                    mesh, mean=False)
+        ref = make_composite_train_step(spec, "mse", None, sgd, mean=False)
+        gbs = shard_edges(gb, mesh)
+        rk = jax.random.key(3)
+        p_s, _, _, it_s = es(params, bn, make_optimizer(sgd).init(params),
+                             gbs, rk)
+        p_r, _, _, it_r = ref(params, bn, make_optimizer(sgd).init(params),
+                              gb, rk)
+        assert float(it_s) == float(it_r)
+        assert leaves_close(p_s, p_r)

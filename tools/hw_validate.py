@@ -31,30 +31,35 @@ from gnn_tpu.models.core import GNNSpec, evaluate_single, gnn_forward, gnn_init
 from gnn_tpu.ops.mlp import MLPSpec
 
 CHECKS = os.environ.get(
-    "HW_CHECKS", "eval1,train1,eval2,train2,bn1,bn1_nodrop").split(",")
+    "HW_CHECKS",
+    "eval1,train1,eval2,train2,bn1,bn1_nodrop,sd_train1,sd_bn1,sd_train2"
+).split(",")
 
 
-def workload(rng, units, activations, dropout, bn=False):
+def workload(rng, units, activations, dropout, bn=False, sd=0):
     gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
                        rng=rng) for _ in range(12)]
     gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
     gbf = from_graphs_blocked(gs, block_w=32, focus="g", fused_layout=True)
     kw = (dict(dropout_rate=(0.15,), dropout_pos=(0,), alphadropout=True)
           if dropout else {})
-    ss = MLPSpec(input_dim=13, units=units, activations=activations,
+    ss = MLPSpec(input_dim=2 * (5 + sd) + 3, units=units,
+                 activations=activations,
                  kernel_initializer="lecun_normal",
                  bias_initializer="lecun_normal", batch_normalization=bn,
                  **kw)
-    os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+    os_ = MLPSpec(input_dim=5 + sd, units=(2,), activations="softmax",
                   batch_normalization=False)
-    spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_, max_iteration=4,
-                   threshold=0.01, aggregation="auto")
+    spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_, state_dim=sd,
+                   max_iteration=4, threshold=0.01, aggregation="auto")
     params, bnst = gnn_init(spec, jax.random.key(0))
     return gbf, spec, params, bnst
 
 
-def run_check(name, rng, units, activations, dropout, training, bn=False):
-    gbf, spec, params, bnst = workload(rng, units, activations, dropout, bn)
+def run_check(name, rng, units, activations, dropout, training, bn=False,
+              sd=0):
+    gbf, spec, params, bnst = workload(rng, units, activations, dropout, bn,
+                                       sd)
     key = jax.random.key(7)
     t0 = time.perf_counter()
 
@@ -116,6 +121,14 @@ def main():
                     training=True, bn=True),
         "bn1_nodrop": dict(units=(5,), activations="selu", dropout=False,
                            training=True, bn=True),
+        # state_dim>0 (GNN.py:261-266): labels + constant aggregations fold
+        # into the kernels' feature term
+        "sd_train1": dict(units=(4,), activations="selu", dropout=True,
+                          training=True, sd=4),
+        "sd_bn1": dict(units=(4,), activations="selu", dropout=True,
+                       training=True, bn=True, sd=4),
+        "sd_train2": dict(units=(16, 4), activations=("selu", "tanh"),
+                          dropout=True, training=True, sd=4),
     }
     unknown = [c for c in CHECKS if c not in matrix]
     if unknown:
