@@ -256,6 +256,24 @@ def _moving_mask(state, state_old, thr):
     return dist > thr * norm
 
 
+def _finish_ift(spec, training, params_state, bn_out, gb, agg_arcs,
+                const_feats, k, state):
+    """Install the implicit-function-theorem adjoint on a kernel-computed
+    fixed point: the forward state is gradient-stopped (the eval kernels'
+    unrolled custom VJPs never fire) and fixed_point_ift supplies
+    dL/dtheta = lambda^T df/dtheta from the Neumann solve (models/ift.py) —
+    O(1)-memory training at kernel-path forward speed."""
+    from functools import partial as _partial
+
+    from gnn_tpu.models.ift import fixed_point_ift
+    consts = {"gb": gb, "bn": bn_out, "agg_arcs": agg_arcs,
+              "extra": const_feats}
+    f = _partial(_ift_state_step, spec, training)
+    state = fixed_point_ift(f, spec.ift_backward_iters, params_state,
+                            jax.lax.stop_gradient(state), consts)
+    return k, state, bn_out
+
+
 def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
               rng: jax.Array, training: bool):
     """Run the fixed-point propagation loop.
@@ -322,21 +340,24 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         from gnn_tpu.ops.pallas_fused import supports_fused2_train as _sft2
         from gnn_tpu.ops.pallas_fused import supports_fused_train as _sft
         D0 = gb.nodes.shape[1]
-        # grad_mode='ift' opts into the implicit adjoint installed after the
-        # XLA body below — the fused kernels' unrolled custom VJPs would
-        # silently override it, so ift specs never dispatch to them.
         # state_dim>0 (GNN.py:261-266) is eligible: the labels and constant
         # aggregations are loop-invariant and fold into the kernels' feature
-        # term, leaving the same [Ws;Wa] @ [state;agg] core
-        base_ok = (spec.shard_axis is None
-                   and spec.state_spec.units[-1]
-                   == (spec.state_dim if spec.state_dim else D0)
-                   and spec.grad_mode != "ift")
+        # term, leaving the same [Ws;Wa] @ [state;agg] core.
+        # grad_mode='ift' rides the EVAL kernels too: the fixed point is
+        # gradient-stopped before fixed_point_ift installs the implicit
+        # adjoint (_finish_ift), so the kernels' unrolled custom VJPs never
+        # fire; the TRAINING kernels (whose VJPs would carry the gradient)
+        # stay excluded.
+        shape_ok = (spec.shard_axis is None
+                    and spec.state_spec.units[-1]
+                    == (spec.state_dim if spec.state_dim else D0))
+        base_ok = shape_ok and spec.grad_mode != "ift"
         eligible = base_ok and spec.state_spec.num_layers == 1
-        use_fused = eligible and _sf(spec.state_spec, training)
+        use_fused = (shape_ok and spec.state_spec.num_layers == 1
+                     and _sf(spec.state_spec, training))
         # hidden-layer state nets (e.g. hidden-150): the 2-layer kernel
         # variants (dense0+act0+dense1+act1, no dropout)
-        if not use_fused and base_ok and _sf2(spec.state_spec, training):
+        if not use_fused and shape_ok and _sf2(spec.state_spec, training):
             use_fused = True
         # dropout-only training configs (no BN) ride the looped TRAINING
         # kernel; BN configs ride the per-iteration BN loop below (BN's
@@ -381,10 +402,6 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         if spec.shard_axis is not None:
             raise ValueError("aggregation='fused' implements unsharded "
                              "semantics")
-        if spec.grad_mode == "ift":
-            raise ValueError("aggregation='fused' uses the kernels' unrolled "
-                             "custom VJPs — incompatible with grad_mode='ift' "
-                             "(use aggregation='auto' or 'blocked')")
         if (spec.state_spec.num_layers not in (1, 2)
                 or any(a not in FUSABLE_ACTIVATIONS
                        for a in spec.state_spec.activations)):
@@ -394,9 +411,11 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         if spec.state_spec.num_layers == 1:
             use_fused = supports_fused(spec.state_spec, training)
             fused_train = (training and not use_fused
+                           and spec.grad_mode != "ift"
                            and not spec.state_spec.batch_normalization
                            and supports_fused_train(spec.state_spec))
-            if training and not use_fused and not fused_train:
+            if (training and not use_fused and not fused_train
+                    and spec.grad_mode != "ift"):
                 from gnn_tpu.ops.pallas_bn import supports_fused_bn_train
                 fused_bn = supports_fused_bn_train(spec.state_spec)
         else:
@@ -406,6 +425,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             # falls back to the XLA body below
             use_fused = supports_fused2(spec.state_spec, training)
             fused_train2 = (training and not use_fused
+                            and spec.grad_mode != "ift"
                             and gb.adj_loop is not None
                             and supports_fused2_train(spec.state_spec))
     if fused_bn:
@@ -544,6 +564,11 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             full3 = jnp.concatenate([sel, sdep_fin], axis=0) if has_dep else sel
             state3 = jnp.take(full3, gb.block_perm, axis=0)
             # eval-mode only (supports_fused): BN state passes through
+            if spec.grad_mode == "ift":
+                return _finish_ift(
+                    spec, training, params_state, bn_state, gb, agg_arcs,
+                    const_feats if spec.state_dim > 0 else None, k,
+                    from3(state3))
             return k, from3(state3), bn_state
 
         # --- per-step fused path (any block-dense batch) -------------------
@@ -579,6 +604,10 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         carry0T = (jnp.float32(0.0), s03, jnp.ones_like(s03), jnp.bool_(True))
         (k, sT3, _, _), _ = jax.lax.scan(bodyT, carry0T, step_rngs)
         # eval-mode only (supports_fused): BN state passes through unchanged
+        if spec.grad_mode == "ift":
+            return _finish_ift(
+                spec, training, params_state, bn_state, gb, agg_arcs,
+                const_feats if spec.state_dim > 0 else None, k, from3(sT3))
         return k, from3(sT3), bn_state
 
     if fused_train or fused_train2:

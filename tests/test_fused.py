@@ -378,20 +378,41 @@ class TestFusedExactness:
         with pytest.raises(ValueError, match="1- or 2-dense-layer"):
             gnn_forward(bad, params2, bn2, gb, jax.random.key(1))
 
-    def test_ift_spec_never_dispatches_to_kernels(self, rng):
-        """grad_mode='ift' installs the implicit adjoint AFTER the XLA body;
-        the fused kernels' unrolled custom VJPs would silently override it,
-        so ift specs must keep the XLA body under 'auto' and be rejected by
-        explicit aggregation='fused'."""
+    def test_ift_spec_rides_eval_kernels_with_implicit_adjoint(self, rng):
+        """grad_mode='ift' uses the looped EVAL kernel for the (gradient-
+        stopped) forward fixed point and installs the Neumann adjoint on top
+        (_finish_ift): kernel-path forward speed at O(1) backward memory.
+        Gradients must match the XLA-body IFT path (same adjoint, same fixed
+        point up to kernel rounding)."""
+        from gnn_tpu.models.core import evaluate_single
         gb, gbf, spec, params, bnst = hybrid_workload(rng)
         ift = dataclasses.replace(spec, grad_mode="ift")
         jx = str(jax.make_jaxpr(
             lambda p: gnn_forward(ift, p, bnst, gbf, jax.random.key(2)))(params))
-        assert "pallas" not in jx
-        fused_ift = dataclasses.replace(spec, aggregation="fused",
-                                        grad_mode="ift")
-        with pytest.raises(ValueError, match="ift"):
-            gnn_forward(fused_ift, params, bnst, gb, jax.random.key(1))
+        assert "pallas" in jx
+        ift_xla = dataclasses.replace(ift, aggregation="blocked")
+
+        def lg(sp, b):
+            def f(p):
+                _, l, _ = evaluate_single(sp, p, bnst, b, jax.random.key(3),
+                                          "mse", {}, training=False)
+                return l
+            with jax.default_matmul_precision("highest"):
+                return jax.grad(f)(params)
+
+        g_k, g_x = lg(ift, gbf), lg(ift_xla, gbf)
+        for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        # the TRAINING kernels' unrolled VJPs stay excluded under ift
+        ss = dataclasses.replace(spec.state_spec, dropout_rate=(),
+                                 dropout_pos=(), batch_normalization=True)
+        bn_ift = dataclasses.replace(ift, state_spec=ss)
+        params2, bn2 = gnn_init(bn_ift, jax.random.key(0))
+        jx2 = str(jax.make_jaxpr(lambda p: gnn_forward(
+            bn_ift, p, bn2, gbf, jax.random.key(2), training=True))(params2))
+        assert "pallas" not in jx2
 
 
 class TestPickGroup:
