@@ -701,12 +701,15 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 # is not vmap-invariant — vmapping bernoulli over the step
                 # keys would draw different bits than the XLA body's per-step
                 # calls and break bit-identical mask parity
+                # transpose as BOOL, convert to f32 in the target layout:
+                # the [K, Np, in_dim] -> [K, B, D, Wb] relayouts are 4x
+                # cheaper on 1-byte elements (ops/pallas_bn.py finding)
                 keeps = jnp.stack([
                     jax.random.bernoulli(jax.random.split(step_rngs[i])[1],
                                          1.0 - rate, (Np, in_dim))
-                    for i in range(K)]).astype(jnp.float32)
-                ms_all = jax.vmap(to3)(keeps[:, :, :D])
-                ma_all = jax.vmap(to3)(agg_cols(keeps))
+                    for i in range(K)])
+                ms_all = jax.vmap(to3)(keeps[:, :, :D]).astype(jnp.float32)
+                ma_all = jax.vmap(to3)(agg_cols(keeps)).astype(jnp.float32)
                 featsd = jax.vmap(lambda kf: drop_half(
                     featsT3.astype(jnp.float32), to3(kf)))(fold_cols(keeps))
                 if two:
