@@ -504,23 +504,28 @@ class LGNN(BaseModel):
         self._set_params(params, bns)
 
     def _shard_for(self, gb: GraphBatch, mesh, axis: str, strategy: str):
-        if strategy != "edge":
-            raise NotImplementedError(
-                "LGNN stacks shard propagation over edges "
-                "(mesh_strategy='edge') or scale via 'data'; node-state "
-                "sharding of a layer stack is not implemented")
-        from gnn_tpu.parallel.edge_shard import shard_edges
-        return shard_edges(gb, mesh, axis)
+        if strategy == "edge":
+            from gnn_tpu.parallel.edge_shard import shard_edges
+            return shard_edges(gb, mesh, axis)
+        from gnn_tpu.parallel.node_shard import shard_nodes
+        return shard_nodes(gb, mesh, axis)
 
     def training_step_sharded(self, gb_sharded, mean: bool, mesh, axis: str,
                               strategy: str) -> None:
-        """One optimizer step with every layer's propagation edge-sharded
-        across mesh[axis] (train(mesh=..., mesh_strategy='edge'))."""
+        """One optimizer step with every layer's propagation sharded across
+        mesh[axis] (train(mesh=..., mesh_strategy='edge'|'node')): the whole
+        stack runs inside one shard_map."""
         key = (strategy, mesh, axis, mean)
         if not hasattr(self, "_sh_fns"):
             self._sh_fns = {}
         if key not in self._sh_fns:
-            self._sh_fns[key] = make_lgnn_edge_sharded_train_step(
+            if strategy == "edge":
+                builder = make_lgnn_edge_sharded_train_step
+            else:
+                from gnn_tpu.parallel.node_shard import \
+                    make_lgnn_node_sharded_train_step
+                builder = make_lgnn_node_sharded_train_step
+            self._sh_fns[key] = builder(
                 self._specs, self.loss_function, self.loss_args,
                 self.optimizer_config, mesh, axis, mean=mean,
                 get_state=self.get_state, get_output=self.get_output,

@@ -175,10 +175,15 @@ def _ns_pspecs(axis: str, d: int, focus: str,
         n_shards=d, focus=focus, **pool)
 
 
-def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
+def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis,
+                with_entity: bool = False):
     """Sharded propagation + readout; returns (iters, loss-ready out rows,
-    new_bn). Runs INSIDE shard_map — array args are shard-local. Accepts a
-    GNNSpec or a CompositeGNNSpec (per-type state nets on local rows)."""
+    new_bn) — or, with_entity=True, (iters, out_rows, new_bn, state_local,
+    entity_local) where state_local / entity_local are this shard's
+    converged states and pre-pooling entity outputs (the LGNN stack's
+    update_graph_batch inputs). Runs INSIDE shard_map — array args are
+    shard-local. Accepts a GNNSpec or a CompositeGNNSpec (per-type state
+    nets on local rows)."""
     from gnn_tpu.models.composite import CompositeGNNSpec
     from gnn_tpu.models.core import _moving_mask, check_dims
     _is_composite = isinstance(spec, CompositeGNNSpec)
@@ -280,6 +285,9 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
                                     axis_name=axis)
         out_full = jax.lax.all_gather(out_local, axis, tiled=True)    # [d·Es, DT]
         out_rows = jnp.take(out_full, nb.out_index, axis=0)
+        if with_entity:
+            return (iters, out_rows, {"state": bn_s, "output": bn_o},
+                    state, out_local)
         return iters, out_rows, {"state": bn_s, "output": bn_o}
 
     emask = nb.set_mask & nb.output_mask & nm
@@ -300,6 +308,9 @@ def _ns_forward(spec, params, bn, nb: NodeShardBatch, rng, training, axis):
     else:
         out_full = jax.lax.all_gather(out_local, axis, tiled=True)   # [Np, DT]
         out_rows = jnp.take(out_full, nb.out_index, axis=0)
+    if with_entity:
+        return (iters, out_rows, {"state": bn_s, "output": bn_o},
+                state, out_local)
     return iters, out_rows, {"state": bn_s, "output": bn_o}
 
 
@@ -368,3 +379,100 @@ def make_node_sharded_forward(spec, mesh: Mesh, axis: str = "graph"):
 def _spec_is_composite(spec) -> bool:
     from gnn_tpu.models.composite import CompositeGNNSpec
     return isinstance(spec, CompositeGNNSpec)
+
+
+def _ns_update(nb: NodeShardBatch, state_local, entity_local, *,
+               get_state: bool, get_output: bool, focus: str):
+    """LGNN layer augmentation on a node-sharded batch — the shard-local
+    mirror of models/lgnn.update_graph_batch (reference LGNN.py:227-260).
+    Node-level arrays (nodes / supervision masks) are shard rows; for focus
+    'a' the output scatter lands on the owner shard's arc labels. The
+    arc-label aggregation cache is recomputed locally (edges are owned by
+    their dst shard, so each shard's segment sum is complete)."""
+    nodeplus, arcplus = [], []
+    if get_state:
+        nodeplus.append(state_local)
+    if get_output:
+        if focus == "a":
+            mask = nb.e_emask[0].astype(entity_local.dtype)[:, None]
+            arcplus.append(entity_local * mask)
+        else:
+            mask = (nb.set_mask & nb.output_mask
+                    & nb.node_mask).astype(entity_local.dtype)[:, None]
+            nodeplus.append(entity_local * mask)
+    nodes = (jnp.concatenate([nb.nodes] + nodeplus, axis=1)
+             if nodeplus else nb.nodes)
+    kw = {}
+    if arcplus:
+        e_lab = jnp.concatenate([nb.e_arc_labels[0]] + arcplus, axis=1)
+        kw["e_arc_labels"] = e_lab[None]
+        # arc labels changed -> recompute the local arc aggregation
+        L = nb.nodes.shape[0]
+        cache = jax.ops.segment_sum(e_lab * nb.e_w[0][:, None],
+                                    nb.e_dst_local[0], num_segments=L)
+        kw["agg_arcs_cache"] = cache.astype(nb.agg_arcs_cache.dtype)
+    return nb.replace(nodes=nodes, **kw)
+
+
+def make_lgnn_node_sharded_train_step(specs, loss_name: str,
+                                      loss_args, optimizer_cfg: dict,
+                                      mesh: Mesh, axis: str = "graph",
+                                      mean: bool = True,
+                                      get_state: bool = False,
+                                      get_output: bool = True,
+                                      training_mode: str = "parallel"):
+    """Node-sharded LGNN training step: the WHOLE layer stack runs inside
+    one shard_map over a node-sharded batch (all_gather + owner-computes
+    aggregation per layer, _ns_update augmentation between layers). Covers
+    the 'parallel'/'residual' loss formulations."""
+    import dataclasses as _dc
+
+    from gnn_tpu.models.lgnn import _lgnn_loss, _reg_any
+    from gnn_tpu.training.losses import get_loss
+    largs = dict(loss_args or {})
+    opt = make_optimizer(optimizer_cfg)
+    d = mesh.shape[axis]
+    focus = specs[0].focus
+
+    def shard_loss(params, bns, nb, rng):
+        rngs = jax.random.split(rng, len(specs))
+        iters, outs, new_bns = [], [], []
+        cur = nb
+        for idx, sp in enumerate(specs):
+            it, out_rows, nbn, st, ent = _ns_forward(
+                sp, params[idx], bns[idx], cur, rngs[idx], True, axis,
+                with_entity=True)
+            iters.append(it)
+            outs.append(out_rows)
+            new_bns.append(nbn)
+            if idx + 1 < len(specs):
+                cur = _ns_update(nb, st, ent, get_state=get_state,
+                                 get_output=get_output, focus=sp.focus)
+        # _lgnn_loss consumes (targets, sample_weights, sel_mask) — all
+        # replicated on a NodeShardBatch, same field names as GraphBatch
+        loss = _lgnn_loss(specs, loss_name, largs, nb, outs, training_mode)
+        return loss, (jnp.stack(iters), tuple(new_bns))
+
+    mapped = jax.shard_map(
+        shard_loss, mesh=mesh,
+        in_specs=(P(), P(), _ns_pspecs(axis, d, focus), P()),
+        out_specs=(P(), (P(), P())), check_vma=False)
+
+    @jax.jit
+    def step(params, bns, opt_state, nb, rng):
+        def loss_fn(p):
+            loss, aux = mapped(p, bns, nb, rng)
+            return (loss + sum(_reg_any(s, pi)
+                               for s, pi in zip(specs, p)), aux)
+
+        grads, (iters, new_bns) = jax.grad(loss_fn, has_aux=True)(params)
+        if mean:
+            grads = tuple(
+                {**g, "state": jax.tree_util.tree_map(
+                    lambda x, it=it: x / jnp.maximum(it, 1.0), g["state"])}
+                for g, it in zip(grads, iters))
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return params, new_bns, opt_state, iters
+
+    return step

@@ -695,3 +695,59 @@ class TestCompositeEdgeShardedFocusA:
                               gb, rk)
         assert float(it_s) == float(it_r)
         assert leaves_close(p_s, p_r)
+
+
+class TestLGNNNodeSharded:
+    """Node-sharded LGNN propagation (mesh_strategy='node'): the whole layer
+    stack in one shard_map with _ns_update augmentation between layers —
+    exact vs the single-device step for all three focuses."""
+
+    @pytest.mark.parametrize("focus", ["n", "a", "g"])
+    def test_matches_single_device(self, setup, focus):
+        rng, *_ = setup
+        from gnn_tpu.models.lgnn import _lgnn_train_impl
+        from gnn_tpu.ops.mlp import get_inout_dims
+        from gnn_tpu.parallel.node_shard import (
+            make_lgnn_node_sharded_train_step, shard_nodes)
+        from gnn_tpu.training.optimizers import freeze_config
+        gs = [random_graph(16, 3, 1, 2, 0.4, focus=focus, rng=rng)
+              for _ in range(5)]
+        merged = Graph.merge(gs, focus=focus, aggregation_mode="average")
+        tp = 1024 if focus == "a" else 128
+        gb = GraphBatch.from_graph(merged, node_pad=128, edge_pad=1024,
+                                   target_pad=tp)
+        specs, ps, bs = [], [], []
+        for li in range(2):
+            in_s, l_s = get_inout_dims("state", 3, 1, 2, focus, 0, 6,
+                                       layer=li, get_state=True,
+                                       get_output=True)
+            in_o, l_o = get_inout_dims("output", 3, 1, 2, focus, 0, None,
+                                       layer=li, get_state=True,
+                                       get_output=True)
+            ss = MLPSpec(input_dim=in_s, units=tuple(l_s), activations="tanh",
+                         batch_normalization=False)
+            os_ = MLPSpec(input_dim=in_o, units=tuple(l_o),
+                          activations="softmax", batch_normalization=False)
+            sp = GNNSpec(focus=focus, state_spec=ss, output_spec=os_,
+                         max_iteration=3, threshold=0.01,
+                         aggregation="segment")
+            p, b = gnn_init(sp, jax.random.key(li))
+            specs.append(sp)
+            ps.append(p)
+            bs.append(b)
+        specs, ps, bs = tuple(specs), tuple(ps), tuple(bs)
+        mesh = make_mesh({"graph": 8})
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        o0 = make_optimizer(sgd).init(ps)
+        step = make_lgnn_node_sharded_train_step(
+            specs, "mse", None, sgd, mesh, mean=True, get_state=True,
+            get_output=True, training_mode="parallel")
+        nb = shard_nodes(gb, mesh)
+        rk = jax.random.key(3)
+        p_s, _, _, it_s = step(ps, bs, o0, nb, rk)
+        p_r, _, _, it_r = _lgnn_train_impl(
+            specs, ps, bs, o0, gb, rk, loss_name="mse", loss_args_t=(),
+            optimizer=freeze_config(sgd), mean=True, get_state=True,
+            get_output=True, training_mode="parallel")
+        np.testing.assert_array_equal(np.asarray(it_s), np.asarray(it_r))
+        assert leaves_close(p_s, p_r, atol=1e-5)
