@@ -320,9 +320,6 @@ def _res_scatter(vals, dst_idx, B, D, Wb):
             .reshape(B, D, Wb))
 
 
-_IDENT = None
-
-
 def _ident_aff(D):
     return jnp.stack([jnp.ones((D,), jnp.float32),
                       jnp.zeros((D,), jnp.float32)])

@@ -428,7 +428,6 @@ def make_lgnn_node_sharded_train_step(specs, loss_name: str,
     import dataclasses as _dc
 
     from gnn_tpu.models.lgnn import _lgnn_loss, _reg_any
-    from gnn_tpu.training.losses import get_loss
     largs = dict(loss_args or {})
     opt = make_optimizer(optimizer_cfg)
     d = mesh.shape[axis]

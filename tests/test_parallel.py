@@ -442,15 +442,19 @@ class TestEngineMeshTraining:
         assert np.allclose(m1.history["Loss Tr"], m2.history["Loss Tr"],
                            atol=1e-4)
 
-    def test_lgnn_sharded_strategy_raises(self):
+    def test_lgnn_sharded_strategies_train(self):
+        """LGNN stacks shard propagation too (round 3): both 'edge' and
+        'node' mesh strategies train through the engine."""
         from gnn_tpu import LGNN
         mesh = make_mesh({"graph": 4})
-        m0, batches = self._model_and_batches(n_batches=3)
-        lgnn = LGNN([m0], get_state=True, get_output=False,
-                    path_writer="/tmp/wmesh_l2/")
-        with pytest.raises(NotImplementedError, match="data"):
-            lgnn.train(batches, epochs=1, verbose=0, training_mode="parallel",
-                       mesh=mesh, mesh_strategy="edge")
+        for strategy in ("edge", "node"):
+            m0, batches = self._model_and_batches(n_batches=3)
+            lgnn = LGNN([m0], get_state=True, get_output=False,
+                        path_writer=f"/tmp/wmesh_l2_{strategy}/")
+            lgnn.train(batches, epochs=1, verbose=0,
+                       training_mode="parallel", mesh=mesh,
+                       mesh_strategy=strategy)
+            assert len(lgnn.history["Loss Tr"]) >= 1
 
 
 class TestNodeShardedStateDim:

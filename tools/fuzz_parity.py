@@ -43,7 +43,6 @@ jax.config.update("jax_platforms", "cpu")
 
 import dataclasses
 
-import jax.numpy as jnp
 import numpy as np
 
 from gnn_tpu.graphs.batch import GraphBatch, from_graphs_blocked
