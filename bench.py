@@ -13,10 +13,11 @@ Adam). Two timings:
 Primary metric: edges/s through the propagation loop during the full training
 step = E_real * iters / step_time.
 
-vs_baseline: ratio against a single-thread-ish CPU reference implementation of
-the same propagation loop (scipy CSR SpMM + BLAS MLP — the same kernels the
-TF2 reference rides on CPU; the reference publishes no numbers, BASELINE.md).
-The CPU number is measured once and cached in BENCH_BASELINE.json.
+vs_baseline: ratio against the EXECUTED TF2 reference's training step
+(GNN_BaseClass.py:231-247 driven through the reference's public surface by
+tools/tf_baseline.py) on this host's CPU, measured once and cached in
+BENCH_BASELINE.json (`tf_ref_*`). The round-1 scipy CSR+BLAS stand-in is kept
+as a secondary column (`vs_cpu_standin`).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """

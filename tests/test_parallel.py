@@ -36,9 +36,17 @@ def setup():
 
 
 def leaves_close(a, b, atol=1e-4):
-    return all(np.allclose(np.asarray(x), np.asarray(y), atol=atol)
-               for x, y in zip(jax.tree_util.tree_leaves(a),
-                               jax.tree_util.tree_leaves(b)))
+    ok = True
+    for (kp, x), y in zip(jax.tree_util.tree_flatten_with_path(a)[0],
+                          jax.tree_util.tree_leaves(b)):
+        x, y = np.asarray(x), np.asarray(y)
+        if not np.allclose(x, y, atol=atol):
+            d = np.abs(x - y)
+            print(f"leaves_close violation {jax.tree_util.keystr(kp)}: "
+                  f"maxdiff={float(np.max(d)):.4g} "
+                  f"at value {x.ravel()[np.argmax(d)]:.6g}")
+            ok = False
+    return ok
 
 
 class TestDataParallel:
@@ -112,16 +120,6 @@ class TestEdgeSharded:
         p_es, _, _, _ = es(params_g, bn_g, make_optimizer(sgd).init(params_g), gb_sh, rk)
         p_ref, _, _, _ = ref(params_g, bn_g, make_optimizer(sgd).init(params_g), gb, rk)
         assert leaves_close(p_es, p_ref)
-
-    def test_edge_focus_rejected(self, setup):
-        rng, spec, params, bn = setup
-        import dataclasses
-        aspec = dataclasses.replace(spec, focus="a")
-        mesh = make_mesh({"graph": 8})
-        with pytest.raises(NotImplementedError):
-            make_edge_sharded_train_step(aspec, "mse", None,
-                                         optimizer_config("sgd"), mesh)
-
 
 class TestHybrid:
     def test_hybrid_2d_runs_and_is_finite(self, setup):
@@ -540,7 +538,13 @@ class TestEdgeShardedFocusA:
         p_r, bn_r, _, it_r = ref(params, bn, make_optimizer(sgd).init(params),
                                  gb, rk)
         assert float(it_s) == float(it_r)
-        assert leaves_close(p_s, p_r)
+        # lr=1.0 SGD writes the raw gradients into the params; with bn_out
+        # the readout-BN loss surface produces O(100)-magnitude gradients,
+        # so f32 reduction-order noise between the psum'd shards and the
+        # single-device sum lands at ~5e-4 absolute (~1e-6 relative) — and
+        # which fused executable XLA picks varies with jit-cache state, so
+        # a 1e-4 band flakes depending on which tests ran first.
+        assert leaves_close(p_s, p_r, atol=1e-3)
         assert leaves_close(bn_s, bn_r, atol=1e-5)
         fwd = make_edge_sharded_forward(spec, mesh)
         _, out = fwd(params, bn, gbs, jax.random.key(1))

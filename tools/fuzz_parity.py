@@ -110,12 +110,87 @@ def build_trial(seed: int):
     return spec, params, bnst, gb_seg, gb_blk, gb_fus
 
 
-def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0):
+_DISCONTINUOUS_ACTS = ("relu", "selu")  # derivative jumps at x == 0
+
+
+def _has_kink(activations) -> bool:
+    acts = ((activations,) if isinstance(activations, str) else activations)
+    return any(str(a) in _DISCONTINUOUS_ACTS for a in acts)
+
+
+class _MarginSpy:
+    """Context manager: patch the discontinuous activations to record the
+    minimum |pre-activation| seen during an eagerly-executed forward. A
+    margin below the compared paths' rounding scale means the derivative
+    BRANCH can differ between paths — the gradient comparison is then a
+    comparison of two valid subgradients at indistinguishable points, not
+    a correctness check (campaign finding: lgnn seed 300015 had a relu
+    pre-activation of 1.07e-6; the kernels' ~1e-5-relative forward rounding
+    flipped the branch, moving one grad leaf by 0.014 while the f32 XLA
+    body matched an f64 rerun to 5e-7)."""
+
+    def __init__(self):
+        self.margin = np.inf
+
+    def __enter__(self):
+        from gnn_tpu.ops import mlp as _mlp
+        self._mlp = _mlp
+        self._saved = {k: _mlp._ACTIVATIONS[k] for k in _DISCONTINUOUS_ACTS}
+
+        def make(f):
+            def spy(x):
+                a = np.asarray(x)
+                if a.size:
+                    self.margin = min(self.margin, float(np.min(np.abs(a))))
+                return f(x)
+            return spy
+
+        for k, f in self._saved.items():
+            self._mlp._ACTIVATIONS[k] = make(f)
+        self._nojit = jax.disable_jit()
+        self._nojit.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        self._nojit.__exit__(*exc)
+        self._mlp._ACTIVATIONS.update(self._saved)
+        return False
+
+
+def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0,
+             branch_margin=np.inf, ift=False):
     # un-normalised random weights can blow the state fixed point up to
     # O(100s); the kernels' hi/lo rounding is RELATIVE to that scale, so the
     # output tolerance must track it (seed-6 finding: 820-magnitude states,
     # 7e-6 relative kernel rounding, tripping a fixed 2e-4 atol)
     atol_out = max(atol, 1e-5 * state_scale)
+    # derivative-branch flips: if any relu/selu pre-activation sits within
+    # the paths' rounding distance of its kink, grads (and, through the
+    # flipped unit's downstream weights, outputs) legitimately differ by
+    # that unit's full contribution. The rounding scale is bf16-class when
+    # the caller passed a bf16-class atol, else the kernels' hi/lo class.
+    rounding_rel = 8e-3 if atol >= 1e-2 else 1e-4
+    flip_risk = branch_margin < rounding_rel * max(1.0, state_scale)
+    if flip_risk:
+        atol_out = max(atol_out, 5e-2 if atol >= 1e-2 else 2e-2)
+    # implicit-adjoint trials: the Neumann solve (I - J^T)^-1 amplifies
+    # forward rounding by 1/(1-rho); near-unit spectral radius turned the
+    # kernels' 3.7e-5 forward rounding into a systematic 0.57% grad shift
+    # (campaign seed 300044: grad leaves O(1e5) from O(0.6) outputs). The
+    # XLA bodies still agree to ~1e-5 relative — only the kernel comparison
+    # carries the amplified rounding.
+    if ift:
+        rtol = max(rtol, 2e-2)
+    # noise floor for grads is TREE-wide, not per-leaf: leaves that are
+    # mathematically zero (a dense bias feeding a trailing BN cancels
+    # exactly) pick up cancellation noise proportional to their SIBLINGS'
+    # magnitudes through the shared forward intermediates (campaign seeds
+    # 500044/700041: ~1e-3 noise on an exact-zero bias grad while BN-param
+    # grads ran O(1e4))
+    tree_scale = max([1.0] + [float(np.max(np.abs(np.asarray(l))))
+                              for g in grads.values()
+                              for l in jax.tree_util.tree_leaves(g)
+                              if np.asarray(l).size])
     ref = paths[0][0]
     for name, _, _ in paths[1:]:
         if iters[name] != iters[ref]:
@@ -123,20 +198,24 @@ def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0):
                 f"iters mismatch {name}={iters[name]} vs {ref}={iters[ref]}")
         np.testing.assert_allclose(outs[name], outs[ref], atol=atol_out,
                                    err_msg=f"outputs {name} vs {ref}")
+        if flip_risk and atol >= 1e-2:
+            # bf16 rounding (8e-3 relative) vs a near-kink pre-activation:
+            # whole relu units take different branches per path, shifting
+            # entire grad columns by the unit's downstream contribution —
+            # elementwise gradient agreement is not a property that holds.
+            # Outputs and iteration counts above remain the check.
+            continue
         for a, b in zip(jax.tree_util.tree_leaves(grads[ref]),
                         jax.tree_util.tree_leaves(grads[name])):
             a, b = np.asarray(a), np.asarray(b)
-            # hi/lo-emulation rounding is relative to the LEAF's scale, not
-            # elementwise — near-zero entries of large-magnitude leaves pick
-            # up absolute noise proportional to the leaf maximum
-            scale = max(1.0, float(np.max(np.abs(a))))
-            g_rtol, g_atol = rtol, atol * scale
-            if state_scale > 50.0:
-                # exploding (non-contractive) fixed points: selu/relu
-                # derivative discontinuities flip branches under rounding,
-                # so isolated grad elements legitimately diverge — keep a
-                # loose sanity band instead of elementwise exactness
-                g_rtol, g_atol = 0.1, max(g_atol, 1e-3 * state_scale)
+            g_rtol, g_atol = rtol, atol * tree_scale
+            if state_scale > 50.0 or flip_risk:
+                # exploding (non-contractive) fixed points or near-kink
+                # pre-activations: isolated grad elements legitimately
+                # diverge — keep a loose sanity band instead of
+                # elementwise exactness
+                g_rtol = max(g_rtol, 0.1)
+                g_atol = max(g_atol, 1e-3 * max(state_scale, tree_scale))
             np.testing.assert_allclose(b, a, rtol=g_rtol, atol=g_atol,
                                        err_msg=f"grads {name} vs {ref}")
 
@@ -174,7 +253,14 @@ def run_trial(seed: int, training: bool):
     # order — tolerance is bf16-class, not f32-class
     atol, rtol = ((2e-2, 5e-2) if spec.state_dtype == "bfloat16"
                   else (2e-4, 5e-3))
-    _compare(paths, outs, iters, grads, atol, rtol, state_scale)
+    margin = np.inf
+    if _has_kink(spec.state_spec.activations):
+        name0, sp0, gb0 = paths[0]
+        with _MarginSpy() as spy:
+            gnn_forward(sp0, params, bnst, gb0, key, training=training)
+        margin = spy.margin
+    _compare(paths, outs, iters, grads, atol, rtol, state_scale,
+             branch_margin=margin, ift=spec.grad_mode == "ift")
 
 
 def build_lgnn_trial(seed: int):
@@ -237,13 +323,16 @@ def run_lgnn_trial(seed: int, training: bool):
     paths = [("segment", "segment", gb_seg), ("blocked", "blocked", gb_blk),
              ("auto", "auto", gb_fus)]
     outs, iters, grads = {}, {}, {}
+    state_scale = 1.0
     for name, agg, gb in paths:
         sps = tuple(dataclasses.replace(sp, aggregation=agg) for sp in specs)
-        its, os_, _, _ = lgnn_forward(sps, params, bns, gb, key, training,
-                                      gst, gout)
+        its, os_, st, _ = lgnn_forward(sps, params, bns, gb, key, training,
+                                       gst, gout)
         sel = np.asarray(gb.sel_mask)
         outs[name] = np.concatenate([np.asarray(o)[sel] for o in os_])
         iters[name] = tuple(float(i) for i in its)
+        state_scale = max(state_scale, float(np.max(np.abs(
+            np.asarray(st, dtype=np.float32)))))
 
         def loss_of(p, sps=sps, gb=gb):
             _, os2, _, _ = lgnn_forward(sps, p, bns, gb, key, training,
@@ -251,7 +340,15 @@ def run_lgnn_trial(seed: int, training: bool):
             return lgnn_loss(sps, "mse", {}, gb, os2, tmode)
 
         grads[name] = jax.grad(loss_of)(params)
-    _compare(paths, outs, iters, grads, 2e-4, 5e-3)
+    margin = np.inf
+    if any(_has_kink(sp.state_spec.activations) for sp in specs):
+        name0, agg0, gb0 = paths[0]
+        sps0 = tuple(dataclasses.replace(sp, aggregation=agg0) for sp in specs)
+        with _MarginSpy() as spy:
+            lgnn_forward(sps0, params, bns, gb0, key, training, gst, gout)
+        margin = spy.margin
+    _compare(paths, outs, iters, grads, 2e-4, 5e-3, state_scale,
+             branch_margin=margin)
 
 
 def build_composite_trial(seed: int):
@@ -300,18 +397,28 @@ def run_composite_trial(seed: int, training: bool):
              ("blocked", dataclasses.replace(spec, aggregation="blocked"),
               gb_blk)]
     outs, iters, grads = {}, {}, {}
+    state_scale = 1.0
     for name, sp, gb in paths:
         r = cfwd(sp, params, bnst, gb, key, training=training)
         sel = np.asarray(gb.sel_mask)
         outs[name] = np.asarray(r["out"])[sel]
         iters[name] = float(r["iters"])
+        state_scale = max(state_scale, float(np.max(np.abs(
+            np.asarray(r["state"], dtype=np.float32)))))
 
         def loss_of(p, sp=sp, gb=gb):
             r2 = cfwd(sp, p, bnst, gb, key, training=training)
             return weighted_loss(get_loss("mse"), {}, gb, r2["out"])
 
         grads[name] = jax.grad(loss_of)(params)
-    _compare(paths, outs, iters, grads, 2e-4, 5e-3)
+    margin = np.inf
+    if any(_has_kink(ss.activations) for ss in spec.state_specs):
+        name0, sp0, gb0 = paths[0]
+        with _MarginSpy() as spy:
+            cfwd(sp0, params, bnst, gb0, key, training=training)
+        margin = spy.margin
+    _compare(paths, outs, iters, grads, 2e-4, 5e-3, state_scale,
+             branch_margin=margin)
 
 
 RUNNERS = {"gnn": run_trial, "lgnn": run_lgnn_trial,
