@@ -620,6 +620,7 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         # SAME bernoulli stream as the XLA body, and the trailing BN (a
         # global cross-block reduction) runs outside in XLA per iteration.
         from gnn_tpu.ops.mlp import _ALPHA_P, _batchnorm_fm
+        from gnn_tpu.ops.pallas_fused import _keep as _keep_m
         two = fused_train2
         Bb, Wb, _ = gb.adj_blocks.shape
         has_res = bool(gb.res_src is not None and gb.res_src.shape[0])
@@ -682,9 +683,10 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
 
         def drop_half(x3, keep3):
             # ops/mlp.py::_dropout applied to a pre-sliced input half
+            # (keep3 may be bool, int8 or f32 — pallas_fused._keep)
             if alpha:
-                return a_c * jnp.where(keep3 > 0.5, x3, _ALPHA_P) + b_c
-            return jnp.where(keep3 > 0.5, a_c * x3, 0.0)
+                return a_c * jnp.where(_keep_m(keep3), x3, _ALPHA_P) + b_c
+            return jnp.where(_keep_m(keep3), a_c * x3, 0.0)
 
         if gb.adj_loop is not None and not has_bn:
             # --- hybrid looped TRAINING path (fused_layout batch, no BN) ----
@@ -708,8 +710,12 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                     jax.random.bernoulli(jax.random.split(step_rngs[i])[1],
                                          1.0 - rate, (Np, in_dim))
                     for i in range(K)])
-                ms_all = jax.vmap(to3)(keeps[:, :, :D]).astype(jnp.float32)
-                ma_all = jax.vmap(to3)(agg_cols(keeps)).astype(jnp.float32)
+                # int8 all the way into the kernels (pallas_fused._keep):
+                # the masks are 0/1 exactly, so numerics are bit-identical
+                # while the [K, B, D, Wb] relayouts and the kernels' mask
+                # streams move 4x fewer bytes than f32
+                ms_all = jax.vmap(to3)(keeps[:, :, :D]).astype(jnp.int8)
+                ma_all = jax.vmap(to3)(agg_cols(keeps)).astype(jnp.int8)
                 featsd = jax.vmap(lambda kf: drop_half(
                     featsT3.astype(jnp.float32), to3(kf)))(fold_cols(keeps))
                 if two:
@@ -845,12 +851,13 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                 # [state, agg, agg_arcs] input row
                 sub = jax.random.split(step_rng)[1]
                 keep = jax.random.bernoulli(sub, 1.0 - rate, (Np, in_dim))
-                keepf = keep.astype(jnp.float32)
-                keep_a3 = to3(agg_cols(keepf))
+                # transpose as BOOL (1 byte), hand the kernel int8: the
+                # [Np, in_dim] -> blocked relayouts move 4x fewer bytes
+                keep_a3 = to3(agg_cols(keep)).astype(jnp.int8)
                 sd3 = drop_half(sT3.astype(jnp.float32),
-                                to3(keepf[:, :D])).astype(sT3.dtype)
+                                to3(keep[:, :D])).astype(sT3.dtype)
                 featsd = drop_half(featsT3.astype(jnp.float32),
-                                   to3(fold_cols(keepf)))
+                                   to3(fold_cols(keep)))
                 fT3H = (_hp("hf,bfw->bhw", Wf, featsd)
                         + b1[None, :, None]).astype(state0.dtype)
             else:

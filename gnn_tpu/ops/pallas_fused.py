@@ -140,6 +140,17 @@ def _drop_coeffs(alpha_drop: bool, rate: float):
     return 1.0 / (1.0 - rate), 0.0
 
 
+def _keep(m):
+    """Keep-mask predicate, dtype-robust: masks arrive as int8 in blocked
+    layout (4x less HBM/relayout traffic than f32 — the round-3 flagship
+    profile showed ~0.4 ms/step of f32 mask movement) or as f32/bool from
+    older call sites. Integer masks are widened to f32 BEFORE the compare:
+    Mosaic cannot lower cmpi on packed (8,128,4) int8 vectors."""
+    if jnp.issubdtype(m.dtype, jnp.integer):
+        return m.astype(jnp.float32) > 0.5
+    return m > 0.5
+
+
 def _make_drop(alpha_drop: bool, rate: float):
     """(drop, dmask) closures for the training kernels' in-VMEM pos-0
     dropout (identity when rate <= 0) — the one place the semantics live."""
@@ -148,13 +159,13 @@ def _make_drop(alpha_drop: bool, rate: float):
     a_c, b_c = _drop_coeffs(alpha_drop, rate)
     if alpha_drop:
         def drop(x, m):
-            return a_c * jnp.where(m > 0.5, x, _ALPHA_P) + b_c
+            return a_c * jnp.where(_keep(m), x, _ALPHA_P) + b_c
     else:
         def drop(x, m):
-            return jnp.where(m > 0.5, a_c * x, 0.0)
+            return jnp.where(_keep(m), a_c * x, 0.0)
 
     def dmask(m):
-        return a_c * (m > 0.5).astype(jnp.float32)
+        return a_c * _keep(m).astype(jnp.float32)
 
     return drop, dmask
 
@@ -803,12 +814,12 @@ def _train_bwd_rule(activation, alpha_drop, rate, group, interpret, res, g):
         if alpha_drop:
             a = ((1.0 - rate) * (1.0 + rate * _ALPHA_P ** 2)) ** -0.5
             b = -a * _ALPHA_P * rate
-            d_agg = a * jnp.where(mT3 > 0.5, agg, _ALPHA_P) + b
-            dmask = a * (mT3 > 0.5).astype(f32)
+            d_agg = a * jnp.where(_keep(mT3), agg, _ALPHA_P) + b
+            dmask = a * _keep(mT3).astype(f32)
         else:
             inv = 1.0 / (1.0 - rate)
-            d_agg = jnp.where(mT3 > 0.5, agg * inv, 0.0)
-            dmask = inv * (mT3 > 0.5).astype(f32)
+            d_agg = jnp.where(_keep(mT3), agg * inv, 0.0)
+            dmask = inv * _keep(mT3).astype(f32)
     else:
         d_agg = agg
         dmask = None
