@@ -141,11 +141,23 @@ def _pool_csum(weighted, starts, ends, graph_ids, node_maskf):
     scatter-into-[Np+1] + reverse-cumsum derivative — the scatter costs
     ~0.5 ms on the full-MUTAG batch (lane-padded [Np, DT] rows), the gather
     is bandwidth-bound. d pooled[g]/d weighted[n] = 1 for n in graph g, so
-    d weighted = g[graph_ids] masked to real nodes — exact."""
-    csum = jnp.concatenate(
-        [jnp.zeros((1, weighted.shape[1]), weighted.dtype),
-         jnp.cumsum(weighted, axis=0)], axis=0)
-    return (jnp.take(csum, ends, axis=0) - jnp.take(csum, starts, axis=0))
+    d weighted = g[graph_ids] masked to real nodes — exact.
+
+    The cumsum/gather chain runs on the TRANSPOSE [DT, Np]: [Np, DT]
+    rows tile as (8, 128) on TPU, so a DT=2 array physically occupies 64x
+    its data (the round-3 flagship trace paid ~0.25 ms/step in pad and
+    relayout copies of such arrays); [DT, Np] is compact. cumsum is per-row
+    independent, so the math is unchanged. The leading-zero column is NOT
+    materialised (concat forces a full copy of the cumsum output — another
+    0.12 ms/step in the trace): index-0 gathers are masked instead
+    (pool[g] = csum[end-1] - csum[start-1], with the start==0 / empty-range
+    terms zeroed)."""
+    csumT = jnp.cumsum(weighted.T, axis=1)                 # [DT, Np]
+    hi = jnp.where((ends > 0)[None, :],
+                   jnp.take(csumT, jnp.maximum(ends - 1, 0), axis=1), 0.0)
+    lo = jnp.where((starts > 0)[None, :],
+                   jnp.take(csumT, jnp.maximum(starts - 1, 0), axis=1), 0.0)
+    return (hi - lo).T
 
 
 def _pool_csum_fwd(weighted, starts, ends, graph_ids, node_maskf):
@@ -156,9 +168,10 @@ def _pool_csum_fwd(weighted, starts, ends, graph_ids, node_maskf):
 def _pool_csum_bwd(res, g):
     import numpy as _np
     starts, ends, graph_ids, node_maskf = res
-    # node_maskf is cast to weighted's dtype at the call site
-    dw = (jnp.take(g, graph_ids, axis=0)
-          * node_maskf[:, None].astype(g.dtype)).astype(node_maskf.dtype)
+    # node_maskf is cast to weighted's dtype at the call site; the gather
+    # runs transposed for the same compact-tiling reason as the forward
+    dw = (jnp.take(g.T, graph_ids, axis=1)
+          * node_maskf[None, :].astype(g.dtype)).T.astype(node_maskf.dtype)
     f0 = lambda x: _np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
     return (dw, f0(starts), f0(ends), f0(graph_ids),
             jnp.zeros_like(node_maskf))
