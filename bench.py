@@ -53,7 +53,9 @@ def build_workload():
                      "float32": jnp.float32}[os.environ["BENCH_ADJ_DTYPE"]]
     # fused_layout=True by default: aggregation='auto' then dispatches eval
     # to the looped Pallas kernel (adjacency streamed once for all K
-    # iterations) while the training step keeps the measured-best XLA body.
+    # iterations); training rides the looped TRAINING kernels (dropout
+    # configs) or the per-iteration BN kernel chain (BN-on configs,
+    # ops/pallas_bn.py) — see models/core.py dispatch.
     fl = (os.environ.get("BENCH_FUSED_LAYOUT", "1") != "0"
           or os.environ.get("BENCH_AGG") == "fused")
     gb = from_graphs_blocked(graphs, block_w=int(os.environ.get("BENCH_BLOCK_W", "128")),

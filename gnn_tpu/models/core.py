@@ -151,7 +151,18 @@ def _pool_csum(weighted, starts, ends, graph_ids, node_maskf):
     materialised (concat forces a full copy of the cumsum output — another
     0.12 ms/step in the trace): index-0 gathers are masked instead
     (pool[g] = csum[end-1] - csum[start-1], with the start==0 / empty-range
-    terms zeroed)."""
+    terms zeroed).
+
+    INVARIANT (required for exact gradients): graph g's contiguous node
+    range [starts[g], ends[g]) must cover exactly the rows where
+    graph_ids == g ∧ node_mask — the backward derives membership from
+    graph_ids ∧ node_mask while the forward sums the ranges. Every batch
+    built through graphs/batch._pool_ranges satisfies this by construction
+    (ranges are searchsorted FROM graph_ids, with a segment-pooling
+    fallback when graph_ids are non-monotone); a hand-constructed
+    GraphBatch with inconsistent pool_starts/pool_ends vs graph_ids gets
+    silently wrong pooling gradients. Build batches via the provided
+    constructors."""
     csumT = jnp.cumsum(weighted.T, axis=1)                 # [DT, Np]
     hi = jnp.where((ends > 0)[None, :],
                    jnp.take(csumT, jnp.maximum(ends - 1, 0), axis=1), 0.0)
@@ -346,8 +357,9 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         # spec is statically eligible — measured ~3x the XLA block-dense
         # forward on the chip. Clean specs use the eval kernels in training
         # too (exact custom VJP); dropout training configs ride the looped
-        # TRAINING kernels; BN training configs keep the XLA body (the
-        # per-step training kernel does not beat it).
+        # TRAINING kernels; BN-on training configs ride the per-iteration
+        # BN kernel chain (ops/pallas_bn.py, 8.37 -> 3.66 ms on the
+        # flagship vs the XLA body it replaced in round 3).
         from gnn_tpu.ops.pallas_fused import supports_fused as _sf
         from gnn_tpu.ops.pallas_fused import supports_fused2 as _sf2
         from gnn_tpu.ops.pallas_fused import supports_fused2_train as _sft2
@@ -427,8 +439,11 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
                            and spec.grad_mode != "ift"
                            and not spec.state_spec.batch_normalization
                            and supports_fused_train(spec.state_spec))
+            # the GNN_TPU_FUSED_BN kill-switch applies here too so explicit
+            # 'fused' specs can A/B the BN kernels against the XLA body
             if (training and not use_fused and not fused_train
-                    and spec.grad_mode != "ift"):
+                    and spec.grad_mode != "ift"
+                    and _os.environ.get("GNN_TPU_FUSED_BN", "1") != "0"):
                 from gnn_tpu.ops.pallas_bn import supports_fused_bn_train
                 fused_bn = supports_fused_bn_train(spec.state_spec)
         else:

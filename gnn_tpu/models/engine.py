@@ -186,16 +186,17 @@ class BaseModel(ABC):
 
     def _shard_for(self, gb: GraphBatch, mesh, axis: str, strategy: str):
         """Place one batch for sharded-propagation training
-        (train(mesh=..., mesh_strategy='edge'|'node'))."""
+        (train(mesh=..., mesh_strategy='edge'|'node')). GNN* and LGNN both
+        override with edge- and node-sharded placements."""
         raise NotImplementedError(
             f"{type(self).__name__} does not implement {strategy}-sharded "
-            f"training (LGNN stacks scale via mesh_strategy='data')")
+            f"training")
 
     def training_step_sharded(self, gb_sharded, mean: bool, mesh, axis: str,
                               strategy: str) -> None:
         raise NotImplementedError(
             f"{type(self).__name__} does not implement {strategy}-sharded "
-            f"training (LGNN stacks scale via mesh_strategy='data')")
+            f"training")
 
     @abstractmethod
     def _weight_summaries(self):

@@ -260,8 +260,13 @@ class GNNnodeBased(BaseModel):
         across mesh[axis] (train(mesh=..., mesh_strategy='edge'|'node'));
         per-iteration partial aggregations psum / all_gather owner-computes
         (parallel/edge_shard.py, node_shard.py)."""
-        key = (strategy, mesh, axis, mean)
+        # edges_sorted is static metadata inside the shard_map pspecs — a
+        # mismatched flag fails as an opaque pytree-structure error, so it
+        # is plumbed from the actual batch and keyed into the cache
+        es = bool(getattr(gb_sharded, "edges_sorted", True))
+        key = (strategy, mesh, axis, mean, es)
         if key not in self._train_fns:
+            kw = {}
             if strategy == "edge":
                 from gnn_tpu.models.composite import (
                     CompositeGNNSpec, make_composite_edge_sharded_train_step)
@@ -270,13 +275,14 @@ class GNNnodeBased(BaseModel):
                 builder = (make_composite_edge_sharded_train_step
                            if isinstance(self.spec, CompositeGNNSpec)
                            else make_edge_sharded_train_step)
+                kw["edges_sorted"] = es
             else:
                 from gnn_tpu.parallel.node_shard import \
                     make_node_sharded_train_step
                 builder = make_node_sharded_train_step
             self._train_fns[key] = builder(
                 self.spec, self.loss_function, self.loss_args,
-                self.optimizer_config, mesh, axis, mean=mean)
+                self.optimizer_config, mesh, axis, mean=mean, **kw)
         self.params, self.bn, self.opt_state, _ = self._train_fns[key](
             self.params, self.bn, self.opt_state, gb_sharded,
             self._next_rng())

@@ -515,12 +515,18 @@ class LGNN(BaseModel):
         """One optimizer step with every layer's propagation sharded across
         mesh[axis] (train(mesh=..., mesh_strategy='edge'|'node')): the whole
         stack runs inside one shard_map."""
-        key = (strategy, mesh, axis, mean)
+        # edges_sorted is static metadata inside the edge-sharded pspecs — a
+        # mismatched flag fails as an opaque pytree-structure error, so it
+        # is plumbed from the actual batch and keyed into the cache
+        es = bool(getattr(gb_sharded, "edges_sorted", True))
+        key = (strategy, mesh, axis, mean, es)
         if not hasattr(self, "_sh_fns"):
             self._sh_fns = {}
         if key not in self._sh_fns:
+            kw = {}
             if strategy == "edge":
                 builder = make_lgnn_edge_sharded_train_step
+                kw["edges_sorted"] = es
             else:
                 from gnn_tpu.parallel.node_shard import \
                     make_lgnn_node_sharded_train_step
@@ -529,7 +535,7 @@ class LGNN(BaseModel):
                 self._specs, self.loss_function, self.loss_args,
                 self.optimizer_config, mesh, axis, mean=mean,
                 get_state=self.get_state, get_output=self.get_output,
-                training_mode=self.training_mode or "parallel")
+                training_mode=self.training_mode or "parallel", **kw)
         params, bns, self.opt_state, _ = self._sh_fns[key](
             self._params(), self._bns(), self.opt_state, gb_sharded,
             self._next_rng())

@@ -475,3 +475,39 @@ def make_lgnn_node_sharded_train_step(specs, loss_name: str,
         return params, new_bns, opt_state, iters
 
     return step
+
+
+def make_lgnn_node_sharded_forward(specs, mesh: Mesh, axis: str = "graph",
+                                   get_state: bool = False,
+                                   get_output: bool = True):
+    """Node-sharded LGNN inference: the whole layer stack inside one
+    shard_map (reference LGNN.Loop, LGNN.py:263-290 — each layer's
+    propagation all_gathers + owner-computes, with the mid-stack
+    update_graph augmentation running on shard-local rows, _ns_update).
+    Returns a jitted fwd(params, bns, nb, rng) -> (iters [L], outs [L, Tp, DT])
+    so both LGNN.__call__ (last layer) and LGNN.predict(idx) semantics
+    (LGNN.py:172-198) can be served from one executable. This is the
+    BigGraphPredictor path for LGNN stacks on over-HBM graphs."""
+    d = mesh.shape[axis]
+    focus = specs[0].focus
+
+    def shard_fwd(params, bns, nb, rng):
+        rngs = jax.random.split(rng, len(specs))
+        iters, outs = [], []
+        cur = nb
+        for idx, sp in enumerate(specs):
+            it, out_rows, _, st, ent = _ns_forward(
+                sp, params[idx], bns[idx], cur, rngs[idx], False, axis,
+                with_entity=True)
+            iters.append(it)
+            outs.append(out_rows)
+            if idx + 1 < len(specs):
+                cur = _ns_update(nb, st, ent, get_state=get_state,
+                                 get_output=get_output, focus=sp.focus)
+        return jnp.stack(iters), jnp.stack(outs)
+
+    mapped = jax.shard_map(
+        shard_fwd, mesh=mesh,
+        in_specs=(P(), P(), _ns_pspecs(axis, d, focus), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(mapped)

