@@ -94,6 +94,8 @@ for k in SIZES:
     results[k] = {
         "p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
         "p90_ms": round(lat_ms[int(len(lat_ms) * 0.9)], 2),
+        "p99_ms": round(lat_ms[min(len(lat_ms) - 1,
+                                   int(len(lat_ms) * 0.99))], 2),
         "launch_ms": round(dev_ms, 2),
         "edges_last_req": int(edges),
         "graphs_per_s_p50": round(k / (lat_ms[len(lat_ms) // 2] / 1e3)),
@@ -103,5 +105,10 @@ for k in SIZES:
     }
     print(f"size {k:4d}: {json.dumps(results[k])}", flush=True)
 
-print(json.dumps({"metric": "serving_request_p50_ms", "by_size": results,
-                  "device": str(jax.devices()[0])}), flush=True)
+summary = {"metric": "serving_request_p50_ms", "by_size": results,
+           "hidden": HIDDEN, "device": str(jax.devices()[0])}
+print(json.dumps(summary), flush=True)
+out_path = os.environ.get("SERVING_OUT")
+if out_path:
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)

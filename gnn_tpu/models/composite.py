@@ -20,7 +20,9 @@ any scatter-based regrouping, branch-free, and fully static under jit. The
 convergence predicate, masked-scan dynamic iteration count and gradient
 semantics are identical to models/core.propagate.
 
-Requires state_dim == 0 semantics with a COMMON node-label width across types.
+Supports both state_dim == 0 (labels are the state) and state_dim > 0
+(random-normal state, labels appended to the step input — GNN.py:261-266;
+round 4) with a COMMON node-label width across types.
 Datasets whose types carry different feature widths work today by zero-padding
 each type's labels to the max width host-side (column j of type t is zero when
 t does not define feature j — the type's own state net simply learns zero
@@ -67,6 +69,10 @@ class CompositeGNNSpec:
     # 'ift' installs the implicit-function-theorem adjoint (models/ift.py)
     grad_mode: str = "unroll"
     ift_backward_iters: int = 20
+    # reference state_vect_dim (GNN.py:261-266): 0 = labels are the state;
+    # > 0 = random-normal state of that dim, labels concatenated as input
+    # (round 4 — family uniformity with the homogeneous model)
+    state_dim: int = 0
 
     def __post_init__(self):
         if self.focus not in ("n", "a", "g"):
@@ -83,6 +89,8 @@ class CompositeGNNSpec:
         if self.grad_mode == "ift" and any(s.dropout_rate for s in self.state_specs):
             raise ValueError("grad_mode='ift' requires dropout-free state nets "
                              "(per-iteration masks make the step non-stationary)")
+        if self.state_dim < 0 or not isinstance(self.state_dim, int):
+            raise TypeError("param <state_dim> must be int>=0")
 
     @property
     def n_types(self) -> int:
@@ -93,10 +101,6 @@ class CompositeGNNSpec:
     @property
     def state_spec(self) -> MLPSpec:
         return self.state_specs[0]
-
-    @property
-    def state_dim(self) -> int:
-        return 0  # composite layers use labels-are-the-state semantics
 
 
 def composite_init(spec: CompositeGNNSpec, rng: jax.Array, dtype=jnp.float32):
@@ -124,9 +128,30 @@ def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
     # state is never read — node_mask excludes them from the predicate)
     tmask = jax.nn.one_hot(gb.node_types, spec.n_types, dtype=gb.nodes.dtype)
 
-    state0 = gb.nodes
+    # rng split mirrors core.propagate (rng_init drawn even at state_dim==0)
+    # so the node-sharded path (_ns_forward) reproduces the stream exactly
+    rng, rng_init, rng_loop = jax.random.split(rng, 3)
+    sd = spec.state_dim
+    if sd > 0:
+        # GNN.py:261-266 semantics, as core.propagate: random-normal state,
+        # labels + constant aggregations appended to the step input
+        state0 = 0.1 * jax.random.normal(rng_init, (gb.n_node_pad, sd),
+                                         dtype=gb.nodes.dtype)
+        state0 = state0 * nm[:, None].astype(gb.nodes.dtype)
+        agg_nodes = (gb.agg_nodes_cache if gb.agg_nodes_cache is not None
+                     else agg_state(gb.nodes))
+        const_feats = jnp.concatenate([agg_nodes, agg_arcs], axis=1)
+
+        def step_input(state):
+            return jnp.concatenate(
+                [state, gb.nodes, agg_state(state), const_feats], axis=1)
+    else:
+        state0 = gb.nodes
+
+        def step_input(state):
+            return jnp.concatenate([state, agg_state(state), agg_arcs],
+                                   axis=1)
     state_old0 = jnp.ones_like(state0)
-    rng, rng_loop = jax.random.split(rng)
     step_rngs = jax.random.split(rng_loop, spec.max_iteration)
     thr = jnp.asarray(spec.threshold, dtype=jnp.float32)
 
@@ -135,7 +160,7 @@ def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
         moving = _moving_mask(state, state_old, thr) & nm
         active = active & jnp.any(moving)
 
-        inp = jnp.concatenate([state, agg_state(state), agg_arcs], axis=1)
+        inp = step_input(state)
         outs, new_bns = [], []
         for t in range(spec.n_types):
             o, b = mlp_apply(spec.state_specs[t], params_state[t], bn[t], inp,
@@ -158,7 +183,9 @@ def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
         # O(1)-memory adjoint: gradient-stop the scanned state, install the
         # implicit backward (exact at convergence) — mirrors core.propagate
         from gnn_tpu.models.ift import fixed_point_ift
-        consts = {"gb": gb, "bn": bn_out, "agg_arcs": agg_arcs, "tmask": tmask}
+        consts = {"gb": gb, "bn": bn_out, "agg_arcs": agg_arcs,
+                  "tmask": tmask,
+                  "extra": (const_feats if sd > 0 else None)}
         f = partial(_composite_ift_state_step, spec, training)
         state = fixed_point_ift(f, spec.ift_backward_iters, params_state,
                                 jax.lax.stop_gradient(state), consts)
@@ -170,7 +197,11 @@ def _composite_ift_state_step(spec: CompositeGNNSpec, training: bool,
     """One stationary application of the per-type state nets (IFT adjoint)."""
     gb = consts["gb"]
     agg_state, _ = make_agg_closures(spec, gb)
-    inp = jnp.concatenate([s, agg_state(s), consts["agg_arcs"]], axis=1)
+    if spec.state_dim > 0:
+        inp = jnp.concatenate([s, gb.nodes, agg_state(s), consts["extra"]],
+                              axis=1)
+    else:
+        inp = jnp.concatenate([s, agg_state(s), consts["agg_arcs"]], axis=1)
     out = 0.0
     for t in range(spec.n_types):
         o, _ = mlp_apply(spec.state_specs[t], params_state[t], consts["bn"][t],
@@ -189,8 +220,10 @@ def composite_forward(spec: CompositeGNNSpec, params, bn, gb: GraphBatch,
     rng, rng_prop, rng_out = jax.random.split(rng, 3)
     iters, state, bn_s = composite_propagate(spec, params["state"], bn["state"],
                                              gb, rng_prop, training)
-    # reuse the homogeneous readout by substituting an already-propagated
-    # state: build a single-iteration spec whose loop never runs
+    # node components for readout (GNN.py:245-248): state_dim>0 appends the
+    # node labels to the converged state
+    comp = (state if spec.state_dim == 0
+            else jnp.concatenate([state, gb.nodes], axis=1))
     emask = _core._entity_mask(gb)
     out_spec = spec.output_spec
     if gb.focus == "a":
@@ -198,7 +231,7 @@ def composite_forward(spec: CompositeGNNSpec, params, bn, gb: GraphBatch,
         # over the axis and the target-aligned gather runs on the
         # all-gathered per-arc outputs (models/core.py focus-'a' contract)
         arc_inp = jnp.concatenate(
-            [jnp.take(state, gb.src, axis=0), jnp.take(state, gb.dst, axis=0),
+            [jnp.take(comp, gb.src, axis=0), jnp.take(comp, gb.dst, axis=0),
              gb.arc_labels], axis=1)
         out_entity, bn_o = mlp_apply(out_spec, params["output"], bn["output"],
                                      arc_inp, training=training, rng=rng_out,
@@ -210,7 +243,7 @@ def composite_forward(spec: CompositeGNNSpec, params, bn, gb: GraphBatch,
         out_rows = jnp.take(ent, gb.out_index, axis=0)
     else:
         out_entity, bn_o = mlp_apply(out_spec, params["output"], bn["output"],
-                                     state, training=training, rng=rng_out,
+                                     comp, training=training, rng=rng_out,
                                      stat_mask=emask)
         if gb.focus == "g":
             weighted = out_entity * (gb.pool_w * gb.node_mask.astype(out_entity.dtype))[:, None]

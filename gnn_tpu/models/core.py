@@ -397,12 +397,15 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
         fused_train2 = (training and not use_fused and base_ok
                         and _sft2(spec.state_spec))
         # BN-on training (the reference DEFAULT config, MLP.py:13,63): the
-        # custom-VJP per-iteration kernel chain with in-XLA moment glue
-        if (training and not use_fused and eligible
+        # custom-VJP per-iteration kernel chain with in-XLA moment glue —
+        # 1-layer (bn1) and hidden-layer 2-dense (bn2, round 4) state nets
+        if (training and not use_fused and base_ok
                 and spec.state_spec.batch_normalization
                 and _os.environ.get("GNN_TPU_FUSED_BN", "1") != "0"):
-            from gnn_tpu.ops.pallas_bn import supports_fused_bn_train
-            fused_bn = supports_fused_bn_train(spec.state_spec)
+            from gnn_tpu.ops.pallas_bn import (supports_fused_bn2_train,
+                                               supports_fused_bn_train)
+            fused_bn = (supports_fused_bn_train(spec.state_spec)
+                        or supports_fused_bn2_train(spec.state_spec))
     if use_fused or fused_train or fused_train2 or spec.aggregation == "fused":
         from gnn_tpu.ops.pallas_fused import (_ACTS, FUSABLE_ACTIVATIONS,
                                               _drop_coeffs,
@@ -450,12 +453,17 @@ def propagate(spec: GNNSpec, params_state, bn_state, gb: GraphBatch,
             # 2-layer: eval fuses (dropout inactive, BN affine fuses);
             # dropout TRAINING rides the looped 2-layer training kernel when
             # the batch has the loop/dep split (fused_layout); BN training
-            # falls back to the XLA body below
+            # rides the 2-layer BN kernel chain (round 4)
             use_fused = supports_fused2(spec.state_spec, training)
             fused_train2 = (training and not use_fused
                             and spec.grad_mode != "ift"
                             and gb.adj_loop is not None
                             and supports_fused2_train(spec.state_spec))
+            if (training and not use_fused and not fused_train2
+                    and spec.grad_mode != "ift"
+                    and _os.environ.get("GNN_TPU_FUSED_BN", "1") != "0"):
+                from gnn_tpu.ops.pallas_bn import supports_fused_bn2_train
+                fused_bn = supports_fused_bn2_train(spec.state_spec)
     if fused_bn:
         # reference-default BN-on training: per-iteration kernel chain with
         # global-moment glue (ops/pallas_bn.py), exact XLA-body semantics
@@ -1186,3 +1194,44 @@ def make_eval_step(spec: GNNSpec, loss_name: str, loss_args: Optional[dict]):
         return _eval_impl(spec, params, bn, gb, rng, loss_name=loss_name,
                           loss_args_t=loss_args_t, training=training)
     return step
+
+
+@partial(jax.jit, static_argnames=("spec", "loss_name", "loss_args_t",
+                                   "n_steps"))
+def _eval_loop_impl(spec, params, bn, gb, rng, *, loss_name, loss_args_t,
+                    n_steps):
+    keys = jax.random.split(rng, n_steps)
+
+    def body(c, key):
+        # chain a runtime data dependency through the scan so XLA cannot
+        # hoist the loop-invariant forward out and compute it once: c is
+        # the previous step's output sum scaled to ~1e-38 — adding it to
+        # O(1) node labels is an exact float no-op, but its VALUE is
+        # runtime data, so every scan step must execute the real forward
+        gbi = gb.replace(nodes=gb.nodes + c)
+        iters, loss, res = evaluate_single(spec, params, bn, gbi, key,
+                                           loss_name, dict(loss_args_t),
+                                           training=False)
+        c_next = (jnp.sum(res["out"]).astype(gb.nodes.dtype)
+                  * jnp.asarray(1e-38, gb.nodes.dtype))
+        return c_next, (iters, loss)
+
+    _, (iters, losses) = jax.lax.scan(body,
+                                      jnp.zeros((), gb.nodes.dtype), keys)
+    return iters, losses
+
+
+def make_eval_loop(spec: GNNSpec, loss_name: str, loss_args: Optional[dict],
+                   n_steps: int = 1):
+    """Build a jitted MULTI-EVAL forward: n_steps chained inference passes on
+    one batch per device dispatch — the symmetric counterpart of
+    make_train_loop, so forward and training throughput are measured the
+    same way (pure device time, no per-dispatch host/tunnel latency in the
+    loop). Returns (iters[n_steps], losses[n_steps])."""
+    loss_args_t = tuple(sorted((loss_args or {}).items()))
+
+    def run(params, bn, gb, rng):
+        return _eval_loop_impl(spec, params, bn, gb, rng,
+                               loss_name=loss_name, loss_args_t=loss_args_t,
+                               n_steps=n_steps)
+    return run

@@ -319,7 +319,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
                  extra_metrics_arguments: Optional[dict] = None,
                  path_writer: str = "writer/", namespace: str = "CompositeGNN",
                  aggregation: str = "auto", grad_mode: str = "unroll",
-                 ift_backward_iters: int = 20, seed: Optional[int] = None,
+                 ift_backward_iters: int = 20, state_dim: int = 0,
+                 seed: Optional[int] = None,
                  dtype=jnp.float32) -> None:
         from gnn_tpu.models.composite import (CompositeGNNSpec, composite_init,
                                               make_composite_full_eval)
@@ -334,7 +335,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
             focus=self._focus, state_specs=net_states, output_spec=net_output,
             max_iteration=int(max_iteration), threshold=float(threshold),
             aggregation=aggregation, grad_mode=grad_mode,
-            ift_backward_iters=int(ift_backward_iters))
+            ift_backward_iters=int(ift_backward_iters),
+            state_dim=int(state_dim))
         self.seed = seed
         self.dtype = dtype
         self._rng = jax.random.key(np.random.randint(2 ** 31) if seed is None else seed)
@@ -370,7 +372,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
             extra_metrics=self.extra_metrics, extra_metrics_arguments=self.mt_args,
             path_writer=path_writer, namespace=namespace,
             aggregation=self.spec.aggregation, grad_mode=self.spec.grad_mode,
-            ift_backward_iters=self.spec.ift_backward_iters, dtype=self.dtype)
+            ift_backward_iters=self.spec.ift_backward_iters,
+            state_dim=self.spec.state_dim, dtype=self.dtype)
         if copy_weights:
             new.params = jax.tree_util.tree_map(jnp.array, self.params)
             new.bn = jax.tree_util.tree_map(jnp.array, self.bn)
@@ -392,7 +395,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
                   "addressed_problem": self.addressed_problem,
                   "aggregation": self.spec.aggregation,
                   "grad_mode": self.spec.grad_mode,
-                  "ift_backward_iters": self.spec.ift_backward_iters}
+                  "ift_backward_iters": self.spec.ift_backward_iters,
+                  "state_dim": self.spec.state_dim}
         with open(f"{path}config.json", "w") as f:
             json.dump(config, f)
         tree_to_npz(f"{path}params.npz", self.params)
@@ -423,6 +427,7 @@ class CompositeGNNnodeBased(GNNnodeBased):
                       aggregation=config.pop("aggregation", "auto"),
                       grad_mode=config.pop("grad_mode", "unroll"),
                       ift_backward_iters=config.pop("ift_backward_iters", 20),
+                      state_dim=config.pop("state_dim", 0),
                       extra_metrics=extra_metrics,
                       extra_metrics_arguments=extra_metrics_arguments,
                       path_writer=path_writer, namespace=namespace)

@@ -571,3 +571,128 @@ class TestTypedLabels:
         _, _, targs, outs = m.evaluate_single_graph(batch, training=False)
         acc = float((targs.argmax(1) == outs.argmax(1)).mean())
         assert acc > 0.9, acc
+
+
+class TestCompositeStateDim:
+    """state_dim > 0 for the composite family (round 4 — family uniformity
+    with the homogeneous model; reference GNN.py:261-266 semantics)."""
+
+    def _sd_specs(self, nl=3, al=2, dt=2, sd=4, focus="n"):
+        ss = MLPSpec(input_dim=2 * (nl + sd) + al, units=(sd,),
+                     activations="tanh", kernel_initializer="glorot_normal",
+                     bias_initializer="glorot_normal",
+                     batch_normalization=False)
+        o_in = {"n": nl + sd, "g": nl + sd, "a": 2 * (nl + sd) + al}[focus]
+        os_ = MLPSpec(input_dim=o_in, units=(dt,), activations="softmax",
+                      kernel_initializer="glorot_normal",
+                      bias_initializer="glorot_normal",
+                      batch_normalization=False)
+        return ss, os_
+
+    def test_shared_weights_equal_homogeneous_sd(self, rng):
+        """Identical per-type weights at state_dim>0 must reproduce the
+        homogeneous state_dim>0 model (shared rng stream incl. the random
+        state0 draw)."""
+        g = het_graph(rng, n_types=3)
+        gb = GraphBatch.from_graph(g)
+        ss, os_ = self._sd_specs()
+        hspec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                        state_dim=4, max_iteration=4, threshold=0.01,
+                        aggregation="segment")
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss, ss),
+                                 output_spec=os_, state_dim=4,
+                                 max_iteration=4, threshold=0.01,
+                                 aggregation="segment")
+        hp, hb = gnn_init(hspec, jax.random.key(0))
+        cp = {"state": (hp["state"],) * 3, "output": hp["output"]}
+        cb = {"state": (hb["state"],) * 3, "output": hb["output"]}
+        hr = gnn_forward(hspec, hp, hb, gb, jax.random.key(1))
+        cr = composite_forward(cspec, cp, cb, gb, jax.random.key(1))
+        assert float(hr["iters"]) == float(cr["iters"])
+        np.testing.assert_allclose(np.asarray(cr["state"]),
+                                   np.asarray(hr["state"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cr["out"]),
+                                   np.asarray(hr["out"]), atol=1e-6)
+
+    @pytest.mark.parametrize("focus", ["n", "a", "g"])
+    def test_segment_vs_blocked_paths_agree(self, rng, focus):
+        from gnn_tpu.graphs.batch import from_graphs_blocked
+        gs = [het_graph(rng, n=int(rng.integers(10, 20)), e=40, focus=focus)
+              for _ in range(5)]
+        merged = Graph.merge(gs, focus=focus, aggregation_mode="average")
+        gb_seg = GraphBatch.from_graph(merged)
+        gb_blk = from_graphs_blocked(gs, block_w=16, focus=focus,
+                                     aggregation_mode="average")
+        ss, os_ = self._sd_specs(focus=focus)
+        # state0 is drawn over the padded node geometry, which differs
+        # between containers — inject a shared state by comparing through
+        # the same container geometry instead: use the blocked pads twice
+        cspec = CompositeGNNSpec(focus=focus, state_specs=(ss, ss),
+                                 output_spec=os_, state_dim=4,
+                                 max_iteration=4, threshold=0.01,
+                                 aggregation="segment")
+        params, bn = composite_init(cspec, jax.random.key(0))
+        import dataclasses
+        r_s = composite_forward(
+            dataclasses.replace(cspec, aggregation="segment"),
+            params, bn, gb_blk, jax.random.key(2))
+        r_b = composite_forward(
+            dataclasses.replace(cspec, aggregation="blocked"),
+            params, bn, gb_blk, jax.random.key(2))
+        assert float(r_s["iters"]) == float(r_b["iters"])
+        np.testing.assert_allclose(np.asarray(r_s["out"]),
+                                   np.asarray(r_b["out"]), atol=1e-4)
+
+    def test_node_sharded_sd_matches_single_device(self, rng):
+        from gnn_tpu.parallel import make_mesh
+        from gnn_tpu.parallel.node_shard import (make_node_sharded_train_step,
+                                                 shard_nodes)
+        g = het_graph(rng, n=100, e=400)
+        gb = GraphBatch.from_graph(g, node_pad=128, edge_pad=512,
+                                   target_pad=128)
+        ss, os_ = self._sd_specs()
+        cspec = CompositeGNNSpec(focus="n", state_specs=(ss, ss),
+                                 output_spec=os_, state_dim=4,
+                                 max_iteration=4, threshold=0.01,
+                                 aggregation="segment")
+        params, bn = composite_init(cspec, jax.random.key(0))
+        mesh = make_mesh({"graph": 8})
+        nb = shard_nodes(gb, mesh)
+        sgd = optimizer_config("sgd", learning_rate=1.0)
+        ns = make_node_sharded_train_step(cspec, "mse", None, sgd, mesh,
+                                          mean=False)
+        ref = make_composite_train_step(cspec, "mse", None, sgd, mean=False)
+        rk = jax.random.key(3)
+        p_ns, _, _, it_ns = ns(params, bn, make_optimizer(sgd).init(params),
+                               nb, rk)
+        p_rf, _, _, it_rf = ref(params, bn, make_optimizer(sgd).init(params),
+                                gb, rk)
+        assert float(it_ns) == float(it_rf)
+        for (kp, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(p_ns),
+                jax.tree_util.tree_leaves_with_path(p_rf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, err_msg=str(kp))
+
+    def test_model_class_save_load_preserves_state_dim(self, rng, tmp_path):
+        from gnn_tpu import CompositeGNNnodeBased
+        ss, os_ = self._sd_specs()
+        m = CompositeGNNnodeBased(
+            net_states=(ss, ss), net_output=os_,
+            optimizer={"name": "adam", "kwargs": {"learning_rate": 1e-3}},
+            loss_function="mse", loss_arguments=None,
+            max_iteration=4, threshold=0.01, state_dim=4,
+            path_writer=str(tmp_path / "w") + "/", seed=0)
+        assert m.spec.state_dim == 4
+        g = het_graph(rng)
+        gb = GraphBatch.from_graph(g)
+        m.train(gb, 2, verbose=0)
+        m.save(str(tmp_path / "m"))
+        m2 = CompositeGNNnodeBased.load(str(tmp_path / "m"),
+                                        path_writer=str(tmp_path / "w2") + "/")
+        assert m2.spec.state_dim == 4
+        r1 = composite_forward(m.spec, m.params, m.bn, gb, jax.random.key(5))
+        r2 = composite_forward(m2.spec, m2.params, m2.bn, gb,
+                               jax.random.key(5))
+        np.testing.assert_allclose(np.asarray(r2["out"]),
+                                   np.asarray(r1["out"]), atol=1e-6)

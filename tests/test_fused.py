@@ -655,22 +655,27 @@ class TestTwoLayerTrainingLoop:
             np.testing.assert_allclose(np.asarray(r_f["state"]),
                                        np.asarray(r_x["state"]), atol=1e-4)
 
-    def test_bn_dropout_two_layer_keeps_xla_body(self, rng):
-        """BN + dropout 2-layer training must NOT dispatch (BN moments are a
-        global per-iteration reduction; no per-step 2-layer fallback)."""
+    def test_bn_dropout_two_layer_dispatches_bn2(self, rng):
+        """BN + dropout 2-layer training dispatches the round-4 bn2 kernel
+        chain (ops/pallas_bn.py fused_bn2_train_loop) — exact vs the XLA
+        body at the kernels' hi/lo rounding class."""
         gb, gbf, spec, params, bnst = hybrid_workload2(rng, bn=True)
         base = self._dropout_spec(spec)
         params2, bn2 = gnn_init(base, jax.random.key(0))
         jx = str(jax.make_jaxpr(
             lambda p: gnn_forward(base, p, bn2, gbf, jax.random.key(5),
                                   training=True))(params2))
-        assert "pallas" not in jx
-        r_x = gnn_forward(base, params2, bn2, gb, jax.random.key(5),
-                          training=True)
-        r_f = gnn_forward(base, params2, bn2, gbf, jax.random.key(5),
-                          training=True)
+        assert "pallas" in jx
+        import dataclasses as _dc
+        xla = _dc.replace(base, aggregation="blocked")
+        with jax.default_matmul_precision("highest"):
+            r_x = gnn_forward(xla, params2, bn2, gbf, jax.random.key(5),
+                              training=True)
+            r_f = gnn_forward(base, params2, bn2, gbf, jax.random.key(5),
+                              training=True)
+        assert float(r_f["iters"]) == float(r_x["iters"])
         np.testing.assert_allclose(np.asarray(r_f["state"]),
-                                   np.asarray(r_x["state"]), atol=1e-6)
+                                   np.asarray(r_x["state"]), atol=2e-4)
 
 
 class TestGradSafety:
@@ -807,6 +812,110 @@ class TestBNKernelLoop:
         assert float(r_f["iters"]) == float(r_x["iters"])
         np.testing.assert_allclose(np.asarray(r_f["state"]),
                                    np.asarray(r_x["state"]), atol=2e-4)
+
+
+class TestBN2KernelLoop:
+    """ops/pallas_bn.py 2-LAYER BN training chain (round 4, VERDICT r3
+    missing #2): the reference's default trailing-BN config with a hidden
+    dense layer (MLP.py:13,29-64 — e.g. the hidden-150 accuracy recipe with
+    BN on). Exactness vs the XLA body incl. gradients, moving statistics,
+    and the realised iteration count."""
+
+    def _pair(self, rng, dropout, fused_layout=True):
+        gs = [random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
+                           rng=rng) for _ in range(12)]
+        gs.insert(3, random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng))
+        gbf = from_graphs_blocked(gs, block_w=32, focus="g",
+                                  fused_layout=fused_layout)
+        kw = (dict(dropout_rate=(0.15,), dropout_pos=(0,), alphadropout=True)
+              if dropout else {})
+        ss = MLPSpec(input_dim=13, units=(16, 5), activations="selu",
+                     kernel_initializer="lecun_normal",
+                     bias_initializer="lecun_normal",
+                     batch_normalization=True, **kw)
+        os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        spec = GNNSpec(focus="g", state_spec=ss, output_spec=os_,
+                       max_iteration=4, threshold=0.01, aggregation="auto")
+        params, bnst = gnn_init(spec, jax.random.key(0))
+        return gbf, spec, params, bnst
+
+    @pytest.mark.parametrize("dropout", [False, True])
+    def test_forward_and_bn_state_match_xla_body(self, rng, dropout):
+        gbf, spec, params, bnst = self._pair(rng, dropout)
+        key = jax.random.key(7)
+        jx = str(jax.make_jaxpr(lambda p: gnn_forward(
+            spec, p, bnst, gbf, key, training=True))(params))
+        assert "pallas" in jx
+        xla = dataclasses.replace(spec, aggregation="blocked")
+        with jax.default_matmul_precision("highest"):
+            r_f = gnn_forward(spec, params, bnst, gbf, key, training=True)
+            r_x = gnn_forward(xla, params, bnst, gbf, key, training=True)
+        assert float(r_f["iters"]) == float(r_x["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=2e-4)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(r_f["bn"]["state"][k]),
+                                       np.asarray(r_x["bn"]["state"][k]),
+                                       atol=1e-5)
+
+    @pytest.mark.parametrize("dropout", [False, True])
+    def test_grads_match_xla_body(self, rng, dropout):
+        from gnn_tpu.models.core import evaluate_single
+        gbf, spec, params, bnst = self._pair(rng, dropout)
+        key = jax.random.key(7)
+        xla = dataclasses.replace(spec, aggregation="blocked")
+
+        def lg(sp):
+            def f(p):
+                _, l, _ = evaluate_single(sp, p, bnst, gbf, key, "mse", {},
+                                          training=True)
+                return l
+            with jax.default_matmul_precision("highest"):
+                return jax.grad(f)(params)
+
+        g_f, g_x = lg(spec), lg(xla)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
+    def test_dynamic_iteration_count_and_snapshot(self, rng):
+        gbf, spec, params, bnst = self._pair(rng, dropout=True)
+        key = jax.random.key(5)
+        xla = dataclasses.replace(spec, aggregation="blocked")
+        for th in (0.4, 1.5, 1e9):
+            b = dataclasses.replace(spec, threshold=th, max_iteration=6)
+            x = dataclasses.replace(xla, threshold=th, max_iteration=6)
+            with jax.default_matmul_precision("highest"):
+                r_f = gnn_forward(b, params, bnst, gbf, key, training=True)
+                r_x = gnn_forward(x, params, bnst, gbf, key, training=True)
+            assert float(r_f["iters"]) == float(r_x["iters"])
+            np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                       np.asarray(r_x["state"]), atol=2e-4)
+
+    def test_explicit_fused_dispatches_bn2(self, rng):
+        gbf, spec, params, bnst = self._pair(rng, dropout=True,
+                                             fused_layout=False)
+        fused = dataclasses.replace(spec, aggregation="fused")
+        xla = dataclasses.replace(spec, aggregation="blocked")
+        key = jax.random.key(9)
+        jx = str(jax.make_jaxpr(lambda p: gnn_forward(
+            fused, p, bnst, gbf, key, training=True))(params))
+        assert "pallas" in jx
+        with jax.default_matmul_precision("highest"):
+            r_f = gnn_forward(fused, params, bnst, gbf, key, training=True)
+            r_x = gnn_forward(xla, params, bnst, gbf, key, training=True)
+        assert float(r_f["iters"]) == float(r_x["iters"])
+        np.testing.assert_allclose(np.asarray(r_f["state"]),
+                                   np.asarray(r_x["state"]), atol=2e-4)
+
+    def test_kill_switch_keeps_xla_body(self, rng, monkeypatch):
+        monkeypatch.setenv("GNN_TPU_FUSED_BN", "0")
+        gbf, spec, params, bnst = self._pair(rng, dropout=True)
+        jx = str(jax.make_jaxpr(lambda p: gnn_forward(
+            spec, p, bnst, gbf, jax.random.key(2), training=True))(params))
+        assert "pallas" not in jx
 
 
 class TestStateDimKernels:

@@ -25,9 +25,24 @@ core.propagate plus the stacked/heterogeneous families:
   lgnn       2-3 layer stacks, serial-augmentation geometry via
              update_graph_batch, parallel/residual loss formulations
   composite  heterogeneous per-type state nets on typed graphs
+  shard      (round 4) single-GNN SHARDED training steps on the virtual
+             8-device mesh: edge- and node-sharded optimizer steps vs the
+             single-device step (parallel/edge_shard.py, node_shard.py) —
+             randomized focus/activations/BN/state_dim/threshold
+  lgnn_shard (round 4) LGNN stacks through the edge-/node-sharded
+             whole-stack steps vs the single-device _lgnn_train_impl
+  dp         (round 4) data-parallel step vs the mean-of-per-batch-grads
+             single-device equivalent
+
+Strict-regime policy (round 4): 80% of gnn/lgnn trials rescale their drawn
+state-net weights until the fixed-point map is observed-contractive
+(max |state| <= 20 on a dry forward), so the strict tolerances apply; the
+rest keep raw draws to deliberately cover the exploding regime. The summary
+line reports the strict/loose split and the loose reasons.
 
 Run: python tools/fuzz_parity.py            (N=40 trials by default)
-Env: FUZZ_N=200  FUZZ_SEED=0  FUZZ_KINDS=gnn,lgnn,composite
+Env: FUZZ_N=200  FUZZ_SEED=0
+     FUZZ_KINDS=gnn,lgnn,composite,shard,lgnn_shard,dp
 """
 
 import os
@@ -40,6 +55,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)   # sharded kinds need a mesh
 
 import dataclasses
 
@@ -54,7 +70,8 @@ from gnn_tpu.ops.mlp import MLPSpec
 
 N = int(os.environ.get("FUZZ_N", "40"))
 SEED = int(os.environ.get("FUZZ_SEED", "0"))
-KINDS = os.environ.get("FUZZ_KINDS", "gnn,lgnn,composite").split(",")
+KINDS = os.environ.get(
+    "FUZZ_KINDS", "gnn,lgnn,composite,shard,lgnn_shard,dp").split(",")
 ACTS = ("tanh", "relu", "selu", "linear")
 
 
@@ -107,7 +124,33 @@ def build_trial(seed: int):
                                  aggregation_mode=merged.aggregation_mode,
                                  fused_layout=True)
     params, bnst = gnn_init(spec, jax.random.key(seed))
+    params = _normalize_weights(rng, spec, params, bnst, gb_seg)
     return spec, params, bnst, gb_seg, gb_blk, gb_fus
+
+
+def _normalize_weights(rng, spec, params, bnst, gb, key_name="state"):
+    """Strict-regime weight normalization (round 4, VERDICT r3 weak #2):
+    unnormalized glorot draws make non-contractive state maps COMMON (sum
+    aggregation multiplies by in-degree), pushing most trials into the
+    loose tolerance bands where a real VJP bug could hide behind a 10%
+    sanity check. 80% of trials halve the state-net weights until a dry
+    eval forward observes max|state| <= 20 (strict territory); the other
+    20% keep the raw draw so the exploding regime stays covered."""
+    if rng.random() >= 0.8:
+        return params
+    sp = dataclasses.replace(spec, aggregation="segment")
+    for _ in range(6):
+        r = gnn_forward(sp, params, bnst, gb, jax.random.key(0),
+                        training=False)
+        scale = float(np.max(np.abs(np.asarray(r["state"],
+                                               dtype=np.float32))))
+        if not np.isfinite(scale) or scale > 20.0:
+            params = dict(params)
+            params[key_name] = jax.tree_util.tree_map(
+                lambda x: x * 0.5, params[key_name])
+        else:
+            break
+    return params
 
 
 _DISCONTINUOUS_ACTS = ("relu", "selu")  # derivative jumps at x == 0
@@ -173,6 +216,17 @@ def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0,
     flip_risk = branch_margin < rounding_rel * max(1.0, state_scale)
     if flip_risk:
         atol_out = max(atol_out, 5e-2 if atol >= 1e-2 else 2e-2)
+    # regime bookkeeping (round 4): which trials were STRICTLY checked —
+    # reported per campaign so loosened bands are visible, not silent
+    loose_reasons = []
+    if flip_risk:
+        loose_reasons.append("flip_risk")
+    if state_scale > 50.0:
+        loose_reasons.append("exploding")
+    if ift:
+        loose_reasons.append("ift")
+    if atol >= 1e-2:
+        loose_reasons.append("bf16")
     # implicit-adjoint trials: the Neumann solve (I - J^T)^-1 amplifies
     # forward rounding by 1/(1-rho); near-unit spectral radius turned the
     # kernels' 3.7e-5 forward rounding into a systematic 0.57% grad shift
@@ -218,6 +272,7 @@ def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0,
                 g_atol = max(g_atol, 1e-3 * max(state_scale, tree_scale))
             np.testing.assert_allclose(b, a, rtol=g_rtol, atol=g_atol,
                                        err_msg=f"grads {name} vs {ref}")
+    return loose_reasons
 
 
 def run_trial(seed: int, training: bool):
@@ -259,8 +314,8 @@ def run_trial(seed: int, training: bool):
         with _MarginSpy() as spy:
             gnn_forward(sp0, params, bnst, gb0, key, training=training)
         margin = spy.margin
-    _compare(paths, outs, iters, grads, atol, rtol, state_scale,
-             branch_margin=margin, ift=spec.grad_mode == "ift")
+    return _compare(paths, outs, iters, grads, atol, rtol, state_scale,
+                    branch_margin=margin, ift=spec.grad_mode == "ift")
 
 
 def build_lgnn_trial(seed: int):
@@ -312,6 +367,23 @@ def build_lgnn_trial(seed: int):
     pb = [gnn_init(sp, k) for sp, k in zip(specs, keys)]
     params = tuple(p for p, _ in pb)
     bns = tuple(b for _, b in pb)
+    # strict-regime normalization for the stack: explosion compounds across
+    # layers — halve every layer's state net until the full stack's state
+    # is observed-contractive (same 80/20 policy as _normalize_weights)
+    if rng.random() < 0.8:
+        sps = tuple(dataclasses.replace(sp, aggregation="segment")
+                    for sp in specs)
+        for _ in range(6):
+            _, _, st, _ = lgnn_forward(sps, params, bns, gb_seg,
+                                       jax.random.key(0), False,
+                                       get_state, get_output)
+            scale = float(np.max(np.abs(np.asarray(st, dtype=np.float32))))
+            if not np.isfinite(scale) or scale > 20.0:
+                params = tuple(
+                    {**p, "state": jax.tree_util.tree_map(
+                        lambda x: x * 0.5, p["state"])} for p in params)
+            else:
+                break
     return (tuple(specs), params, bns, gb_seg, gb_blk, gb_fus, get_state,
             get_output, tmode, _lgnn_loss, lgnn_forward)
 
@@ -347,8 +419,8 @@ def run_lgnn_trial(seed: int, training: bool):
         with _MarginSpy() as spy:
             lgnn_forward(sps0, params, bns, gb0, key, training, gst, gout)
         margin = spy.margin
-    _compare(paths, outs, iters, grads, 2e-4, 5e-3, state_scale,
-             branch_margin=margin)
+    return _compare(paths, outs, iters, grads, 2e-4, 5e-3, state_scale,
+                    branch_margin=margin)
 
 
 def build_composite_trial(seed: int):
@@ -417,18 +489,203 @@ def run_composite_trial(seed: int, training: bool):
         with _MarginSpy() as spy:
             cfwd(sp0, params, bnst, gb0, key, training=training)
         margin = spy.margin
-    _compare(paths, outs, iters, grads, 2e-4, 5e-3, state_scale,
-             branch_margin=margin)
+    return _compare(paths, outs, iters, grads, 2e-4, 5e-3, state_scale,
+                    branch_margin=margin)
+
+
+_MESHES = {}
+
+
+def _mesh8(axis):
+    if axis not in _MESHES:
+        from gnn_tpu.parallel import make_mesh
+        _MESHES[axis] = make_mesh({axis: 8})
+    return _MESHES[axis]
+
+
+def _tree_assert_close(a, b, label, atol_rel=1e-4):
+    scale = max([1.0] + [float(np.max(np.abs(np.asarray(l))))
+                         for l in jax.tree_util.tree_leaves(a)
+                         if np.asarray(l).size])
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   atol=atol_rel * scale,
+                                   err_msg=label)
+
+
+def build_shard_trial(seed: int):
+    """Randomized single-GNN config for the SHARDED training-step kinds:
+    no dropout (mask streams are deliberately decorrelated across shards —
+    parallel/node_shard.py fold_in), everything else drawn like build_trial:
+    focus, 1/2-layer nets, activations, BN, state_dim, threshold."""
+    rng = np.random.default_rng(seed)
+    focus = rng.choice(["n", "a", "g"])
+    nl, al, dt = int(rng.integers(2, 6)), int(rng.integers(1, 3)), 2
+    gs = [random_graph(int(rng.integers(8, 24)), nl, al, dt, 0.4,
+                       focus=focus, rng=rng)
+          for _ in range(int(rng.integers(4, 9)))]
+    two = bool(rng.random() < 0.4)
+    sd = int(rng.choice([0, 0, 2]))
+    bn = bool(rng.random() < 0.3)
+    out_dim = sd if sd else nl
+    units = (int(rng.integers(5, 16)), out_dim) if two else (out_dim,)
+    acts = tuple(rng.choice(ACTS) for _ in units)
+    ss = MLPSpec(input_dim=2 * (nl + sd) + al, units=units,
+                 activations=acts, kernel_initializer="glorot_normal",
+                 bias_initializer="glorot_normal", batch_normalization=bn)
+    comp = nl + sd if sd else nl
+    o_in = {"n": comp, "g": comp, "a": 2 * comp + al}[focus]
+    os_ = MLPSpec(input_dim=o_in, units=(dt,), activations="softmax",
+                  batch_normalization=False)
+    spec = GNNSpec(focus=focus, state_spec=ss, output_spec=os_,
+                   state_dim=sd, max_iteration=int(rng.integers(3, 6)),
+                   threshold=float(rng.choice([0.0, 0.01, 0.5])),
+                   aggregation="segment")
+    merged = Graph.merge(gs, focus=focus, aggregation_mode=str(
+        rng.choice(["sum", "normalized", "average"])))
+    tp = 4096 if focus == "a" else 256
+    gb = GraphBatch.from_graph(merged, node_pad=256, edge_pad=4096,
+                               target_pad=tp)
+    params, bnst = gnn_init(spec, jax.random.key(seed))
+    params = _normalize_weights(rng, spec, params, bnst, gb)
+    return spec, params, bnst, gb
+
+
+def run_shard_trial(seed: int, training: bool):
+    """training=False -> edge-sharded step, training=True -> node-sharded
+    step (the flag repurposed as the strategy axis: sharded steps are
+    always training-mode). Exact vs the single-device optimizer step."""
+    from gnn_tpu.models.core import make_train_step
+    from gnn_tpu.training.optimizers import make_optimizer, optimizer_config
+    strategy = "node" if training else "edge"
+    spec, params, bnst, gb = build_shard_trial(seed)
+    mesh = _mesh8("graph")
+    sgd = optimizer_config("sgd", learning_rate=1.0)
+    o0 = make_optimizer(sgd).init(params)
+    rk = jax.random.key(seed + 2)
+    if strategy == "edge":
+        from gnn_tpu.parallel.edge_shard import (make_edge_sharded_train_step,
+                                                 shard_edges)
+        step = make_edge_sharded_train_step(spec, "mse", None, sgd, mesh,
+                                            mean=True)
+        sh = shard_edges(gb, mesh)
+    else:
+        from gnn_tpu.parallel.node_shard import (make_node_sharded_train_step,
+                                                 shard_nodes)
+        step = make_node_sharded_train_step(spec, "mse", None, sgd, mesh,
+                                            mean=True)
+        sh = shard_nodes(gb, mesh)
+    p_s, bn_s, _, it_s = step(params, bnst, o0, sh, rk)
+    ref = make_train_step(spec, "mse", None, sgd, mean=True)
+    p_r, bn_r, _, it_r = ref(params, bnst, o0, gb, rk)
+    if float(np.asarray(it_s)) != float(np.asarray(it_r)):
+        raise AssertionError(
+            f"iters mismatch {strategy}={float(np.asarray(it_s))} "
+            f"vs single={float(np.asarray(it_r))}")
+    _tree_assert_close(p_r, p_s, f"params {strategy}-sharded vs single")
+    _tree_assert_close(bn_r, bn_s, f"bn state {strategy}-sharded vs single")
+    return []
+
+
+def run_lgnn_shard_trial(seed: int, training: bool):
+    """LGNN stacks through the whole-stack sharded steps (training=False ->
+    edge, True -> node) vs the single-device _lgnn_train_impl."""
+    from gnn_tpu.models.lgnn import (_lgnn_train_impl,
+                                     make_lgnn_edge_sharded_train_step)
+    from gnn_tpu.parallel.node_shard import (
+        make_lgnn_node_sharded_train_step, shard_nodes)
+    from gnn_tpu.parallel.edge_shard import shard_edges
+    from gnn_tpu.training.optimizers import (freeze_config, make_optimizer,
+                                             optimizer_config)
+    strategy = "node" if training else "edge"
+    (specs, params, bns, gb_seg, _, _, gst, gout, tmode,
+     _, _) = build_lgnn_trial(seed)
+    specs = tuple(dataclasses.replace(sp, aggregation="segment")
+                  for sp in specs)
+    mesh = _mesh8("graph")
+    sgd = optimizer_config("sgd", learning_rate=1.0)
+    o0 = make_optimizer(sgd).init(params)
+    rk = jax.random.key(seed + 2)
+    if strategy == "edge":
+        step = make_lgnn_edge_sharded_train_step(
+            specs, "mse", None, sgd, mesh, mean=True, get_state=gst,
+            get_output=gout, training_mode=tmode)
+        sh = shard_edges(gb_seg, mesh)
+    else:
+        step = make_lgnn_node_sharded_train_step(
+            specs, "mse", None, sgd, mesh, mean=True, get_state=gst,
+            get_output=gout, training_mode=tmode)
+        sh = shard_nodes(gb_seg, mesh)
+    p_s, _, _, it_s = step(params, bns, o0, sh, rk)
+    p_r, _, _, it_r = _lgnn_train_impl(
+        specs, params, bns, o0, gb_seg, rk, loss_name="mse", loss_args_t=(),
+        optimizer=freeze_config(sgd), mean=True, get_state=gst,
+        get_output=gout, training_mode=tmode)
+    if list(np.asarray(it_s).ravel()) != list(np.asarray(
+            jax.numpy.stack(it_r) if isinstance(it_r, (list, tuple))
+            else it_r).ravel()):
+        raise AssertionError(f"iters mismatch {strategy} vs single")
+    _tree_assert_close(p_r, p_s, f"lgnn params {strategy}-sharded vs single")
+    return []
+
+
+def run_dp_trial(seed: int, training: bool):
+    """Data-parallel step over 8 equal-shape batches == the optimizer step
+    on the MEAN of per-batch gradients (with SGD lr=1: the mean of the
+    per-batch single-step params). training repurposed: False -> single
+    GNN, True -> also exercises BN batches."""
+    from gnn_tpu.models.core import make_train_step
+    from gnn_tpu.parallel import make_dp_train_step, shard_batches
+    from gnn_tpu.training.optimizers import make_optimizer, optimizer_config
+    rng = np.random.default_rng(seed)
+    nl, al, dt = int(rng.integers(2, 5)), int(rng.integers(1, 3)), 2
+    bn = bool(training and rng.random() < 0.5)
+    acts = str(rng.choice(ACTS))
+    ss = MLPSpec(input_dim=2 * nl + al, units=(nl,), activations=acts,
+                 kernel_initializer="glorot_normal",
+                 bias_initializer="glorot_normal", batch_normalization=bn)
+    os_ = MLPSpec(input_dim=nl, units=(dt,), activations="softmax",
+                  batch_normalization=False)
+    spec = GNNSpec(focus="n", state_spec=ss, output_spec=os_,
+                   max_iteration=int(rng.integers(3, 6)),
+                   threshold=float(rng.choice([0.0, 0.01])),
+                   aggregation="segment")
+    gs = [random_graph(int(rng.integers(10, 24)), nl, al, dt, 0.5,
+                       focus="n", rng=rng) for _ in range(8)]
+    batches = [GraphBatch.from_graph(g, node_pad=64, edge_pad=1024,
+                                     target_pad=64) for g in gs]
+    params, bnst = gnn_init(spec, jax.random.key(seed))
+    params = _normalize_weights(rng, spec, params, bnst, batches[0])
+    mesh = _mesh8("data")
+    sgd = optimizer_config("sgd", learning_rate=1.0)
+    dp = make_dp_train_step(spec, "mse", None, sgd, mesh, "data", mean=True)
+    o0 = make_optimizer(sgd).init(params)
+    rngs = jax.random.split(jax.random.key(seed + 2), 8)
+    stacked = shard_batches(batches, mesh, "data")
+    p_dp, _, _, _ = dp(params, bnst, o0, stacked, rngs)
+    ref = make_train_step(spec, "mse", None, sgd, mean=True)
+    per = [ref(params, bnst, o0, b, k)[0] for b, k in zip(batches, rngs)]
+    p_mean = jax.tree_util.tree_map(
+        lambda *xs: sum(np.asarray(x) for x in xs) / len(xs), *per)
+    _tree_assert_close(p_mean, p_dp, "dp params vs mean of per-batch steps")
+    return []
 
 
 RUNNERS = {"gnn": run_trial, "lgnn": run_lgnn_trial,
-           "composite": run_composite_trial}
+           "composite": run_composite_trial,
+           "shard": run_shard_trial, "lgnn_shard": run_lgnn_shard_trial,
+           "dp": run_dp_trial}
 # gnn gets the lion's share: it covers every propagate dispatch branch
-WEIGHTS = {"gnn": 0.6, "lgnn": 0.25, "composite": 0.15}
+WEIGHTS = {"gnn": 0.42, "lgnn": 0.18, "composite": 0.1,
+           "shard": 0.15, "lgnn_shard": 0.1, "dp": 0.05}
 
 
 def main():
     failures = []
+    strict = 0
+    loose = 0
+    loose_reasons = {}
     t0 = time.perf_counter()
     kinds = [k for k in KINDS if k in RUNNERS]
     probs = np.array([WEIGHTS[k] for k in kinds], dtype=np.float64)
@@ -439,7 +696,13 @@ def main():
         kind = str(pick.choice(kinds, p=probs))
         for training in (False, True):
             try:
-                RUNNERS[kind](seed, training)
+                reasons = RUNNERS[kind](seed, training)
+                if reasons:
+                    loose += 1
+                    for r in reasons:
+                        loose_reasons[r] = loose_reasons.get(r, 0) + 1
+                else:
+                    strict += 1
             except Exception:
                 failures.append((kind, seed, training))
                 print(f"FAIL kind={kind} seed={seed} training={training}",
@@ -449,8 +712,12 @@ def main():
             print(f"[{i + 1}/{N}] ok so far: {2 * (i + 1) - len(failures)}"
                   f"/{2 * (i + 1)} ({time.perf_counter() - t0:.0f}s)",
                   flush=True)
+    checked = max(strict + loose, 1)
     print(f"\n{2 * N - len(failures)}/{2 * N} trial-modes passed; "
           f"failures: {failures}", flush=True)
+    print(f"regimes: strict {strict}/{checked} "
+          f"({100.0 * strict / checked:.0f}%), loose {loose} "
+          f"(reasons: {loose_reasons})", flush=True)
     sys.exit(1 if failures else 0)
 
 

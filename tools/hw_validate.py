@@ -32,7 +32,8 @@ from gnn_tpu.ops.mlp import MLPSpec
 
 CHECKS = os.environ.get(
     "HW_CHECKS",
-    "eval1,train1,eval2,train2,bn1,bn1_nodrop,sd_train1,sd_bn1,sd_train2"
+    "eval1,train1,eval2,train2,bn1,bn1_nodrop,sd_train1,sd_bn1,sd_train2,"
+    "bn2,bn2_nodrop,sd_bn2"
 ).split(",")
 
 
@@ -129,6 +130,14 @@ def main():
                        training=True, bn=True, sd=4),
         "sd_train2": dict(units=(16, 4), activations=("selu", "tanh"),
                           dropout=True, training=True, sd=4),
+        # 2-layer + trailing BN (round 4, ops/pallas_bn.py bn2 chain): the
+        # reference default BN with a hidden-layer state net (MLP.py:29-64)
+        "bn2": dict(units=(16, 5), activations=("selu", "selu"),
+                    dropout=True, training=True, bn=True),
+        "bn2_nodrop": dict(units=(16, 5), activations=("selu", "tanh"),
+                           dropout=False, training=True, bn=True),
+        "sd_bn2": dict(units=(16, 4), activations=("selu", "selu"),
+                       dropout=True, training=True, bn=True, sd=4),
     }
     unknown = [c for c in CHECKS if c not in matrix]
     if unknown:

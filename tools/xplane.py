@@ -120,6 +120,31 @@ def aggregate(path: str, top: int = 15) -> None:
                 print(f"  {d / 1e9:9.3f} ms x{cnt[n]:5d}  {str(n)[:100]}")
 
 
+def device_module_ms(path: str, match: str = "") -> dict:
+    """Programmatic module-level device times: {module_name: total_ms} from
+    the TPU plane's 'XLA Modules' line (ground truth for step timings — the
+    tunnelled runtime's wall clocks carry ~3 ms dispatch overhead). `match`
+    filters module names by substring. Used by bench.py's roofline fields."""
+    space = open(path, "rb").read()
+    out = {}
+    for fn, plane in _fields(space):
+        if fn != 1:
+            continue
+        name, emeta, lines = _parse_plane(plane)
+        if "TPU" not in name:
+            continue
+        for ln in lines:
+            lname, evs = _parse_line(ln)
+            if lname != "XLA Modules":
+                continue
+            for _, dur, mid in evs:
+                key = str(emeta.get(mid, mid))
+                if match and match not in key:
+                    continue
+                out[key] = out.get(key, 0.0) + dur / 1e9
+    return out
+
+
 def timeline(path: str, limit: int = 40) -> None:
     space = open(path, "rb").read()
     for fn, plane in _fields(space):
