@@ -224,24 +224,28 @@ def main():
             if mods:
                 dev_ms = max(mods.values()) / SCAN_STEPS
                 roofline["train_device_ms"] = round(dev_ms, 3)
-                # BN kernel-chain structural bytes per step (fwd + bwd):
-                # the adjacency re-streams every iteration in both passes
-                # (BN's global moment barrier — NOTES_r3.md), trajectories
-                # are written fwd / read bwd, masks stream as int8
+                # BN kernel-chain structural bytes per step (fwd + bwd),
+                # round-4 fT-folded shapes (ops/pallas_bn.py): the adjacency
+                # re-streams every iteration in both passes (BN's global
+                # moment barrier — NOTES_r3.md), trajectories are written
+                # fwd / read bwd, ONE combined [B, 2D+F, Wb] int8 mask and
+                # the raw [B, F, Wb] feats replace the old fT/ms/ma streams
                 K = int(round(iters_mean))
                 adj = gb.adj_packT if gb.adj_packT is not None else gb.adj_blocks
                 adj_b = adj.size * adj.dtype.itemsize
                 Bb = adj.shape[0]
                 Wb = adj.shape[1]
                 D = merged.DIM_NODE_LABEL
+                F = merged.DIM_ARC_LABEL
                 a3 = Bb * D * Wb * 4          # one [B, D, Wb] f32 array
-                m3 = Bb * D * Wb * 1          # int8 mask
+                mc = Bb * (2 * D + F) * Wb    # combined int8 mask
+                f3 = Bb * F * Wb * 4          # raw fold feats (f32)
                 marg = Bb * Wb * 4
-                fwd = K * (adj_b + 2 * a3 + 2 * m3 + a3   # y1,y2,fT reads
+                fwd = K * (adj_b + 2 * a3 + mc + f3       # y1,y2,mc,feats
                            + 2 * a3 + marg)               # y,agg writes
-                bwd = K * (adj_b + 3 * a3 + 2 * m3 + a3   # yp,yk,agg,fT
+                bwd = K * (adj_b + 3 * a3 + mc + f3       # yp,yk,agg,mc,feats
                            + 2 * a3                       # ds_in, gsel
-                           + 3 * a3)                      # ds,dfT,dagg writes
+                           + 2 * a3)                      # ds,dagg writes
                 total = fwd + bwd
                 peak = float(os.environ.get("BENCH_HBM_PEAK_GBPS", "819"))
                 min_ms = total / (peak * 1e6)

@@ -23,6 +23,21 @@ for the same reason. Cross-block residual edges are gathered/scattered
 directly in the feature-major [B, D, Wb] layout ((block, lane) indexing —
 no full-array transposes).
 
+Round 4, the fT-fold: the per-iteration feature term
+fT_k = Wf @ dropout_k(feats) + b used to be precomputed outside as a
+[K, B, H, Wb] stream read by BOTH passes (and written back as dfT by the
+backward). It is now folded INTO the kernels' dense: the input rows are
+x3 = [state_drop ; agg_drop ; feats_drop ; 1] against the bias-augmented
+weight w_aug = [Ws | Wa | Wf | b], with the raw loop-invariant feats
+[B, F, Wb] streamed instead (F = fold dims ~ AL << H) and ONE combined
+int8 keep-mask [K, B, 2D+F, Wb] replacing the two separate [K, B, D, Wb]
+mask streams (2D+F rows land on a single int8 (32,128) tile at the
+reference shapes). This removes the fT construction, its fwd+bwd reads,
+the dfT write, and the outside dfT->dWf einsum — dw_aug from the backward
+kernel directly carries dWs|dWa|dWf|db. feats carry NO gradient (graph
+constants, like the adjacency). Saves ~0.2 ms/step on the flagship and far
+more on hidden-width nets, where fT was [K, B, H1~150, Wb].
+
 The whole K-loop is ONE custom_vjp returning (iters, state, moms): snapshot
 selection happens inside, and the backward is K launches of a fused
 one-iteration backward kernel (recompute + dh + dw + dagg->ds chain in
@@ -48,12 +63,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gnn_tpu.ops.mlp import _ALPHA_P, _BN_EPS, _BN_MOMENTUM
-from gnn_tpu.ops.pallas_fused import (_BD, _BDT_HI, _act_grad, _ACTS,
+from gnn_tpu.ops.pallas_fused import (_BDT_HI, _act_grad, _ACTS,
                                       _agg_packed, _contract_dst,
-                                      _dense1_fm, _drop_coeffs, _make_drop,
+                                      _dense1_fm, _make_drop,
                                       _mm_packed, _split16, from_blocks_fm,
                                       FUSABLE_ACTIVATIONS, pack_adjacency,
                                       pick_group, to_blocks_fm)
+
+
+def _pack_w(w, *, hp: bool, group: int, cdt):
+    """Broadcast an [R, C] weight for _mm_packed: hp stacks [w_hi; w_lo]."""
+    if hp:
+        w_hi, w_lo = _split16(w)
+        return jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
+                                (group, 2 * w.shape[0], w.shape[1]))
+    return jnp.broadcast_to(w.astype(cdt)[None], (group,) + w.shape)
+
+
+def _x3_aug(s, agg, feats, mc, *, rate: float, alpha_drop: bool,
+            group: int, Wb: int):
+    """The bias-augmented dense input [s_drop; agg_drop; feats_drop; 1]
+    ([g, 2D+F+1, Wb] f32) — pos-0 dropout applied in ONE elementwise pass
+    over the combined rows with the combined keep-mask (ops/mlp.py::_dropout
+    arithmetic via _make_drop)."""
+    x3 = jnp.concatenate([s, agg, feats], axis=1)
+    if rate > 0.0:
+        drop, _ = _make_drop(alpha_drop, rate)
+        x3 = drop(x3, mc)
+    return jnp.concatenate([x3, jnp.ones((group, 1, Wb), jnp.float32)],
+                           axis=1)
 
 
 def _bn_fwd_kernel(refs, *, activation: str, hp: bool, has_res: bool,
@@ -61,17 +99,16 @@ def _bn_fwd_kernel(refs, *, activation: str, hp: bool, has_res: bool,
                    thr: float):
     """One BN training iteration for a group of blocks. Consumes the two
     previous pre-BN activations + their BN affines, normalizes in VMEM,
-    computes convergence margins, dropout, aggregation, dense + activation,
-    and the per-group moment partial sums — everything HBM-facing stays in
-    the kernel's feature-major layout."""
+    computes convergence margins, dropout, aggregation, the bias-augmented
+    dense (fT-folded) + activation, and the per-group moment partial sums —
+    everything HBM-facing stays in the kernel's feature-major layout."""
     Wb = block_w
-    if has_res:
-        (adj_ref, y1_ref, y2_ref, aff_ref, ms_ref, ma_ref, r_ref, fT_ref,
-         w_ref, nm_ref, y_ref, agg_ref, marg_ref, msum_ref) = refs
-    else:
-        (adj_ref, y1_ref, y2_ref, aff_ref, ms_ref, ma_ref, fT_ref,
-         w_ref, nm_ref, y_ref, agg_ref, marg_ref, msum_ref) = refs
-        r_ref = None
+    refs = list(refs)
+    adj_ref, y1_ref, y2_ref, aff_ref = refs[:4]
+    refs = refs[4:]
+    mc_ref = refs.pop(0) if rate > 0.0 else None
+    r_ref = refs.pop(0) if has_res else None
+    (f_ref, w_ref, nm_ref, y_ref, agg_ref, marg_ref, msum_ref) = refs
     adj = adj_ref[:]
     aff = aff_ref[:].astype(jnp.float32)                  # [2, 2, D, 1]
     # s_{k-1} / s_{k-2} reconstructed from pre-BN activations (exact up to
@@ -89,26 +126,13 @@ def _bn_fwd_kernel(refs, *, activation: str, hp: bool, has_res: bool,
     if has_res:
         agg = agg + r_ref[:].astype(jnp.float32)
     agg_ref[:] = agg.astype(agg_ref.dtype)
-    drop, _ = _make_drop(alpha_drop, rate)
-    d_agg = drop(agg, ma_ref[:]) if rate > 0.0 else agg
-    sd = drop(s, ms_ref[:]) if rate > 0.0 else s
-    x2 = jnp.concatenate([sd, d_agg], axis=1)             # [g, 2D, Wb] f32
-    w = w_ref[:].astype(jnp.float32)                      # [H, 2D]
+    x3 = _x3_aug(s, agg, f_ref[:].astype(jnp.float32),
+                 mc_ref[:] if rate > 0.0 else None, rate=rate,
+                 alpha_drop=alpha_drop, group=group, Wb=Wb)
+    w = w_ref[:].astype(jnp.float32)                      # [H, 2D+F+1]
     H = w.shape[0]
-    if hp:
-        w_hi, w_lo = _split16(w)
-        w4 = jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
-                              (group, 2 * H, x2.shape[1]))
-        x_hi, x_lo = _split16(x2)
-        xp = jnp.concatenate([x_hi, x_lo], axis=2)
-        u4 = _BD(w4, xp)
-        h = ((u4[:, :H, :Wb] + u4[:, :H, Wb:])
-             + (u4[:, H:, :Wb] + u4[:, H:, Wb:]))
-    else:
-        w_b = jnp.broadcast_to(w.astype(adj.dtype)[None],
-                               (group,) + w.shape)
-        h = _BD(w_b, x2.astype(adj.dtype))
-    h = h + fT_ref[:].astype(jnp.float32)
+    wp = _pack_w(w, hp=hp, group=group, cdt=adj.dtype)
+    h = _mm_packed(wp, x3, H, hp=hp, Wb=Wb, cdt=adj.dtype)
     y = _ACTS[activation](h)
     y_ref[:] = y.astype(y_ref.dtype)
     # masked partial sum of y over this group (mean; the centered variance
@@ -116,12 +140,13 @@ def _bn_fwd_kernel(refs, *, activation: str, hp: bool, has_res: bool,
     msum_ref[0] = jnp.sum(y * nm, axis=(0, 2))[None, :]
 
 
-def _bn_fwd_call(adj_pack, y1, y2, aff, ms, ma, rT, fT, w_cat, nmf, *,
+def _bn_fwd_call(adj_pack, y1, y2, aff, mc, rT, feats, w_aug, nmf, *,
                  activation, alpha_drop, rate, group, thr, interpret):
     B, Wb, Wp = adj_pack.shape
     hp = Wp == 2 * Wb
     D = y1.shape[1]
-    H = w_cat.shape[0]
+    F = feats.shape[1]
+    H = w_aug.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     has_res = rT is not None
@@ -137,17 +162,23 @@ def _bn_fwd_call(adj_pack, y1, y2, aff, ms, ma, rT, fT, w_cat, nmf, *,
         pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
         pl.BlockSpec((2, 2, D, 1), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, 2 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [adj_pack, y1, y2, aff]
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec((group, 2 * D + F, Wb), b3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(mc)
+    if has_res:
+        in_specs.append(pl.BlockSpec((group, D, Wb), b3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(rT)
+    in_specs += [
+        pl.BlockSpec((group, F, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 2 * D + F + 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((group, 1, Wb), b3, memory_space=pltpu.VMEM),
     ]
-    operands = [adj_pack, y1, y2, aff, ms, ma, fT, w_cat, nmf]
-    if has_res:
-        in_specs.insert(6, pl.BlockSpec((group, D, Wb), b3,
-                                        memory_space=pltpu.VMEM))
-        operands.insert(6, rT)
+    operands += [feats, w_aug, nmf]
     return pl.pallas_call(
         wrapped,
         grid=(G,),
@@ -175,7 +206,8 @@ def _bn_bwd_kernel(refs, *, activation: str, hp: bool, alpha_drop: bool,
     BatchNorm backward folded in: given the raw state cotangent ds_in (plus
     the flag-gated snapshot injection gsel), reconstruct gy from the
     [D]-sized BN backward coefficients, recompute h from the saved
-    pre-dropout aggregation, dh = gy·act'(h), dw partial, the dagg -> ds
+    pre-dropout aggregation + raw feats, dh = gy·act'(h), the bias-augmented
+    dw partial (carrying dWs|dWa|dWf|db in one reduction), the dagg -> ds
     chain, and the NEXT reverse step's reduction partials
     (sum ds_out, sum ds_out·x_hat_prev) — so the per-iteration XLA glue
     stays [D]-sized and never forces relayout copies of full arrays.
@@ -183,11 +215,14 @@ def _bn_bwd_kernel(refs, *, activation: str, hp: bool, alpha_drop: bool,
     bnv rows: 0 aff_prev scale, 1 aff_prev shift, 2 mean_k, 3 r_k,
     4 a = gamma·r_k, 5 b2 = a·s1/C, 6 c2 = a·s2/C, 7 mean_prev, 8 r_prev."""
     Wb = block_w
-    (adj_ref, yp_ref, yk_ref, agg_ref, ms_ref, ma_ref, fT_ref, w_ref,
-     ds_ref_in, gsel_ref, bnv_ref, flag_ref, nm_ref,
-     ds_ref, dw_ref, dfT_ref, dagg_ref, red_ref) = refs
+    refs = list(refs)
+    adj_ref, yp_ref, yk_ref, agg_ref = refs[:4]
+    refs = refs[4:]
+    mc_ref = refs.pop(0) if rate > 0.0 else None
+    (f_ref, w_ref, ds_ref_in, gsel_ref, bnv_ref, flag_ref, nm_ref,
+     ds_ref, dw_ref, dagg_ref, red_ref) = refs
     adj = adj_ref[:]
-    w = w_ref[:].astype(jnp.float32)                      # [H, 2D]
+    w = w_ref[:].astype(jnp.float32)                      # [H, 2D+F+1]
     H = w.shape[0]
     D = yp_ref.shape[1]
     bnv = bnv_ref[:].astype(jnp.float32)                  # [16, D, 1]
@@ -198,49 +233,42 @@ def _bn_bwd_kernel(refs, *, activation: str, hp: bool, alpha_drop: bool,
         jnp.float32)
     xk = (yk_ref[:].astype(jnp.float32) - bnv[2]) * bnv[3]
     gy = bnv[4] * gS - nm * (bnv[5] + xk * bnv[6])
-    drop, dmask = _make_drop(alpha_drop, rate)
-    x2 = jnp.concatenate([drop(s_prev, ms_ref[:]) if rate > 0.0 else s_prev,
-                          drop(agg_ref[:].astype(jnp.float32), ma_ref[:])
-                          if rate > 0.0 else agg_ref[:].astype(jnp.float32)],
-                         axis=1)                           # [g, 2D, Wb] f32
-    if hp:
-        w_hi, w_lo = _split16(w)
-        w4 = jnp.broadcast_to(jnp.concatenate([w_hi, w_lo], axis=0)[None],
-                              (group, 2 * H, 2 * D))
-        x_hi, x_lo = _split16(x2)
-        xp = jnp.concatenate([x_hi, x_lo], axis=2)
-        u4 = _BD(w4, xp)
-        h = ((u4[:, :H, :Wb] + u4[:, :H, Wb:])
-             + (u4[:, H:, :Wb] + u4[:, H:, Wb:]))
-        wT_hi, wT_lo = _split16(w.T)
-        wT_b = jnp.broadcast_to(jnp.concatenate([wT_hi, wT_lo], axis=0)[None],
-                                (group, 4 * D, H))
-    else:
-        w_b = jnp.broadcast_to(w.astype(adj.dtype)[None], (group, H, 2 * D))
-        h = _BD(w_b, x2.astype(adj.dtype))
-        wT_b = jnp.broadcast_to(w.T.astype(adj.dtype)[None],
-                                (group, 2 * D, H))
-    h = h + fT_ref[:].astype(jnp.float32)
+    _, dmask = _make_drop(alpha_drop, rate)
+    x3 = _x3_aug(s_prev, agg_ref[:].astype(jnp.float32),
+                 f_ref[:].astype(jnp.float32),
+                 mc_ref[:] if rate > 0.0 else None, rate=rate,
+                 alpha_drop=alpha_drop, group=group, Wb=Wb)
+    wp = _pack_w(w, hp=hp, group=group, cdt=adj.dtype)
+    h = _mm_packed(wp, x3, H, hp=hp, Wb=Wb, cdt=adj.dtype)
     dh = gy * _act_grad(activation, h)
-    dfT_ref[:] = dh.astype(dfT_ref.dtype)
-    dw_ref[0] = jnp.sum(_BDT_HI(dh, x2), axis=0).astype(dw_ref.dtype)
+    dw_ref[0] = jnp.sum(_BDT_HI(dh, x3), axis=0).astype(dw_ref.dtype)
+    # dx only for the [s; agg] rows — feats/bias rows carry no gradient
+    w2d = w[:, :2 * D]
+    wT_b = _pack_w(w2d.T, hp=hp, group=group, cdt=adj.dtype)
     dx2 = _mm_packed(wT_b, dh, 2 * D, hp=hp, Wb=Wb, cdt=adj.dtype)
-    dagg = dx2[:, D:] * dmask(ma_ref[:])
+    if rate > 0.0:
+        dm = dmask(mc_ref[:])                             # [g, 2D+F, Wb]
+        dagg = dx2[:, D:] * dm[:, D:2 * D]
+        ds_out = dx2[:, :D] * dm[:, :D] + _contract_dst(dagg, adj, hp=hp)
+    else:
+        dagg = dx2[:, D:]
+        ds_out = dx2[:, :D] + _contract_dst(dagg, adj, hp=hp)
     dagg_ref[:] = dagg.astype(dagg_ref.dtype)
-    ds_out = dx2[:, :D] * dmask(ms_ref[:]) + _contract_dst(dagg, adj, hp=hp)
     ds_ref[:] = ds_out.astype(ds_ref.dtype)
     xp_hat = (yp_ref[:].astype(jnp.float32) - bnv[7]) * bnv[8]
     red_ref[0] = jnp.stack([jnp.sum(ds_out, axis=(0, 2)),
                             jnp.sum(ds_out * xp_hat, axis=(0, 2))])
 
 
-def _bn_bwd_call(adj_pack, y_prev, y_k, agg, ms, ma, fT, w_cat, ds_in, gsel,
+def _bn_bwd_call(adj_pack, y_prev, y_k, agg, mc, feats, w_aug, ds_in, gsel,
                  bnv, flag, nmf, *, activation: str, alpha_drop: bool,
                  rate: float, group: int, interpret):
     B, Wb, Wp = adj_pack.shape
     hp = Wp == 2 * Wb
     D = y_prev.shape[1]
-    H = w_cat.shape[0]
+    F = feats.shape[1]
+    H = w_aug.shape[0]
+    C = w_aug.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_bn_bwd_kernel, activation=activation, hp=hp,
@@ -250,42 +278,46 @@ def _bn_bwd_call(adj_pack, y_prev, y_k, agg, ms, ma, fT, w_cat, ds_in, gsel,
     b3 = lambda i: (i, 0, 0)              # noqa: E731
     G = B // group
     dspec = pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM)
-    ds, dw_part, dfT, dagg, red_part = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+        dspec, dspec, dspec,
+    ]
+    operands = [adj_pack, y_prev, y_k, agg]
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec((group, 2 * D + F, Wb), b3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(mc)
+    in_specs += [
+        pl.BlockSpec((group, F, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        dspec, dspec,
+        pl.BlockSpec((16, D, 1), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((group, 1, Wb), b3, memory_space=pltpu.VMEM),
+    ]
+    operands += [feats, w_aug, ds_in, gsel, bnv, flag, nmf]
+    ds, dw_part, dagg, red_part = pl.pallas_call(
         wrapped,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
-            dspec, dspec, dspec, dspec, dspec,
-            pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 2 * D), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            dspec, dspec,
-            pl.BlockSpec((16, D, 1), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((group, 1, Wb), b3, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             dspec,
-            pl.BlockSpec((1, H, 2 * D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, H, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, H, Wb), b3, memory_space=pltpu.VMEM),
             dspec,
             pl.BlockSpec((1, 2, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, D, Wb), jnp.float32),
-            jax.ShapeDtypeStruct((G, H, 2 * D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Wb), fT.dtype),
+            jax.ShapeDtypeStruct((G, H, C), jnp.float32),
             jax.ShapeDtypeStruct((B, D, Wb), jnp.float32),
             jax.ShapeDtypeStruct((G, 2, D), jnp.float32),
         ],
         interpret=interpret,
-    )(adj_pack, y_prev, y_k, agg, ms, ma, fT, w_cat, ds_in, gsel, bnv, flag,
-      nmf)
-    return (ds, jnp.sum(dw_part, axis=0), dfT, dagg,
-            jnp.sum(red_part, axis=0))
+    )(*operands)
+    return (ds, jnp.sum(dw_part, axis=0), dagg, jnp.sum(red_part, axis=0))
 
 
 def _affine(gamma, beta, mean, var):
@@ -326,8 +358,8 @@ def _ident_aff(D):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(12, 13, 14, 15, 16, 17, 18))
-def fused_bn_train_loop(adj_pack, s0, ms, ma, fT, w_cat, gamma, beta, nmf,
+                   nondiff_argnums=(11, 12, 13, 14, 15, 16, 17))
+def fused_bn_train_loop(adj_pack, s0, mc, feats, w_aug, gamma, beta, nmf,
                         res_src, res_dst, res_w, K: int, threshold: float,
                         activation: str = "tanh", alpha_drop: bool = True,
                         rate: float = 0.0, group: int = 32,
@@ -339,11 +371,13 @@ def fused_bn_train_loop(adj_pack, s0, ms, ma, fT, w_cat, gamma, beta, nmf,
 
     :param adj_pack: pack_adjacency output for the FULL block set.
     :param s0: [B, D, Wb] initial states (feature-major blocks).
-    :param ms / ma: [K, B, D, Wb] keep-masks (state / aggregated input
-        slices; any float dtype), or (K, 1, 1, 1) dummies when rate == 0.
-    :param fT: [K, B, H, Wb] per-iteration feature term
-        Wf @ dropout_k(agg_arc_labels) + b.
-    :param w_cat: [H, 2D] dense columns [Ws | Wa].
+    :param mc: [K, B, 2D+F, Wb] combined keep-masks in x3 row order
+        [state | agg | fold] (int8), or a (K, 1, 1, 1) dummy when rate == 0.
+    :param feats: [B, F, Wb] loop-invariant raw fold features (node labels /
+        aggregated constants; dropped in-VMEM per iteration). NO gradient —
+        graph constants, like the adjacency.
+    :param w_aug: [H, 2D+F+1] bias-augmented dense [Ws | Wa | Wf | b]; its
+        cotangent carries dWs|dWa|dWf|db directly.
     :param gamma / beta: [D] BatchNorm scale / shift.
     :param nmf: [B, Wb] float node mask (moments + convergence flags).
     :param res_src / res_dst / res_w: cross-block residual edges (empty
@@ -351,13 +385,13 @@ def fused_bn_train_loop(adj_pack, s0, ms, ma, fT, w_cat, gamma, beta, nmf,
     Returns (iters, state3 [B, D, Wb] — the realised-count snapshot with the
     reference's global early stop, moms [K, 2, D] per-iteration batch
     moments for the moving-statistics update; moms carries NO gradient)."""
-    out, _ = _bn_loop_fwd(adj_pack, s0, ms, ma, fT, w_cat, gamma, beta, nmf,
+    out, _ = _bn_loop_fwd(adj_pack, s0, mc, feats, w_aug, gamma, beta, nmf,
                           res_src, res_dst, res_w, K, threshold, activation,
                           alpha_drop, rate, group, interpret)
     return out
 
 
-def _bn_loop_fwd(adj_pack, s0, ms, ma, fT, w_cat, gamma, beta, nmf,
+def _bn_loop_fwd(adj_pack, s0, mc, feats, w_aug, gamma, beta, nmf,
                  res_src, res_dst, res_w, K, threshold, activation,
                  alpha_drop, rate, group, interpret):
     B, D, Wb = s0.shape
@@ -372,20 +406,17 @@ def _bn_loop_fwd(adj_pack, s0, ms, ma, fT, w_cat, gamma, beta, nmf,
     y1, y2 = s0, ones3
     a1, a2 = ident, ident
     ys, aggs, moms, affs, margs = [], [], [], [], []
-    dummy3 = (jnp.ones((B, D, Wb), ms.dtype) if rate <= 0.0 else None)
     for k in range(K):
         if has_res:
             vals = _res_gather(y1, a1, src_idx, res_w)
             rT = _res_scatter(vals, dst_idx, B, D, Wb)
         else:
             rT = None
-        ms_k = ms[k] if rate > 0.0 else dummy3
-        ma_k = ma[k] if rate > 0.0 else dummy3
         y, agg, marg, msum = _bn_fwd_call(
             adj_pack, y1, y2, jnp.stack([a1, a2])[:, :, :, None],
-            ms_k, ma_k, rT, fT[k], w_cat, nmf, activation=activation,
-            alpha_drop=alpha_drop, rate=rate, group=group,
-            thr=float(threshold), interpret=interpret)
+            mc[k] if rate > 0.0 else None, rT, feats, w_aug, nmf,
+            activation=activation, alpha_drop=alpha_drop, rate=rate,
+            group=group, thr=float(threshold), interpret=interpret)
         mean = jnp.sum(msum[:, 0], axis=0) / cnt                      # [D]
         var = (jnp.sum(jnp.square(y.astype(jnp.float32)
                                   - mean[None, :, None]) * nm1, axis=(0, 2))
@@ -413,7 +444,7 @@ def _bn_loop_fwd(adj_pack, s0, ms, ma, fT, w_cat, gamma, beta, nmf,
               + beta.astype(jnp.float32)[None, :, None])
     state3 = jnp.where(iters >= 1.0, state3.astype(s0.dtype), s0)
     out = (iters, state3, jnp.stack(moms))
-    res = (adj_pack, s0, ms, ma, fT, w_cat, gamma, nmf, iters, idx,
+    res = (adj_pack, s0, mc, feats, w_aug, gamma, nmf, iters, idx,
            tuple(ys), tuple(aggs), tuple(moms), tuple(affs),
            res_src, res_dst, res_w)
     return out, res
@@ -428,7 +459,7 @@ def _zero_ct(x):
 
 def _bn_loop_bwd(K, threshold, activation, alpha_drop, rate, group,
                  interpret, res, g):
-    (adj_pack, s0, ms, ma, fT, w_cat, gamma, nmf, iters, idx,
+    (adj_pack, s0, mc, feats, w_aug, gamma, nmf, iters, idx,
      ys, aggs, moms, affs, res_src, res_dst, res_w) = res
     _, g_state, _ = g                      # iters / moms: non-differentiable
     B, D, Wb = s0.shape
@@ -455,10 +486,9 @@ def _bn_loop_bwd(K, threshold, activation, alpha_drop, rate, group,
     ds = jnp.zeros((B, D, Wb), jnp.float32)
     zred = jnp.zeros((2, D), jnp.float32)
     red = zred
-    dw = jnp.zeros_like(w_cat, dtype=jnp.float32)
+    dw = jnp.zeros_like(w_aug, dtype=jnp.float32)
     dgamma = jnp.zeros((D,), jnp.float32)
     dbeta = jnp.zeros((D,), jnp.float32)
-    dfT = [None] * K
     for k in reversed(range(K)):
         flag = ((jnp.int32(k) == idx) & active).astype(jnp.float32)
         s1 = red[0] + flag * Sg
@@ -476,11 +506,9 @@ def _bn_loop_bwd(K, threshold, activation, alpha_drop, rate, group,
         bnv = bnv.at[5].set(a * s1 / cnt).at[6].set(a * s2 / cnt)
         bnv = bnv.at[7].set(mean_p).at[8].set(r_p)
         y_prev = s0 if k == 0 else ys[k - 1]
-        ms_k = (ms[k] if rate > 0.0
-                else jnp.ones((B, D, Wb), jnp.float32))
-        ma_k = ma[k] if rate > 0.0 else ms_k
-        ds_new, dw_k, dfT_k, dagg, red_part = _bn_bwd_call(
-            adj_pack, y_prev, ys[k], aggs[k], ms_k, ma_k, fT[k], w_cat,
+        ds_new, dw_k, dagg, red_part = _bn_bwd_call(
+            adj_pack, y_prev, ys[k], aggs[k],
+            mc[k] if rate > 0.0 else None, feats, w_aug,
             ds, g_state.astype(ys[k].dtype), bnv[:, :, None],
             flag.reshape(1, 1), nmf, activation=activation,
             alpha_drop=alpha_drop, rate=rate, group=bgroup,
@@ -502,14 +530,12 @@ def _bn_loop_bwd(K, threshold, activation, alpha_drop, rate, group,
             ds_new = ds_new + _res_scatter(vals, src_idx, B, D, Wb)
         ds = ds_new
         dw = dw + dw_k
-        dfT[k] = dfT_k
     # iters == 0: the primal returned s0 untouched — route g_state to s0
     ds = ds + jnp.where(active, 0.0, g_state)
-    return (None, ds.astype(s0.dtype), _zero_ct(ms), _zero_ct(ma),
-            jnp.stack(dfT).astype(fT.dtype), dw.astype(w_cat.dtype),
-            dgamma.astype(gamma.dtype), dbeta.astype(gamma.dtype),
-            _zero_ct(nmf), _zero_ct(res_src), _zero_ct(res_dst),
-            _zero_ct(res_w))
+    return (None, ds.astype(s0.dtype), _zero_ct(mc), _zero_ct(feats),
+            dw.astype(w_aug.dtype), dgamma.astype(gamma.dtype),
+            dbeta.astype(gamma.dtype), _zero_ct(nmf), _zero_ct(res_src),
+            _zero_ct(res_dst), _zero_ct(res_w))
 
 
 fused_bn_train_loop.defvjp(_bn_loop_fwd, _bn_loop_bwd)
@@ -541,19 +567,17 @@ def _bn2_fwd_kernel(refs, *, act0: str, act1: str, hp: bool, has_res: bool,
                     thr: float):
     """One 2-LAYER BN training iteration for a group of blocks: the bn1
     forward (_bn_fwd_kernel) with the hidden dense folded in —
-    h0 = [Ws|Wa] @ [s_drop; agg_drop] + fT (fT carries Wf@feats + b0),
+    h0 = [Ws|Wa|Wf|b0] @ [s_drop; agg_drop; feats_drop; 1] (fT-folded),
     y0 = act0(h0), h1 = w1 @ y0 + b1, y = act1(h1) pre-BN. Reference:
     GNN.py:223-242 with MLP.py:29-64 hidden-layer state nets."""
     Wb = block_w
-    if has_res:
-        (adj_ref, y1_ref, y2_ref, aff_ref, ms_ref, ma_ref, r_ref, fT_ref,
-         w0_ref, w1_ref, b1_ref, nm_ref, y_ref, agg_ref, marg_ref,
-         msum_ref) = refs
-    else:
-        (adj_ref, y1_ref, y2_ref, aff_ref, ms_ref, ma_ref, fT_ref,
-         w0_ref, w1_ref, b1_ref, nm_ref, y_ref, agg_ref, marg_ref,
-         msum_ref) = refs
-        r_ref = None
+    refs = list(refs)
+    adj_ref, y1_ref, y2_ref, aff_ref = refs[:4]
+    refs = refs[4:]
+    mc_ref = refs.pop(0) if rate > 0.0 else None
+    r_ref = refs.pop(0) if has_res else None
+    (f_ref, w0_ref, w1_ref, b1_ref, nm_ref, y_ref, agg_ref, marg_ref,
+     msum_ref) = refs
     adj = adj_ref[:]
     aff = aff_ref[:].astype(jnp.float32)                  # [2, 2, D, 1]
     s = y1_ref[:].astype(jnp.float32) * aff[0, 0] + aff[0, 1]
@@ -569,23 +593,13 @@ def _bn2_fwd_kernel(refs, *, act0: str, act1: str, hp: bool, has_res: bool,
     if has_res:
         agg = agg + r_ref[:].astype(jnp.float32)
     agg_ref[:] = agg.astype(agg_ref.dtype)
-    drop, _ = _make_drop(alpha_drop, rate)
-    d_agg = drop(agg, ma_ref[:]) if rate > 0.0 else agg
-    sd = drop(s, ms_ref[:]) if rate > 0.0 else s
-    x2 = jnp.concatenate([sd, d_agg], axis=1)             # [g, 2D, Wb] f32
-    w0 = w0_ref[:].astype(jnp.float32)                    # [H1, 2D]
+    x3 = _x3_aug(s, agg, f_ref[:].astype(jnp.float32),
+                 mc_ref[:] if rate > 0.0 else None, rate=rate,
+                 alpha_drop=alpha_drop, group=group, Wb=Wb)
+    w0 = w0_ref[:].astype(jnp.float32)                    # [H1, 2D+F+1]
     H1 = w0.shape[0]
-    if hp:
-        w0_hi, w0_lo = _split16(w0)
-        w04 = jnp.broadcast_to(
-            jnp.concatenate([w0_hi, w0_lo], axis=0)[None],
-            (group, 2 * H1, x2.shape[1]))
-        h0 = _mm_packed(w04, x2, H1, hp=True, Wb=Wb)
-    else:
-        w0_b = jnp.broadcast_to(w0.astype(adj.dtype)[None],
-                                (group,) + w0.shape)
-        h0 = _mm_packed(w0_b, x2, H1, hp=False, Wb=Wb, cdt=adj.dtype)
-    h0 = h0 + fT_ref[:].astype(jnp.float32)
+    w0p = _pack_w(w0, hp=hp, group=group, cdt=adj.dtype)
+    h0 = _mm_packed(w0p, x3, H1, hp=hp, Wb=Wb, cdt=adj.dtype)
     y0 = _ACTS[act0](h0)                                  # [g, H1, Wb]
     h1 = _dense1_fm(w1_ref[:].astype(jnp.float32),
                     b1_ref[:].astype(jnp.float32), y0, hp=hp, group=group,
@@ -595,11 +609,12 @@ def _bn2_fwd_kernel(refs, *, act0: str, act1: str, hp: bool, has_res: bool,
     msum_ref[0] = jnp.sum(y * nm, axis=(0, 2))[None, :]
 
 
-def _bn2_fwd_call(adj_pack, y1, y2, aff, ms, ma, rT, fT, w0, w1, b1, nmf, *,
+def _bn2_fwd_call(adj_pack, y1, y2, aff, mc, rT, feats, w0, w1, b1, nmf, *,
                   act0, act1, alpha_drop, rate, group, thr, interpret):
     B, Wb, Wp = adj_pack.shape
     hp = Wp == 2 * Wb
     D = y1.shape[1]
+    F = feats.shape[1]
     H1 = w0.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -616,20 +631,25 @@ def _bn2_fwd_call(adj_pack, y1, y2, aff, ms, ma, rT, fT, w0, w1, b1, nmf, *,
         pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
         pl.BlockSpec((2, 2, D, 1), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, H1, Wb), b3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((H1, 2 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [adj_pack, y1, y2, aff]
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec((group, 2 * D + F, Wb), b3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(mc)
+    if has_res:
+        in_specs.append(pl.BlockSpec((group, D, Wb), b3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(rT)
+    in_specs += [
+        pl.BlockSpec((group, F, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H1, 2 * D + F + 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((D, H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((group, 1, Wb), b3, memory_space=pltpu.VMEM),
     ]
-    operands = [adj_pack, y1, y2, aff, ms, ma, fT, w0, w1,
-                b1.reshape(D, 1), nmf]
-    if has_res:
-        in_specs.insert(6, pl.BlockSpec((group, D, Wb), b3,
-                                        memory_space=pltpu.VMEM))
-        operands.insert(6, rT)
+    operands += [feats, w0, w1, b1.reshape(D, 1), nmf]
     return pl.pallas_call(
         wrapped,
         grid=(G,),
@@ -656,17 +676,21 @@ def _bn2_bwd_kernel(refs, *, act0: str, act1: str, hp: bool,
                     block_w: int):
     """ONE reverse 2-layer training iteration with the BatchNorm backward
     folded in (the bn1 backward, _bn_bwd_kernel, with the hidden dense's
-    chain): recompute h0/y0/h1 from the saved pre-dropout aggregation,
-    gy from the [D]-sized BN coefficients, dh1 = gy·act1'(h1),
-    dw1/db1 partials, dy0 = w1ᵀ@dh1, dh0 = dy0·act0'(h0) (the fT cotangent),
-    dw0 partial, then the dx2 -> ds/dagg chain and the next reverse step's
-    reduction partials. bnv rows as in _bn_bwd_kernel."""
+    chain): recompute h0/y0/h1 from the saved pre-dropout aggregation + raw
+    feats, gy from the [D]-sized BN coefficients, dh1 = gy·act1'(h1),
+    dw1/db1 partials, dy0 = w1ᵀ@dh1, dh0 = dy0·act0'(h0), the bias-augmented
+    dw0 partial (dWs|dWa|dWf|db0 in one reduction), then the dx -> ds/dagg
+    chain and the next reverse step's reduction partials. bnv rows as in
+    _bn_bwd_kernel."""
     Wb = block_w
-    (adj_ref, yp_ref, yk_ref, agg_ref, ms_ref, ma_ref, fT_ref, w0_ref,
-     w1_ref, b1_ref, ds_ref_in, gsel_ref, bnv_ref, flag_ref, nm_ref,
-     ds_ref, dw0_ref, dw1_ref, db1_ref, dfT_ref, dagg_ref, red_ref) = refs
+    refs = list(refs)
+    adj_ref, yp_ref, yk_ref, agg_ref = refs[:4]
+    refs = refs[4:]
+    mc_ref = refs.pop(0) if rate > 0.0 else None
+    (f_ref, w0_ref, w1_ref, b1_ref, ds_ref_in, gsel_ref, bnv_ref, flag_ref,
+     nm_ref, ds_ref, dw0_ref, dw1_ref, db1_ref, dagg_ref, red_ref) = refs
     adj = adj_ref[:]
-    w0 = w0_ref[:].astype(jnp.float32)                    # [H1, 2D]
+    w0 = w0_ref[:].astype(jnp.float32)                    # [H1, 2D+F+1]
     w1 = w1_ref[:].astype(jnp.float32)                    # [D, H1]
     b1 = b1_ref[:].astype(jnp.float32)                    # [D, 1]
     H1 = w0.shape[0]
@@ -679,60 +703,47 @@ def _bn2_bwd_kernel(refs, *, act0: str, act1: str, hp: bool,
         jnp.float32)
     xk = (yk_ref[:].astype(jnp.float32) - bnv[2]) * bnv[3]
     gy = bnv[4] * gS - nm * (bnv[5] + xk * bnv[6])
-    drop, dmask = _make_drop(alpha_drop, rate)
-    x2 = jnp.concatenate([drop(s_prev, ms_ref[:]) if rate > 0.0 else s_prev,
-                          drop(agg_ref[:].astype(jnp.float32), ma_ref[:])
-                          if rate > 0.0 else agg_ref[:].astype(jnp.float32)],
-                         axis=1)                           # [g, 2D, Wb] f32
-    if hp:
-        w0_hi, w0_lo = _split16(w0)
-        w04 = jnp.broadcast_to(
-            jnp.concatenate([w0_hi, w0_lo], axis=0)[None],
-            (group, 2 * H1, 2 * D))
-        h0 = _mm_packed(w04, x2, H1, hp=True, Wb=Wb)
-        w0T_hi, w0T_lo = _split16(w0.T)
-        w0T_b = jnp.broadcast_to(
-            jnp.concatenate([w0T_hi, w0T_lo], axis=0)[None],
-            (group, 4 * D, H1))
-        w1T_hi, w1T_lo = _split16(w1.T)
-        w1T_b = jnp.broadcast_to(
-            jnp.concatenate([w1T_hi, w1T_lo], axis=0)[None],
-            (group, 2 * H1, D))
-    else:
-        w0_b = jnp.broadcast_to(w0.astype(adj.dtype)[None],
-                                (group, H1, 2 * D))
-        h0 = _mm_packed(w0_b, x2, H1, hp=False, Wb=Wb, cdt=adj.dtype)
-        w0T_b = jnp.broadcast_to(w0.T.astype(adj.dtype)[None],
-                                 (group, 2 * D, H1))
-        w1T_b = jnp.broadcast_to(w1.T.astype(adj.dtype)[None],
-                                 (group, H1, D))
-    h0 = h0 + fT_ref[:].astype(jnp.float32)
+    _, dmask = _make_drop(alpha_drop, rate)
+    x3 = _x3_aug(s_prev, agg_ref[:].astype(jnp.float32),
+                 f_ref[:].astype(jnp.float32),
+                 mc_ref[:] if rate > 0.0 else None, rate=rate,
+                 alpha_drop=alpha_drop, group=group, Wb=Wb)
+    w0p = _pack_w(w0, hp=hp, group=group, cdt=adj.dtype)
+    h0 = _mm_packed(w0p, x3, H1, hp=hp, Wb=Wb, cdt=adj.dtype)
     y0 = _ACTS[act0](h0)                                  # [g, H1, Wb]
     h1 = _dense1_fm(w1, b1, y0, hp=hp, group=group, Wb=Wb, cdt=adj.dtype)
     dh1 = gy * _act_grad(act1, h1)                        # [g, D, Wb]
     db1_ref[0] = jnp.sum(dh1, axis=(0, 2))[None, :]
     dw1_ref[0] = jnp.sum(_BDT_HI(dh1, y0), axis=0).astype(dw1_ref.dtype)
+    w1T_b = _pack_w(w1.T, hp=hp, group=group, cdt=adj.dtype)
     dy0 = _mm_packed(w1T_b, dh1, H1, hp=hp, Wb=Wb, cdt=adj.dtype)
     dh0 = dy0 * _act_grad(act0, h0)                       # [g, H1, Wb]
-    dfT_ref[:] = dh0.astype(dfT_ref.dtype)
-    dw0_ref[0] = jnp.sum(_BDT_HI(dh0, x2), axis=0).astype(dw0_ref.dtype)
+    dw0_ref[0] = jnp.sum(_BDT_HI(dh0, x3), axis=0).astype(dw0_ref.dtype)
+    w0T_b = _pack_w(w0[:, :2 * D].T, hp=hp, group=group, cdt=adj.dtype)
     dx2 = _mm_packed(w0T_b, dh0, 2 * D, hp=hp, Wb=Wb, cdt=adj.dtype)
-    dagg = dx2[:, D:] * dmask(ma_ref[:])
+    if rate > 0.0:
+        dm = dmask(mc_ref[:])                             # [g, 2D+F, Wb]
+        dagg = dx2[:, D:] * dm[:, D:2 * D]
+        ds_out = dx2[:, :D] * dm[:, :D] + _contract_dst(dagg, adj, hp=hp)
+    else:
+        dagg = dx2[:, D:]
+        ds_out = dx2[:, :D] + _contract_dst(dagg, adj, hp=hp)
     dagg_ref[:] = dagg.astype(dagg_ref.dtype)
-    ds_out = dx2[:, :D] * dmask(ms_ref[:]) + _contract_dst(dagg, adj, hp=hp)
     ds_ref[:] = ds_out.astype(ds_ref.dtype)
     xp_hat = (yp_ref[:].astype(jnp.float32) - bnv[7]) * bnv[8]
     red_ref[0] = jnp.stack([jnp.sum(ds_out, axis=(0, 2)),
                             jnp.sum(ds_out * xp_hat, axis=(0, 2))])
 
 
-def _bn2_bwd_call(adj_pack, y_prev, y_k, agg, ms, ma, fT, w0, w1, b1, ds_in,
+def _bn2_bwd_call(adj_pack, y_prev, y_k, agg, mc, feats, w0, w1, b1, ds_in,
                   gsel, bnv, flag, nmf, *, act0: str, act1: str,
                   alpha_drop: bool, rate: float, group: int, interpret):
     B, Wb, Wp = adj_pack.shape
     hp = Wp == 2 * Wb
     D = y_prev.shape[1]
+    F = feats.shape[1]
     H1 = w0.shape[0]
+    C = w0.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_bn2_bwd_kernel, act0=act0, act1=act1, hp=hp,
@@ -742,56 +753,61 @@ def _bn2_bwd_call(adj_pack, y_prev, y_k, agg, ms, ma, fT, w0, w1, b1, ds_in,
     b3 = lambda i: (i, 0, 0)              # noqa: E731
     G = B // group
     dspec = pl.BlockSpec((group, D, Wb), b3, memory_space=pltpu.VMEM)
-    (ds, dw0_part, dw1_part, db1_part, dfT, dagg, red_part) = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
+        dspec, dspec, dspec,
+    ]
+    operands = [adj_pack, y_prev, y_k, agg]
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec((group, 2 * D + F, Wb), b3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(mc)
+    in_specs += [
+        pl.BlockSpec((group, F, Wb), b3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        dspec, dspec,
+        pl.BlockSpec((16, D, 1), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((group, 1, Wb), b3, memory_space=pltpu.VMEM),
+    ]
+    operands += [feats, w0, w1, b1.reshape(D, 1), ds_in, gsel, bnv, flag,
+                 nmf]
+    (ds, dw0_part, dw1_part, db1_part, dagg, red_part) = pl.pallas_call(
         wrapped,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((group, Wb, Wp), b3, memory_space=pltpu.VMEM),
-            dspec, dspec, dspec, dspec, dspec,
-            pl.BlockSpec((group, H1, Wb), b3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H1, 2 * D), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            dspec, dspec,
-            pl.BlockSpec((16, D, 1), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((group, 1, Wb), b3, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             dspec,
-            pl.BlockSpec((1, H1, 2 * D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, H1, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, H1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, H1, Wb), b3, memory_space=pltpu.VMEM),
             dspec,
             pl.BlockSpec((1, 2, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, D, Wb), jnp.float32),
-            jax.ShapeDtypeStruct((G, H1, 2 * D), jnp.float32),
+            jax.ShapeDtypeStruct((G, H1, C), jnp.float32),
             jax.ShapeDtypeStruct((G, D, H1), jnp.float32),
             jax.ShapeDtypeStruct((G, 1, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H1, Wb), fT.dtype),
             jax.ShapeDtypeStruct((B, D, Wb), jnp.float32),
             jax.ShapeDtypeStruct((G, 2, D), jnp.float32),
         ],
         interpret=interpret,
-    )(adj_pack, y_prev, y_k, agg, ms, ma, fT, w0, w1, b1.reshape(D, 1),
-      ds_in, gsel, bnv, flag, nmf)
+    )(*operands)
     return (ds, jnp.sum(dw0_part, axis=0), jnp.sum(dw1_part, axis=0),
-            jnp.sum(db1_part, axis=0)[0], dfT, dagg,
-            jnp.sum(red_part, axis=0))
+            jnp.sum(db1_part, axis=0)[0], dagg, jnp.sum(red_part, axis=0))
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(14, 15, 16, 17, 18, 19, 20, 21))
-def fused_bn2_train_loop(adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma, beta,
+                   nondiff_argnums=(13, 14, 15, 16, 17, 18, 19, 20))
+def fused_bn2_train_loop(adj_pack, s0, mc, feats, w0, w1, b1, gamma, beta,
                          nmf, res_src, res_dst, res_w, K: int,
                          threshold: float, act0: str = "tanh",
                          act1: str = "tanh", alpha_drop: bool = True,
@@ -802,17 +818,18 @@ def fused_bn2_train_loop(adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma, beta,
     (the reference's default trailing-BN config at ANY hidden width,
     MLP.py:13,29-64; e.g. the hidden-150 accuracy recipe with BN on).
 
-    :param fT: [K, B, H1, Wb] per-iteration feature term
-        Wf @ dropout_k(feats) + b0.
-    :param w0: [H1, 2D] dense0 columns [Ws | Wa]; w1: [D, H1]; b1: [D].
+    :param mc / feats: as fused_bn_train_loop (combined int8 keep-mask,
+        loop-invariant raw fold features).
+    :param w0: [H1, 2D+F+1] bias-augmented dense0 [Ws | Wa | Wf | b0];
+        w1: [D, H1]; b1: [D].
     Other params / returns as fused_bn_train_loop."""
-    out, _ = _bn2_loop_fwd(adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma,
+    out, _ = _bn2_loop_fwd(adj_pack, s0, mc, feats, w0, w1, b1, gamma,
                            beta, nmf, res_src, res_dst, res_w, K, threshold,
                            act0, act1, alpha_drop, rate, group, interpret)
     return out
 
 
-def _bn2_loop_fwd(adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma, beta, nmf,
+def _bn2_loop_fwd(adj_pack, s0, mc, feats, w0, w1, b1, gamma, beta, nmf,
                   res_src, res_dst, res_w, K, threshold, act0, act1,
                   alpha_drop, rate, group, interpret):
     B, D, Wb = s0.shape
@@ -827,20 +844,17 @@ def _bn2_loop_fwd(adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma, beta, nmf,
     y1, y2 = s0, ones3
     a1, a2 = ident, ident
     ys, aggs, moms, affs, margs = [], [], [], [], []
-    dummy3 = (jnp.ones((B, D, Wb), ms.dtype) if rate <= 0.0 else None)
     for k in range(K):
         if has_res:
             vals = _res_gather(y1, a1, src_idx, res_w)
             rT = _res_scatter(vals, dst_idx, B, D, Wb)
         else:
             rT = None
-        ms_k = ms[k] if rate > 0.0 else dummy3
-        ma_k = ma[k] if rate > 0.0 else dummy3
         y, agg, marg, msum = _bn2_fwd_call(
             adj_pack, y1, y2, jnp.stack([a1, a2])[:, :, :, None],
-            ms_k, ma_k, rT, fT[k], w0, w1, b1, nmf, act0=act0, act1=act1,
-            alpha_drop=alpha_drop, rate=rate, group=group,
-            thr=float(threshold), interpret=interpret)
+            mc[k] if rate > 0.0 else None, rT, feats, w0, w1, b1, nmf,
+            act0=act0, act1=act1, alpha_drop=alpha_drop, rate=rate,
+            group=group, thr=float(threshold), interpret=interpret)
         mean = jnp.sum(msum[:, 0], axis=0) / cnt                      # [D]
         var = (jnp.sum(jnp.square(y.astype(jnp.float32)
                                   - mean[None, :, None]) * nm1, axis=(0, 2))
@@ -866,7 +880,7 @@ def _bn2_loop_fwd(adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma, beta, nmf,
               + beta.astype(jnp.float32)[None, :, None])
     state3 = jnp.where(iters >= 1.0, state3.astype(s0.dtype), s0)
     out = (iters, state3, jnp.stack(moms))
-    res = (adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma, nmf, iters, idx,
+    res = (adj_pack, s0, mc, feats, w0, w1, b1, gamma, nmf, iters, idx,
            tuple(ys), tuple(aggs), tuple(moms), tuple(affs),
            res_src, res_dst, res_w)
     return out, res
@@ -874,7 +888,7 @@ def _bn2_loop_fwd(adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma, beta, nmf,
 
 def _bn2_loop_bwd(K, threshold, act0, act1, alpha_drop, rate, group,
                   interpret, res, g):
-    (adj_pack, s0, ms, ma, fT, w0, w1, b1, gamma, nmf, iters, idx,
+    (adj_pack, s0, mc, feats, w0, w1, b1, gamma, nmf, iters, idx,
      ys, aggs, moms, affs, res_src, res_dst, res_w) = res
     _, g_state, _ = g                      # iters / moms: non-differentiable
     B, D, Wb = s0.shape
@@ -904,7 +918,6 @@ def _bn2_loop_bwd(K, threshold, act0, act1, alpha_drop, rate, group,
     db1 = jnp.zeros((D,), jnp.float32)
     dgamma = jnp.zeros((D,), jnp.float32)
     dbeta = jnp.zeros((D,), jnp.float32)
-    dfT = [None] * K
     for k in reversed(range(K)):
         flag = ((jnp.int32(k) == idx) & active).astype(jnp.float32)
         s1 = red[0] + flag * Sg
@@ -922,11 +935,9 @@ def _bn2_loop_bwd(K, threshold, act0, act1, alpha_drop, rate, group,
         bnv = bnv.at[5].set(a * s1 / cnt).at[6].set(a * s2 / cnt)
         bnv = bnv.at[7].set(mean_p).at[8].set(r_p)
         y_prev = s0 if k == 0 else ys[k - 1]
-        ms_k = (ms[k] if rate > 0.0
-                else jnp.ones((B, D, Wb), jnp.float32))
-        ma_k = ma[k] if rate > 0.0 else ms_k
-        (ds_new, dw0_k, dw1_k, db1_k, dfT_k, dagg, red_part) = _bn2_bwd_call(
-            adj_pack, y_prev, ys[k], aggs[k], ms_k, ma_k, fT[k], w0, w1, b1,
+        (ds_new, dw0_k, dw1_k, db1_k, dagg, red_part) = _bn2_bwd_call(
+            adj_pack, y_prev, ys[k], aggs[k],
+            mc[k] if rate > 0.0 else None, feats, w0, w1, b1,
             ds, g_state.astype(ys[k].dtype), bnv[:, :, None],
             flag.reshape(1, 1), nmf, act0=act0, act1=act1,
             alpha_drop=alpha_drop, rate=rate, group=bgroup,
@@ -947,11 +958,9 @@ def _bn2_loop_bwd(K, threshold, act0, act1, alpha_drop, rate, group,
         dw0 = dw0 + dw0_k
         dw1 = dw1 + dw1_k
         db1 = db1 + db1_k
-        dfT[k] = dfT_k
     ds = ds + jnp.where(active, 0.0, g_state)
-    return (None, ds.astype(s0.dtype), _zero_ct(ms), _zero_ct(ma),
-            jnp.stack(dfT).astype(fT.dtype), dw0.astype(w0.dtype),
-            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+    return (None, ds.astype(s0.dtype), _zero_ct(mc), _zero_ct(feats),
+            dw0.astype(w0.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dgamma.astype(gamma.dtype), dbeta.astype(gamma.dtype),
             _zero_ct(nmf), _zero_ct(res_src), _zero_ct(res_dst),
             _zero_ct(res_w))
@@ -963,9 +972,10 @@ fused_bn2_train_loop.defvjp(_bn2_loop_fwd, _bn2_loop_bwd)
 def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
                        step_rngs, nm, const_feats=None):
     """Orchestrate the BN training kernel path for models/core.py::propagate:
-    precompute the bit-identical dropout mask stream, run the custom-VJP
-    loop, and apply the active-gated moving-statistics update
-    (GNN_BaseClass/GNN.py semantics via the XLA body's carry gating).
+    precompute the bit-identical dropout mask stream (ONE combined int8
+    array in the kernels' x3 row order), run the custom-VJP loop, and apply
+    the active-gated moving-statistics update (GNN_BaseClass/GNN.py
+    semantics via the XLA body's carry gating).
 
     Returns (iters, state [Np, D] node-major, new_bn_state)."""
     import os as _os
@@ -978,7 +988,7 @@ def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
     b1 = params_state["dense_0"]["b"]
     # column layout (models/core.py): state_dim == 0 -> [state, Σstate,
     # Σarcs]; state_dim > 0 -> [state, labels, Σstate, Σlabels, Σarcs]
-    # (labels + constant aggregations fold into the feature term)
+    # (labels + constant aggregations fold into the feature rows)
     sd_ = spec.state_dim
     nl_ = gb.nodes.shape[1]
     if sd_ > 0:
@@ -987,15 +997,20 @@ def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
         Wf = jnp.concatenate([w1T[:, sd_:sd_ + nl_],
                               w1T[:, 2 * sd_ + nl_:]], axis=1)
         fold_feats = jnp.concatenate([gb.nodes, const_feats], axis=1)
-        fold_cols = lambda kp: jnp.concatenate(  # noqa: E731
+        state_cols = lambda kp: kp[..., :sd_]     # noqa: E731
+        fold_cols = lambda kp: jnp.concatenate(   # noqa: E731
             [kp[..., sd_:sd_ + nl_], kp[..., 2 * sd_ + nl_:]], axis=-1)
         agg_cols = lambda kp: kp[..., sd_ + nl_:2 * sd_ + nl_]  # noqa: E731
     else:
         w_cat = w1T[:, :2 * D]
         Wf = w1T[:, 2 * D:]
         fold_feats = agg_arcs
+        state_cols = lambda kp: kp[..., :D]       # noqa: E731
         fold_cols = lambda kp: kp[..., 2 * D:]    # noqa: E731
         agg_cols = lambda kp: kp[..., D:2 * D]    # noqa: E731
+    # bias-augmented kernel weight [Ws | Wa | Wf | b]: the backward's dw
+    # cotangent flows back through this concatenate into the param pytree
+    w_aug = jnp.concatenate([w_cat, Wf, b1[:, None]], axis=1)
     gamma = params_state["bn"]["gamma"]
     beta = params_state["bn"]["beta"]
     act = spec.state_spec.activations[0]
@@ -1003,48 +1018,32 @@ def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
                        spec.state_spec.dropout_rate))
     rate = float(dropmap.get(0, 0.0))
     alpha = spec.state_spec.alphadropout
-    _hp = functools.partial(jnp.einsum, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
     to3 = functools.partial(to_blocks_fm, block_w=Wb)
 
     adj_pack = (gb.adj_packT if gb.adj_packT is not None
                 else pack_adjacency(jnp.swapaxes(gb.adj_blocks, 1, 2)))
     nm3 = nm.astype(jnp.float32).reshape(Bb, 1, Wb)
-    featsT3 = to3(fold_feats.astype(state0.dtype))         # [B, F, Wb]
+    feats3 = to3(fold_feats.astype(state0.dtype))          # [B, F, Wb]
     if rate > 0.0:
         # bit-identical mask stream to the XLA body (mlp_apply: one split +
         # one bernoulli over the full input row per step); static unroll, not
         # vmap — the rbg PRNG is not vmap-invariant (see models/core.py).
-        # Transposed as BOOL (4x fewer bytes than the f32 transposes the
-        # other training paths pay), then converted in the target layout.
+        # Columns permuted to the kernels' x3 row order [state | agg | fold]
+        # BEFORE the blocked transpose, so ONE [K, B, 2D+F, Wb] int8 array
+        # carries all three mask streams (2D+F rows ride a single int8
+        # (32, 128) tile at the reference shapes — half the bytes of the two
+        # separate [K, B, D, Wb] arrays they replace).
         keeps = jnp.stack([
             jax.random.bernoulli(jax.random.split(step_rngs[i])[1],
                                  1.0 - rate, (Np, in_dim))
             for i in range(K)])
-        # int8 into the kernels (pallas_fused._keep): masks are exactly 0/1,
-        # so numerics are unchanged while the blocked relayouts and the
-        # fwd+bwd kernels' mask streams move 4x fewer bytes than f32
-        ms = jax.vmap(to3)(keeps[:, :, :D]).astype(jnp.int8)
-        ma = jax.vmap(to3)(agg_cols(keeps)).astype(jnp.int8)
-        a_c, b_c = _drop_coeffs(alpha, rate)
-        kf3 = jax.vmap(to3)(fold_cols(keeps))
-        if alpha:
-            featsd = a_c * jnp.where(kf3,
-                                     featsT3.astype(jnp.float32)[None],
-                                     _ALPHA_P) + b_c
-        else:
-            featsd = jnp.where(kf3,
-                               a_c * featsT3.astype(jnp.float32)[None], 0.0)
-        fT = (_hp("hf,kbfw->kbhw", Wf, featsd)
-              + b1[None, None, :, None]).astype(state0.dtype)
+        kc = jnp.concatenate([state_cols(keeps), agg_cols(keeps),
+                              fold_cols(keeps)], axis=-1)
+        mc = jax.vmap(to3)(kc).astype(jnp.int8)
     else:
-        # shape-(K,1,1,1) dummies: never indexed when rate == 0 (the fwd/bwd
-        # rules substitute full-size ones for the kernel operands)
-        ms = jnp.ones((K, 1, 1, 1), jnp.float32)
-        ma = ms
-        fT1 = (_hp("hf,bfw->bhw", Wf, featsT3)
-               + b1[None, :, None]).astype(state0.dtype)
-        fT = jnp.broadcast_to(fT1[None], (K,) + fT1.shape)
+        # shape-(K,1,1,1) dummy: never passed to the kernels when rate == 0
+        # (the fwd/bwd rules omit the mask operand entirely)
+        mc = jnp.ones((K, 1, 1, 1), jnp.float32)
 
     if gb.res_src is not None and gb.res_src.shape[0]:
         res_src, res_dst, res_w = gb.res_src, gb.res_dst, gb.res_w
@@ -1063,12 +1062,12 @@ def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
         b1_2 = params_state["dense_1"]["b"]
         act1 = spec.state_spec.activations[1]
         k, state3, moms = fused_bn2_train_loop(
-            adj_pack, s03, ms, ma, fT, w_cat, w1_2, b1_2, gamma, beta, nm3,
+            adj_pack, s03, mc, feats3, w_aug, w1_2, b1_2, gamma, beta, nm3,
             res_src, res_dst, res_w, K, float(spec.threshold), act, act1,
             alpha, rate, pick_group(Bb, cap=16), interpret)
     else:
         k, state3, moms = fused_bn_train_loop(
-            adj_pack, s03, ms, ma, fT, w_cat, gamma, beta, nm3,
+            adj_pack, s03, mc, feats3, w_aug, gamma, beta, nm3,
             res_src, res_dst, res_w, K, float(spec.threshold), act, alpha,
             rate, pick_group(Bb, cap=32), interpret)
 
