@@ -58,6 +58,13 @@ def request(k):
     return [graphs[i] for i in idx]
 
 
+# absorb the tunnel's one-time device->host relay handshake (~minutes) BEFORE
+# any timed loop — without this it lands in the first request's latency and
+# poisons the p99 column (the 301 s size-1 outlier in the first r4 run)
+from gnn_tpu.config import warmup_transfers  # noqa: E402
+
+warmup_transfers()
+
 results = {}
 for k in SIZES:
     reqs = [request(k) for _ in range(REPS)]
