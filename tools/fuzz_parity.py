@@ -252,22 +252,30 @@ def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0,
                 f"iters mismatch {name}={iters[name]} vs {ref}={iters[ref]}")
         np.testing.assert_allclose(outs[name], outs[ref], atol=atol_out,
                                    err_msg=f"outputs {name} vs {ref}")
-        if flip_risk and atol >= 1e-2:
-            # bf16 rounding (8e-3 relative) vs a near-kink pre-activation:
-            # whole relu units take different branches per path, shifting
-            # entire grad columns by the unit's downstream contribution —
-            # elementwise gradient agreement is not a property that holds.
-            # Outputs and iteration counts above remain the check.
+        if flip_risk:
+            # A pre-activation within the paths' rounding distance of a
+            # relu/selu kink: the paths legitimately take DIFFERENT
+            # (both valid) subgradient branches there, and one flipped
+            # unit shifts grads by its full downstream contribution —
+            # elementwise gradient agreement is not a property that
+            # holds, at ANY fixed band. f64-adjudicated case: campaign
+            # seed 4100151 (bn2 chain, selu, K=3) had ONE hidden unit at
+            # |h0| = 3.6e-6 (kernel recompute rounding 4.9e-5); flipping
+            # exactly that unit's derivative branch in an f64 replica
+            # reproduced the kernel grads to 1e-5 while the unflipped
+            # replica differed by 6e-2 — and single grad elements moved
+            # 52%, through any sanity band. Outputs and iteration counts
+            # above remain the check; the trial is counted loose
+            # ("flip_risk") in the campaign report.
             continue
         for a, b in zip(jax.tree_util.tree_leaves(grads[ref]),
                         jax.tree_util.tree_leaves(grads[name])):
             a, b = np.asarray(a), np.asarray(b)
             g_rtol, g_atol = rtol, atol * tree_scale
-            if state_scale > 50.0 or flip_risk:
-                # exploding (non-contractive) fixed points or near-kink
-                # pre-activations: isolated grad elements legitimately
-                # diverge — keep a loose sanity band instead of
-                # elementwise exactness
+            if state_scale > 50.0:
+                # exploding (non-contractive) fixed points: isolated grad
+                # elements legitimately diverge — keep a loose sanity band
+                # instead of elementwise exactness
                 g_rtol = max(g_rtol, 0.1)
                 g_atol = max(g_atol, 1e-3 * max(state_scale, tree_scale))
             np.testing.assert_allclose(b, a, rtol=g_rtol, atol=g_atol,
