@@ -28,7 +28,7 @@ reassembled in request order.
 from __future__ import annotations
 
 import time
-from typing import List, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 import jax
 import numpy as np
@@ -250,27 +250,38 @@ _BATCH_SER_DONE = False
 
 
 def _register_batch_serialization() -> None:
-    """Teach jax.export to (de)serialize the GraphBatch pytree: its auxdata
-    is the tuple of static fields (focus str, edges_sorted bool) — encoded
-    as JSON, no pickle."""
+    """Teach jax.export to (de)serialize the batch pytrees (GraphBatch and
+    the node-sharded NodeShardBatch): auxdata is a tuple of JSON-safe
+    statics (strs/bools/ints) — encoded as JSON, no pickle."""
     global _BATCH_SER_DONE
     if _BATCH_SER_DONE:
         return
     import json
     from jax import export as jexport
-    jexport.register_pytree_node_serialization(
-        GraphBatch,
-        serialized_name="gnn_tpu.graphs.batch.GraphBatch",
-        serialize_auxdata=lambda aux: json.dumps(list(aux)).encode(),
-        deserialize_auxdata=lambda blob: tuple(json.loads(blob.decode())))
+    from gnn_tpu.parallel.node_shard import NodeShardBatch
+    for klass, name in ((GraphBatch, "gnn_tpu.graphs.batch.GraphBatch"),
+                        (NodeShardBatch,
+                         "gnn_tpu.parallel.node_shard.NodeShardBatch")):
+        jexport.register_pytree_node_serialization(
+            klass,
+            serialized_name=name,
+            serialize_auxdata=lambda aux: json.dumps(list(aux)).encode(),
+            deserialize_auxdata=lambda blob: tuple(json.loads(blob.decode())))
     _BATCH_SER_DONE = True
 
 
-def load_exported(path: str) -> "Predictor":
+def load_exported(path: str, devices=None) -> "Predictor":
     """Reload a Predictor.export() artifact: batch routing + deserialized
     StableHLO bucket executables (weights baked in) — no model construction,
     no retracing. Requests must land on an exported bucket (warmup
-    coverage); misses raise with the available buckets listed."""
+    coverage); misses raise with the available buckets listed.
+
+    :param devices: None serves on the default device. A list of jax.Device
+        (or a Mesh) builds a DATA-PARALLEL deployment from the same artifact
+        — the ShardedPredictor serving path with the exported modules
+        compiled per device (artifacts are device-count agnostic; shards are
+        the unit of execution). Requests need >= len(devices) graphs and
+        each shard's shape must land on an exported bucket."""
     import json
     from jax import export as jexport
     _register_batch_serialization()
@@ -278,7 +289,9 @@ def load_exported(path: str) -> "Predictor":
         path += "/"
     with open(path + "config.json") as f:
         cfg = json.load(f)
-    p = Predictor.__new__(Predictor)
+    sharded = devices is not None
+    p = (ShardedPredictor if sharded else Predictor).__new__(
+        ShardedPredictor if sharded else Predictor)
     p._params, p._bn = None, None   # baked into the exported modules
     p._focus = cfg["focus"]
     p._blocked = cfg["blocked"]
@@ -288,26 +301,121 @@ def load_exported(path: str) -> "Predictor":
     p._compiled = {}
     p.stats = {"requests": 0, "compiles": 0, "bucket_hits": 0,
                "last_ms": None, "last_compile_s": None}
+    exports = {}
     for b in cfg["buckets"]:
         with open(path + b["file"], "rb") as f:
             exp = jexport.deserialize(f.read())
         key = tuple((tuple(s), d) for s, d in b["key"])
+        exports[key] = exp
         # predict() calls exe(params, bn, gb); the frozen module only takes gb
         p._compiled[key] = (lambda e: lambda _p, _b, gb: e.call(gb))(exp)
     known = sorted(b["file"] for b in cfg["buckets"])
 
-    def _executable(gb):
-        key = p._shape_key(gb)
-        exe = p._compiled.get(key)
+    def _miss(kind):
+        raise KeyError(
+            f"{kind} shape bucket was not exported — re-export with a "
+            f"covering warmup sample (have: {known})")
+
+    if not sharded:
+        def _executable(gb):
+            exe = p._compiled.get(p._shape_key(gb))
+            if exe is None:
+                _miss("request")
+            p.stats["bucket_hits"] += 1
+            return exe
+
+        p._executable = _executable
+        p._fn = None   # exported artifacts replace the traced forward
+        return p
+
+    # data-parallel deployment over the exported buckets: per-device
+    # compilation of the SAME modules, same load-balanced routing and async
+    # dispatch as a live ShardedPredictor
+    p._devices = (list(devices) if isinstance(devices, (list, tuple))
+                  else devices.devices.flatten().tolist())
+    p._ndev = len(p._devices)
+    p._params_dev = [None] * p._ndev    # baked into the exported modules
+    p._bn_dev = [None] * p._ndev
+    dev_compiled: dict = {}
+
+    def _executable_on(gb_d, d: int):
+        key = (Predictor._shape_key(gb_d), d)
+        exe = dev_compiled.get(key)
+        if exe is None:
+            exp = exports.get(key[0])
+            if exp is None:
+                _miss("shard")
+            t0 = time.perf_counter()
+            compiled = jax.jit(exp.call).lower(gb_d).compile()
+            p.stats["compiles"] += 1
+            p.stats["last_compile_s"] = time.perf_counter() - t0
+            exe = (lambda c: lambda _p, _b, gb: c(gb))(compiled)
+            dev_compiled[key] = exe
+        else:
+            p.stats["bucket_hits"] += 1
+        return exe
+
+    p._executable_on = _executable_on
+    p._fn = None
+    return p
+
+
+def load_big_exported(path: str, mesh, axis: Optional[str] = None
+                      ) -> "BigGraphPredictor":
+    """Reload a BigGraphPredictor.export() artifact onto `mesh`: the
+    deserialized shard_map modules serve node-sharded single-graph inference
+    with no model construction or retracing. The mesh must have the SAME
+    device count as the exporting deployment (the modules bake its
+    shardings); `axis` defaults to the exporting axis name and must name a
+    mesh axis. Requests must land on an exported padding bucket."""
+    import json
+    from jax import export as jexport
+    _register_batch_serialization()
+    if path and path[-1] != "/":
+        path += "/"
+    with open(path + "config.json") as f:
+        cfg = json.load(f)
+    if not cfg.get("big_graph"):
+        raise ValueError("not a BigGraphPredictor artifact — use "
+                         "serving.load_exported for Predictor artifacts")
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if n_dev != cfg["n_devices"]:
+        raise ValueError(
+            f"artifact was exported from a {cfg['n_devices']}-device mesh; "
+            f"the loading mesh has {n_dev} (shard_map modules bake the "
+            f"exporting mesh's shardings)")
+    p = BigGraphPredictor.__new__(BigGraphPredictor)
+    p._mesh = mesh
+    p._axis = axis or cfg["axis"]
+    p._focus = cfg["focus"]
+    p._is_lgnn = cfg["is_lgnn"]
+    if cfg.get("n_layers") is not None:
+        p._n_layers = cfg["n_layers"]
+    p._params, p._bn = None, None   # baked into the exported modules
+    p._key = None
+    p._fwd = None
+    p._compiled = {}
+    p.stats = {"requests": 0, "compiles": 0, "bucket_hits": 0,
+               "last_ms": None, "last_compile_s": None}
+    for b in cfg["buckets"]:
+        with open(path + b["file"], "rb") as f:
+            exp = jexport.deserialize(f.read())
+        key = tuple((tuple(s), d) for s, d in b["key"])
+        # predict() calls exe(params, bn, nb, key); the frozen module only
+        # takes the sharded batch
+        p._compiled[key] = (lambda e: lambda _p, _b, nb, _k: e.call(nb))(exp)
+    known = sorted(b["file"] for b in cfg["buckets"])
+
+    def _executable(nb):
+        exe = p._compiled.get(Predictor._shape_key(nb))
         if exe is None:
             raise KeyError(
-                f"request shape bucket was not exported — re-export with a "
-                f"covering warmup sample (have: {known})")
+                f"request padding bucket was not exported — re-export with "
+                f"a covering graph sample (have: {known})")
         p.stats["bucket_hits"] += 1
         return exe
 
     p._executable = _executable
-    p._fn = None   # exported artifacts replace the traced forward
     return p
 
 
@@ -349,6 +457,57 @@ class BigGraphPredictor:
         self.stats = {"requests": 0, "compiles": 0, "bucket_hits": 0,
                       "last_ms": None, "last_compile_s": None}
 
+    def _place(self, g: Graph):
+        """Graph -> (padded batch, node-sharded placement on the mesh)."""
+        from gnn_tpu.parallel.node_shard import shard_nodes
+        gb = GraphBatch.from_graph(g)          # config.pad_size buckets
+        return gb, shard_nodes(gb, self._mesh, self._axis)
+
+    def _executable(self, nb):
+        return _lookup_or_compile(
+            self._compiled, self.stats, Predictor._shape_key(nb),
+            lambda: self._fwd.lower(self._params, self._bn, nb,
+                                    self._key).compile())
+
+    def export(self, path: str, graphs: Sequence[Graph]) -> int:
+        """Serialize this node-sharded deployment: one StableHLO module per
+        padding bucket (jax.export of the shard_map forward) with the
+        replicated weight snapshot and rng key baked in as constants, plus
+        the routing config. Unlike Predictor artifacts, the modules record
+        the mesh's shardings, so the loading deployment must provide a mesh
+        of the SAME device count (the config records it). Reload with
+        serving.load_big_exported(path, mesh)."""
+        import json
+        import os as _os
+        from jax import export as jexport
+        _register_batch_serialization()
+        if path and path[-1] != "/":
+            path += "/"
+        _os.makedirs(path, exist_ok=True)
+        fwd, params, bn, key = self._fwd, self._params, self._bn, self._key
+        frozen = jax.jit(lambda nb: fwd(params, bn, nb, key))
+        buckets, seen = [], set()
+        for g in graphs:
+            _, nb = self._place(g)
+            k = Predictor._shape_key(nb)
+            if k in seen:
+                continue
+            seen.add(k)
+            exp = jexport.export(frozen)(nb)
+            fname = f"bucket_{len(buckets)}.stablehlo"
+            with open(path + fname, "wb") as f:
+                f.write(exp.serialize())
+            buckets.append({"file": fname,
+                            "key": [[list(s), d] for s, d in k]})
+        n_dev = int(np.prod(list(self._mesh.shape.values())))
+        with open(path + "config.json", "w") as f:
+            json.dump({"big_graph": True, "focus": self._focus,
+                       "axis": self._axis, "n_devices": n_dev,
+                       "is_lgnn": self._is_lgnn,
+                       "n_layers": getattr(self, "_n_layers", None),
+                       "buckets": buckets}, f, indent=1)
+        return len(buckets)
+
     def predict(self, g: Graph, idx=None):
         """Selected output rows for ONE (typically huge) Graph. For LGNN
         models, ``idx`` picks layers like LGNN.predict (int or list of ints;
@@ -358,13 +517,8 @@ class BigGraphPredictor:
                              f"model focus {self._focus!r}")
         if idx is not None and not self._is_lgnn:
             raise ValueError("idx selects LGNN layers; this model is not an LGNN")
-        from gnn_tpu.parallel.node_shard import shard_nodes
-        gb = GraphBatch.from_graph(g)          # config.pad_size buckets
-        nb = shard_nodes(gb, self._mesh, self._axis)
-        exe = _lookup_or_compile(
-            self._compiled, self.stats, Predictor._shape_key(nb),
-            lambda: self._fwd.lower(self._params, self._bn, nb,
-                                    self._key).compile())
+        gb, nb = self._place(g)
+        exe = self._executable(nb)
         t0 = time.perf_counter()
         _, out = exe(self._params, self._bn, nb, self._key)
         sel = np.asarray(gb.sel_mask)
@@ -451,9 +605,22 @@ class ShardedPredictor(Predictor):
         return self.stats["compiles"] - before
 
     def export(self, path: str, requests) -> int:
-        raise NotImplementedError(
-            "export the single-device Predictor; artifacts are device-count "
-            "agnostic and can be sharded by the loading deployment")
+        """Serialize this data-parallel deployment as a STANDARD Predictor
+        artifact (StableHLO buckets + routing config, weights baked in).
+        Shards run the same single-device executables as Predictor, so the
+        artifact is genuinely device-count agnostic: each request in
+        `requests` is split into this deployment's shards and each shard's
+        shape bucket is exported once. Reload single-device with
+        serving.load_exported(path), or data-parallel on ANY device count
+        with serving.load_exported(path, devices=...) — shard shapes must
+        land on exported buckets (use the same per-device load for warmup
+        coverage, or export from a deployment of the target size)."""
+        shard_reqs: List[List[Graph]] = []
+        for req in requests:
+            glist = [req] if isinstance(req, Graph) else list(req)
+            for idx in self._split_request(glist):
+                shard_reqs.append([glist[i] for i in idx])
+        return Predictor.export(self, path, shard_reqs)
 
     def predict(self, graphs: Union[Graph, Sequence[Graph]],
                 split: bool = True):

@@ -204,12 +204,55 @@ class TestShardedPredictor:
             for i, r in zip(idx, ref):
                 np.testing.assert_allclose(parts[i], r, atol=2e-5)
 
-    def test_export_is_rejected(self, rng, tmp_path):
-        from gnn_tpu.serving import ShardedPredictor
+    def test_export_roundtrip_sharded(self, rng, tmp_path):
+        """ShardedPredictor.export writes a standard (device-count agnostic)
+        Predictor artifact; load_exported(path, devices=...) serves it
+        data-parallel with the SAME outputs as the live deployment."""
+        from gnn_tpu.serving import ShardedPredictor, load_exported
         model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=10)
+        mesh = self._mesh(4)
+        sp = ShardedPredictor(model, mesh, block_w=32)
+        live = sp.predict(gs)
+        n = sp.export(str(tmp_path / "art"), [gs])
+        assert n >= 1
+        loaded = load_exported(str(tmp_path / "art"),
+                               devices=mesh.devices.flatten().tolist())
+        parts = loaded.predict(gs)
+        assert len(parts) == 10
+        for a, b in zip(parts, live):
+            np.testing.assert_allclose(a, b, atol=2e-5)
+        assert loaded.stats["requests"] == 1
+
+    def test_export_roundtrip_single_device_reload(self, rng, tmp_path):
+        """The same sharded artifact reloads single-device: each shard of
+        the exporting deployment serves as its own request."""
+        from gnn_tpu.serving import ShardedPredictor, load_exported
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=8)
         sp = ShardedPredictor(model, self._mesh(4), block_w=32)
-        with pytest.raises(NotImplementedError, match="single-device"):
-            sp.export(str(tmp_path / "x"), [graphs_for(rng, n_graphs=8)])
+        sp.export(str(tmp_path / "art"), [gs])
+        loaded = load_exported(str(tmp_path / "art"))
+        single = Predictor(model, block_w=32)
+        for idx in sp._split_request(gs):
+            shard = [gs[i] for i in idx]
+            got = loaded.predict(shard, split=False)
+            ref = single.predict(shard, split=False)
+            np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_loaded_sharded_unexported_bucket_raises(self, rng, tmp_path):
+        from gnn_tpu.serving import ShardedPredictor, load_exported
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=8)
+        mesh = self._mesh(4)
+        sp = ShardedPredictor(model, mesh, block_w=32)
+        sp.export(str(tmp_path / "art"), [gs])
+        loaded = load_exported(str(tmp_path / "art"),
+                               devices=mesh.devices.flatten().tolist())
+        big = [random_graph(200, 3, 1, 2, 0.3, focus="n", rng=rng)
+               for _ in range(4)]
+        with pytest.raises(KeyError, match="not exported"):
+            loaded.predict(big)
 
     def test_all_graphs_assigned_once(self, rng):
         from gnn_tpu.serving import ShardedPredictor
@@ -352,6 +395,31 @@ class TestBigGraphPredictor:
         assert len(both) == 2
         np.testing.assert_allclose(both[1], outs[-1], atol=2e-5)
         assert bp.stats["compiles"] == 1 and bp.stats["bucket_hits"] == 2
+
+    def test_export_roundtrip_node_sharded(self, rng, tmp_path):
+        """BigGraphPredictor.export serializes the shard_map modules;
+        load_big_exported on a same-size mesh reproduces the live outputs
+        with no model construction. A different device count is refused
+        (the modules bake the exporting mesh's shardings)."""
+        from jax.sharding import Mesh
+        from gnn_tpu import BigGraphPredictor
+        from gnn_tpu.serving import load_big_exported
+        model = build_model(focus="n")
+        big = Graph.merge(graphs_for(rng, focus="n", n_graphs=12),
+                          focus="n", aggregation_mode="average")
+        mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+        bp = BigGraphPredictor(model, mesh)
+        ref = bp.predict(big)
+        assert bp.export(str(tmp_path / "big"), [big]) == 1
+        lp = load_big_exported(str(tmp_path / "big"), mesh)
+        np.testing.assert_allclose(lp.predict(big), ref, atol=2e-5)
+        assert lp.stats["requests"] == 1 and lp.stats["bucket_hits"] == 1
+        with pytest.raises(ValueError, match="device"):
+            load_big_exported(str(tmp_path / "big"),
+                              Mesh(np.array(jax.devices()[:2]), ("graph",)))
+        small = graphs_for(rng, focus="n", n_graphs=1)[0]
+        with pytest.raises(KeyError, match="not exported"):
+            lp.predict(small)
 
 
 class TestCompositePredictor:
