@@ -207,6 +207,14 @@ def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0,
     # output tolerance must track it (seed-6 finding: 820-magnitude states,
     # 7e-6 relative kernel rounding, tripping a fixed 2e-4 atol)
     atol_out = max(atol, 1e-5 * state_scale)
+    # bf16 state-carry rounding COMPOUNDS per iteration: campaign seed
+    # 4400148 (selu, K=5, bf16) had EVERY path — including the pure-XLA
+    # segment body — 0.054-0.070 from an f64 oracle (~1.4e-2/iteration),
+    # so two paths can legitimately sit ~2x that apart. Scale the mutual
+    # output band with the realized iteration count.
+    n_it = max(1.0, float(iters[paths[0][0]]))
+    if atol >= 1e-2:
+        atol_out = max(atol_out, 1.5e-2 * n_it, 8e-3 * state_scale)
     # derivative-branch flips: if any relu/selu pre-activation sits within
     # the paths' rounding distance of its kink, grads (and, through the
     # flipped unit's downstream weights, outputs) legitimately differ by
@@ -699,9 +707,17 @@ def main():
     probs = np.array([WEIGHTS[k] for k in kinds], dtype=np.float64)
     probs = probs / probs.sum()
     pick = np.random.default_rng(SEED + 7)
+    start = int(os.environ.get("FUZZ_START", "0"))
     for i in range(N):
         seed = SEED * 100003 + i
         kind = str(pick.choice(kinds, p=probs))
+        if i < start:        # resume a crashed campaign (FUZZ_START=<i>);
+            continue         # the kind stream stays aligned via `pick`
+        if i % 10 == 0:
+            # every trial draws fresh shapes, so the jit cache grows without
+            # bound — a 130-trial campaign exhausts vm.max_map_count (65530)
+            # near trial ~70 and LLVM dies with ENOMEM despite free RAM
+            jax.clear_caches()
         for training in (False, True):
             try:
                 reasons = RUNNERS[kind](seed, training)
