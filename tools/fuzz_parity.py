@@ -212,7 +212,10 @@ def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0,
     # segment body — 0.054-0.070 from an f64 oracle (~1.4e-2/iteration),
     # so two paths can legitimately sit ~2x that apart. Scale the mutual
     # output band with the realized iteration count.
-    n_it = max(1.0, float(iters[paths[0][0]]))
+    it0 = iters[paths[0][0]]                   # LGNN: per-layer tuple — the
+    if isinstance(it0, (tuple, list)):         # state accumulates rounding
+        it0 = sum(float(v) for v in it0)       # through every layer's loop
+    n_it = max(1.0, float(it0))
     if atol >= 1e-2:
         atol_out = max(atol_out, 1.5e-2 * n_it, 8e-3 * state_scale)
     # derivative-branch flips: if any relu/selu pre-activation sits within
