@@ -101,7 +101,7 @@ def main():
     for g in graphs:
         tg = type(g)(nodes=g.nodes, arcs=g.arcs, targets=g.targets,
                      focus=g.focus, set_mask=g.set_mask,
-                     output_mask=g.output_mask, node_graph=g.node_graph,
+                     output_mask=g.output_mask, node_graph=g.NodeGraph,
                      sample_weights=g.sample_weights,
                      aggregation_mode=g.aggregation_mode,
                      node_types=rng.integers(0, max(TYPE_COUNTS),
