@@ -96,20 +96,27 @@ def main():
     print(f"homogeneous kernel path: {ms:.3f} ms/step (iters {iters})",
           file=sys.stderr, flush=True)
 
-    # composite dense XLA body at T types (type-masked dense design)
-    typed = []
-    for g in graphs:
-        tg = type(g)(nodes=g.nodes, arcs=g.arcs, targets=g.targets,
-                     focus=g.focus, set_mask=g.set_mask,
-                     output_mask=g.output_mask, node_graph=g.NodeGraph,
-                     sample_weights=g.sample_weights,
-                     aggregation_mode=g.aggregation_mode,
-                     node_types=rng.integers(0, max(TYPE_COUNTS),
-                                             g.n_nodes).astype(np.int32))
-        typed.append(tg)
-    gb_t = from_graphs_blocked(typed, block_w=128)
+    # composite body at T types (type-masked design). Types are drawn
+    # per-T from [0, T) so every node's type has a live state net — at
+    # T < max(TYPE_COUNTS) a shared draw would leave out-of-range nodes
+    # permanently inert, skewing iteration counts and making the T=1 row
+    # not comparable to the homogeneous reference row (ADVICE r4).
+    def typed_batch(T):
+        rng = np.random.default_rng(7)
+        typed = []
+        for g in graphs:
+            tg = type(g)(nodes=g.nodes, arcs=g.arcs, targets=g.targets,
+                         focus=g.focus, set_mask=g.set_mask,
+                         output_mask=g.output_mask, node_graph=g.NodeGraph,
+                         sample_weights=g.sample_weights,
+                         aggregation_mode=g.aggregation_mode,
+                         node_types=rng.integers(0, T,
+                                                 g.n_nodes).astype(np.int32))
+            typed.append(tg)
+        return from_graphs_blocked(typed, block_w=128)
 
     for T in TYPE_COUNTS:
+        gb_t = typed_batch(T)
         cspec = CompositeGNNSpec(
             focus="g", state_specs=tuple(state_spec() for _ in range(T)),
             output_spec=out_spec, max_iteration=5, threshold=0.01,
