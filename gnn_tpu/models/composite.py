@@ -155,6 +155,24 @@ def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
     step_rngs = jax.random.split(rng_loop, spec.max_iteration)
     thr = jnp.asarray(spec.threshold, dtype=jnp.float32)
 
+    # typed kernel path (ops/pallas_typed.py): per-type weights stacked into
+    # ONE MXU issue with in-VMEM type-mask selection — measured vs the dense
+    # type-masked XLA body below in benchmarks/composite_bench.py. Same
+    # kill-switches as the homogeneous chain (GNN_TPU_FUSED / _FUSED_BN).
+    import os as _os
+    if (training and gb.adj_blocks is not None
+            and spec.shard_axis is None and spec.grad_mode != "ift"
+            and _os.environ.get("GNN_TPU_FUSED", "1") != "0"
+            and _os.environ.get("GNN_TPU_FUSED_BN", "1") != "0"):
+        from gnn_tpu.ops.pallas_typed import (bn_typed_train_propagate,
+                                              supports_typed_bn_train)
+        shape_ok = (spec.state_specs[0].units[-1]
+                    == (sd if sd else gb.nodes.shape[1]))
+        if shape_ok and supports_typed_bn_train(spec.state_specs):
+            return bn_typed_train_propagate(
+                spec, params_state, bn_state, gb, state0, agg_arcs,
+                step_rngs, nm, const_feats if sd > 0 else None)
+
     def body(carry, step_rng):
         k, state, state_old, active, bn = carry
         moving = _moving_mask(state, state_old, thr) & nm
