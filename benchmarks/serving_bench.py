@@ -77,14 +77,32 @@ for k in SIZES:
     # all buckets, so a nonzero compile delta here flags a contaminated run.
     compiles_before = pred.stats["compiles"]
     lat = []
+    import gc
+    attrib = []          # per-request (ms, pack_ms, gc_gen2_delta)
     for req in reqs:
+        g2_before = gc.get_stats()[2]["collections"]
         t0 = time.perf_counter()
         outs = pred.predict(req, split=False)
         assert outs.shape[0] == k
-        lat.append(time.perf_counter() - t0)
+        ms = (time.perf_counter() - t0) * 1e3
+        attrib.append((ms, pred.stats["last_pack_ms"],
+                       gc.get_stats()[2]["collections"] - g2_before))
+        lat.append(ms / 1e3)
     lat_ms = sorted(x * 1e3 for x in lat)
     timed_compiles = pred.stats["compiles"] - compiles_before
     edges = sum(g.n_arcs for g in reqs[-1])
+
+    # WARM pass: the SAME request objects again — the packed-batch LRU
+    # (serving.py) serves the device-resident batch, skipping the host pack
+    # and the per-leaf H2D transfers that dominate small requests
+    warm_lat = []
+    for req in reqs:
+        t0 = time.perf_counter()
+        outs = pred.predict(req, split=False)
+        warm_lat.append((time.perf_counter() - t0) * 1e3)
+    warm_ms = sorted(warm_lat)
+    # p99 attribution: did the tail requests coincide with a gen-2 GC pass?
+    worst = max(attrib, key=lambda a: a[0])
 
     # device-only path: same packed batch launched REPS times back-to-back,
     # ONE real host pull at the end amortised over the chain
@@ -103,12 +121,18 @@ for k in SIZES:
         "p90_ms": round(lat_ms[int(len(lat_ms) * 0.9)], 2),
         "p99_ms": round(lat_ms[min(len(lat_ms) - 1,
                                    int(len(lat_ms) * 0.99))], 2),
+        "warm_p50_ms": round(warm_ms[len(warm_ms) // 2], 2),
+        "warm_p99_ms": round(warm_ms[min(len(warm_ms) - 1,
+                                         int(len(warm_ms) * 0.99))], 2),
         "launch_ms": round(dev_ms, 2),
         "edges_last_req": int(edges),
         "graphs_per_s_p50": round(k / (lat_ms[len(lat_ms) // 2] / 1e3)),
         "compiles": n_compiled,
         "compiles_in_timed_loop": timed_compiles,   # must be 0 for a clean run
         "warmup_s": round(warm_s, 2),
+        "worst_req_ms": round(worst[0], 2),
+        "worst_req_pack_ms": round(worst[1] or 0.0, 2),
+        "worst_req_gc_gen2": int(worst[2]),
     }
     print(f"size {k:4d}: {json.dumps(results[k])}", flush=True)
 

@@ -27,7 +27,9 @@ reassembled in request order.
 
 from __future__ import annotations
 
+import itertools
 import time
+from collections import OrderedDict
 from typing import List, Optional, Sequence, Union
 
 import jax
@@ -37,6 +39,9 @@ from gnn_tpu.config import pad_size
 from gnn_tpu.graphs.batch import (GraphBatch, from_graphs_blocked,
                                   packed_block_count)
 from gnn_tpu.graphs.graph import Graph
+
+
+_TOKEN_COUNTER = itertools.count()
 
 
 def _lookup_or_compile(compiled: dict, stats: dict, key, build):
@@ -99,7 +104,8 @@ class Predictor:
     """
 
     def __init__(self, model, *, blocked: bool = True, block_w: int = 128,
-                 fused_layout: bool = True, bucket_multiple: int = 8):
+                 fused_layout: bool = True, bucket_multiple: int = 8,
+                 cache_batches: int = 256):
         fn, params, bn = _forward_callable(model)
         self._fn = fn
         self._params = jax.device_put(params)
@@ -110,8 +116,45 @@ class Predictor:
         self._fused = bool(fused_layout)
         self._bucket_multiple = int(bucket_multiple)
         self._compiled: dict = {}
+        # packed-batch LRU: the host pack + per-leaf H2D transfers dominate
+        # small-request latency through the tunnelled runtime (~70 ms around
+        # a ~1.5 ms launch, SERVING_r4.json) — repeat graphs skip both.
+        # Keyed by per-Graph identity tokens: a Graph is treated as
+        # IMMUTABLE once served (mutating nodes/arcs in place after a
+        # predict() serves stale results until eviction; build a new Graph
+        # instead). cache_batches=0 disables.
+        self._batch_cache: "OrderedDict" = OrderedDict()
+        self._cache_cap = int(cache_batches)
         self.stats = {"requests": 0, "compiles": 0, "bucket_hits": 0,
-                      "last_ms": None, "last_compile_s": None}
+                      "batch_cache_hits": 0, "last_ms": None,
+                      "last_pack_ms": None, "last_compile_s": None}
+
+    @staticmethod
+    def _graph_token(g: Graph) -> int:
+        tok = getattr(g, "_predictor_token", None)
+        if tok is None:
+            tok = next(_TOKEN_COUNTER)
+            g._predictor_token = tok
+        return tok
+
+    def _cached_batch(self, glist: Sequence[Graph]):
+        """Device-resident packed batch for a request, LRU-cached by the
+        request's graph identities."""
+        if self._cache_cap <= 0:
+            return self.build_batch(glist)
+        key = tuple(self._graph_token(g) for g in glist)
+        gb = self._batch_cache.get(key)
+        if gb is not None:
+            self._batch_cache.move_to_end(key)
+            self.stats["batch_cache_hits"] += 1
+            return gb
+        t0 = time.perf_counter()
+        gb = jax.device_put(self.build_batch(glist))
+        self.stats["last_pack_ms"] = (time.perf_counter() - t0) * 1e3
+        self._batch_cache[key] = gb
+        if len(self._batch_cache) > self._cache_cap:
+            self._batch_cache.popitem(last=False)
+        return gb
 
     # ------------------------------------------------------------- batching
     def _check(self, glist: Sequence[Graph]) -> None:
@@ -180,7 +223,7 @@ class Predictor:
         """
         single = isinstance(graphs, Graph)
         glist = [graphs] if single else list(graphs)
-        gb = self.build_batch(glist)
+        gb = self._cached_batch(glist)
         exe = self._executable(gb)
         t0 = time.perf_counter()
         out = exe(self._params, self._bn, gb)
@@ -299,8 +342,11 @@ def load_exported(path: str, devices=None) -> "Predictor":
     p._fused = cfg["fused"]
     p._bucket_multiple = cfg["bucket_multiple"]
     p._compiled = {}
+    p._batch_cache = OrderedDict()
+    p._cache_cap = 256
     p.stats = {"requests": 0, "compiles": 0, "bucket_hits": 0,
-               "last_ms": None, "last_compile_s": None}
+               "batch_cache_hits": 0, "last_ms": None, "last_pack_ms": None,
+               "last_compile_s": None}
     exports = {}
     for b in cfg["buckets"]:
         with open(path + b["file"], "rb") as f:

@@ -136,6 +136,37 @@ class TestPredictor:
         np.testing.assert_allclose(before, after, atol=0)
 
 
+class TestBatchCache:
+    def test_repeat_request_hits_cache_and_matches(self, rng):
+        """The packed-batch LRU: a repeat request skips pack+H2D (stats
+        count the hit) and serves identical outputs."""
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=3)
+        pred = Predictor(model, block_w=32)
+        r1 = pred.predict(gs, split=False)
+        assert pred.stats["batch_cache_hits"] == 0
+        r2 = pred.predict(gs, split=False)
+        assert pred.stats["batch_cache_hits"] == 1
+        np.testing.assert_array_equal(r1, r2)
+        # a DIFFERENT request list misses
+        pred.predict(gs[:2], split=False)
+        assert pred.stats["batch_cache_hits"] == 1
+
+    def test_lru_eviction_and_disable(self, rng):
+        model = build_model(focus="n")
+        gs = graphs_for(rng, focus="n", n_graphs=5)
+        pred = Predictor(model, block_w=32, cache_batches=2)
+        for g in gs[:3]:
+            pred.predict(g)
+        assert len(pred._batch_cache) == 2      # LRU evicted the first
+        pred.predict(gs[0])                     # evicted -> re-pack, no hit
+        assert pred.stats["batch_cache_hits"] == 0
+        off = Predictor(model, block_w=32, cache_batches=0)
+        off.predict(gs[0])
+        off.predict(gs[0])
+        assert off.stats["batch_cache_hits"] == 0
+
+
 class TestShardedPredictor:
     pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                     reason="needs 8 (virtual) devices")

@@ -33,7 +33,8 @@ from gnn_tpu.ops.mlp import MLPSpec
 CHECKS = os.environ.get(
     "HW_CHECKS",
     "eval1,train1,eval2,train2,bn1,bn1_nodrop,sd_train1,sd_bn1,sd_train2,"
-    "bn2,bn2_nodrop,sd_bn2"
+    "bn2,bn2_nodrop,sd_bn2,typed_bn1,typed_bn1_T8,typed_bn1_nodrop,"
+    "typed_sd_bn1"
 ).split(",")
 
 
@@ -106,7 +107,87 @@ def run_check(name, rng, units, activations, dropout, training, bn=False,
     return res
 
 
+def run_typed_check(name, rng, T, dropout, training=True, sd=0):
+    """Typed (composite) BN training kernel chain (ops/pallas_typed.py) vs
+    the dense type-masked XLA body (GNN_TPU_FUSED_BN=0) on the same chip."""
+    from gnn_tpu.graphs.graph import Graph
+    from gnn_tpu.models.composite import (CompositeGNNSpec,
+                                          composite_forward, composite_init)
+    from gnn_tpu.models.core import weighted_loss
+    from gnn_tpu.training.losses import get_loss
+    gs = []
+    for _ in range(12):
+        g = random_graph(int(rng.integers(8, 30)), 5, 3, 2, 0.5, focus="g",
+                         rng=rng)
+        g.node_types = rng.integers(0, T, g.n_nodes).astype(np.int32)
+        gs.append(g)
+    big = random_graph(70, 5, 3, 2, 0.2, focus="g", rng=rng)
+    big.node_types = rng.integers(0, T, big.n_nodes).astype(np.int32)
+    gs.insert(3, big)
+    gbf = from_graphs_blocked(gs, block_w=32, focus="g")
+    kw = (dict(dropout_rate=(0.15,), dropout_pos=(0,), alphadropout=True)
+          if dropout else {})
+    out_w = sd if sd else 5
+    sss = tuple(
+        MLPSpec(input_dim=2 * (5 + sd) + 3, units=(out_w,),
+                activations=("selu", "tanh", "relu")[t % 3],
+                kernel_initializer="lecun_normal",
+                bias_initializer="lecun_normal", batch_normalization=True,
+                **kw)
+        for t in range(T))
+    os_ = MLPSpec(input_dim=5 + sd, units=(2,), activations="softmax",
+                  batch_normalization=False)
+    spec = CompositeGNNSpec(focus="g", state_specs=sss, output_spec=os_,
+                            state_dim=sd, max_iteration=4, threshold=0.01)
+    params, bnst = composite_init(spec, jax.random.key(0))
+    key = jax.random.key(7)
+    t0 = time.perf_counter()
+    jx = str(jax.make_jaxpr(lambda p: composite_forward(
+        spec, p, bnst, gbf, key, training=training))(params))
+    if "pallas" not in jx:
+        return {"name": name, "ok": False, "why": "no kernel dispatch"}
+    lf = get_loss("mse")
+
+    def run(kernel_on):
+        if kernel_on:
+            os.environ.pop("GNN_TPU_FUSED_BN", None)
+        else:
+            os.environ["GNN_TPU_FUSED_BN"] = "0"
+        try:
+            def f(p):
+                r = composite_forward(spec, p, bnst, gbf, key,
+                                      training=training)
+                return weighted_loss(lf, {}, gbf, r["out"]), r
+            with jax.default_matmul_precision("highest"):
+                (loss, r), grads = jax.value_and_grad(f, has_aux=True)(params)
+            return r, grads
+        finally:
+            os.environ.pop("GNN_TPU_FUSED_BN", None)
+
+    r_x, g_x = run(False)
+    r_f, g_f = run(True)
+    s_f, s_x = np.asarray(r_f["state"]), np.asarray(r_x["state"])
+    fwd_err = float(np.max(np.abs(s_f - s_x)))
+    it_ok = float(r_f["iters"]) == float(r_x["iters"])
+    grad_err = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                   for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                                   jax.tree_util.tree_leaves(g_f)))
+    dt = time.perf_counter() - t0
+    ok = fwd_err < 1e-3 and grad_err < 1e-3 and it_ok
+    res = {"name": name, "ok": bool(ok), "fwd_max_abs_err": fwd_err,
+           "grad_max_abs_err": grad_err, "iters_equal": bool(it_ok),
+           "wall_s": round(dt, 1)}
+    print(("PASS " if ok else "FAIL ") + json.dumps(res), flush=True)
+    return res
+
+
 def main():
+    typed_matrix = {
+        "typed_bn1": dict(T=3, dropout=True),
+        "typed_bn1_T8": dict(T=8, dropout=True),
+        "typed_bn1_nodrop": dict(T=2, dropout=False),
+        "typed_sd_bn1": dict(T=3, dropout=True, sd=4),
+    }
     matrix = {
         "eval1": dict(units=(5,), activations="selu", dropout=False,
                       training=False),
@@ -139,13 +220,15 @@ def main():
         "sd_bn2": dict(units=(16, 4), activations=("selu", "selu"),
                        dropout=True, training=True, bn=True, sd=4),
     }
-    unknown = [c for c in CHECKS if c not in matrix]
+    unknown = [c for c in CHECKS if c not in matrix and c not in typed_matrix]
     if unknown:
         raise SystemExit(f"unknown HW_CHECKS entries {unknown}; "
-                         f"valid: {sorted(matrix)}")
+                         f"valid: {sorted(matrix) + sorted(typed_matrix)}")
     print(f"device: {jax.devices()[0]}", flush=True)
     rng = np.random.default_rng(0)
-    results = [run_check(c, rng, **matrix[c]) for c in CHECKS]
+    results = [run_typed_check(c, rng, **typed_matrix[c])
+               if c in typed_matrix else run_check(c, rng, **matrix[c])
+               for c in CHECKS]
     ok = bool(results) and all(r["ok"] for r in results)
     timing = {}
     if ok and os.environ.get("HW_TIMING", "1") != "0":
