@@ -8,6 +8,9 @@ the fused production path.
 Run on the chip:  PYTHONUNBUFFERED=1 python benchmarks/mutag_single.py
 Env: DROPOUT=0.1 (0 disables)  EPOCHS=600  LR=1e-3  COSINE=1|0
      SPLIT_SEED=7  SEED=0  UPDATE_FREQ=10  MAX_FAILS=20
+     ADJ_DTYPE=bfloat16 — single-pass bf16 adjacency products (the opt-in
+     throughput mode, docs/kernels.md): round-5 accuracy qualification of
+     the HWVALID_r4 3.7e-2 worst-grad error class
 """
 
 import json
@@ -45,13 +48,18 @@ chunks = [tr[i:i + 32] for i in range(0, len(tr), 32)]
 probe = [from_graphs_blocked(c, block_w=128, target_pad=128, edge_pad=4096)
          for c in chunks]
 max_b = max(b.adj_blocks.shape[0] for b in probe)
+adj_dtype = None
+if os.environ.get("ADJ_DTYPE"):
+    import jax.numpy as jnp
+    adj_dtype = {"bfloat16": jnp.bfloat16,
+                 "float32": jnp.float32}[os.environ["ADJ_DTYPE"]]
 mk = dict(block_w=128, target_pad=128, edge_pad=4096, min_blocks=max_b,
-          fused_layout=True)
+          fused_layout=True, adj_dtype=adj_dtype)
 gTr = [from_graphs_blocked(c, **mk) for c in chunks]
 gVa = from_graphs_blocked([graphs[i] for i in iVa], block_w=128,
-                          fused_layout=True)
+                          fused_layout=True, adj_dtype=adj_dtype)
 gTe = from_graphs_blocked([graphs[i] for i in iTe], block_w=128,
-                          fused_layout=True)
+                          fused_layout=True, adj_dtype=adj_dtype)
 
 in_s, l_s = get_inout_dims("state", 14, 3, 2, "g", 0, 150)
 in_o, l_o = get_inout_dims("output", 14, 3, 2, "g", 0, 150)

@@ -14,11 +14,19 @@ rows are selected by type mask:
 
     state_next = Σ_t  1[type == t] · f_w^t(inp)
 
-Each per-type pass is still one fused MXU matmul chain over [Np, D] — for the
-small type counts of real heterogeneous datasets (2-8) this is cheaper than
-any scatter-based regrouping, branch-free, and fully static under jit. The
-convergence predicate, masked-scan dynamic iteration count and gradient
-semantics are identical to models/core.propagate.
+branch-free and fully static under jit — far cheaper than any scatter-based
+regrouping at real heterogeneous type counts (2-8). The convergence
+predicate, masked-scan dynamic iteration count and gradient semantics are
+identical to models/core.propagate.
+
+Production training (round 5) rides the TYPED KERNEL CHAIN
+(ops/pallas_typed.py): all per-type dense weights stacked into ONE MXU
+issue with in-VMEM type-mask selection — measured 2.2-2.6x over this
+module's XLA body on the chip (benchmarks/composite_bench.py: T=1
+8.98 -> 4.15 ms/step, T=8 18.19 -> 6.94). The XLA body below remains the
+dispatch fallback (eval mode, non-blocked batches, ineligible specs,
+GNN_TPU_FUSED_BN=0) and the exactness reference the kernels are fuzzed
+against (tools/fuzz_parity.py 'composite_bn' kind).
 
 Supports both state_dim == 0 (labels are the state) and state_dim > 0
 (random-normal state, labels appended to the step input — GNN.py:261-266;
@@ -161,6 +169,7 @@ def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
     # kill-switches as the homogeneous chain (GNN_TPU_FUSED / _FUSED_BN).
     import os as _os
     if (training and gb.adj_blocks is not None
+            and spec.aggregation == "auto"
             and spec.shard_axis is None and spec.grad_mode != "ift"
             and _os.environ.get("GNN_TPU_FUSED", "1") != "0"
             and _os.environ.get("GNN_TPU_FUSED_BN", "1") != "0"):
