@@ -371,8 +371,9 @@ def fused_bn_train_loop(adj_pack, s0, mc, feats, w_aug, gamma, beta, nmf,
 
     :param adj_pack: pack_adjacency output for the FULL block set.
     :param s0: [B, D, Wb] initial states (feature-major blocks).
-    :param mc: [K, B, 2D+F, Wb] combined keep-masks in x3 row order
-        [state | agg | fold] (int8), or a (K, 1, 1, 1) dummy when rate == 0.
+    :param mc: TUPLE of K [B, 2D+F, Wb] combined keep-masks in x3 row order
+        [state | agg | fold] (int8), or K tiny dummies when rate == 0 (a
+        stacked [K, ...] array forces a per-step relayout copy).
     :param feats: [B, F, Wb] loop-invariant raw fold features (node labels /
         aggregated constants; dropped in-VMEM per iteration). NO gradient —
         graph constants, like the adjacency.
@@ -451,6 +452,8 @@ def _bn_loop_fwd(adj_pack, s0, mc, feats, w_aug, gamma, beta, nmf,
 
 
 def _zero_ct(x):
+    if isinstance(x, (tuple, list)):
+        return type(x)(_zero_ct(v) for v in x)
     if jnp.issubdtype(x.dtype, jnp.integer) or jnp.issubdtype(x.dtype,
                                                               jnp.bool_):
         return np.zeros(x.shape, jax.dtypes.float0)
@@ -1033,17 +1036,22 @@ def bn_train_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
         # carries all three mask streams (2D+F rows ride a single int8
         # (32, 128) tile at the reference shapes — half the bytes of the two
         # separate [K, B, D, Wb] arrays they replace).
-        keeps = jnp.stack([
-            jax.random.bernoulli(jax.random.split(step_rngs[i])[1],
-                                 1.0 - rate, (Np, in_dim))
-            for i in range(K)])
-        kc = jnp.concatenate([state_cols(keeps), agg_cols(keeps),
-                              fold_cols(keeps)], axis=-1)
-        mc = jax.vmap(to3)(kc).astype(jnp.int8)
+        # a TUPLE of K [B, 2D+F, Wb] arrays, each blocked independently — a
+        # stacked [K, ...] array forced XLA to materialize a transposed
+        # relayout copy of the whole stream every step (0.16 ms on the
+        # flagship, round-5 xplane attribution)
+        mc_list = []
+        for i in range(K):
+            keep = jax.random.bernoulli(jax.random.split(step_rngs[i])[1],
+                                        1.0 - rate, (Np, in_dim))
+            kc = jnp.concatenate([state_cols(keep), agg_cols(keep),
+                                  fold_cols(keep)], axis=-1)
+            mc_list.append(to3(kc).astype(jnp.int8))
+        mc = tuple(mc_list)
     else:
-        # shape-(K,1,1,1) dummy: never passed to the kernels when rate == 0
+        # dummies: never passed to the kernels when rate == 0
         # (the fwd/bwd rules omit the mask operand entirely)
-        mc = jnp.ones((K, 1, 1, 1), jnp.float32)
+        mc = tuple(jnp.ones((1, 1, 1), jnp.float32) for _ in range(K))
 
     if gb.res_src is not None and gb.res_src.shape[0]:
         res_src, res_dst, res_w = gb.res_src, gb.res_dst, gb.res_w

@@ -365,7 +365,7 @@ def fused_bn_typed_train_loop(adj_pack, s0, mc, feats, w_stk3, gamma, beta,
 
     :param adj_pack: pack_adjacency output for the FULL block set.
     :param s0: [B, D, Wb] initial states (feature-major blocks).
-    :param mc: [K, B, 2D+F, Wb] combined int8 keep-masks, per-node SELECTED
+    :param mc: TUPLE of K [B, 2D+F, Wb] combined int8 keep-masks, per-node SELECTED
         from each type's own draw, or a (K, 1, 1, 1) dummy when rate == 0.
     :param feats: [B, F, Wb] loop-invariant raw fold features (no gradient).
     :param w_stk3: [T, H, 2D+F+1] per-type bias-augmented dense
@@ -632,7 +632,7 @@ def bn_typed_train_propagate(spec, params_state, bn_state, gb, state0,
         # cost 0.7 ms per iteration on the chip (xplane, round 5) — 5 T
         # elementwise selects are ~free, and T == 1 collapses to the plain
         # homogeneous draw.
-        sel = []
+        mc_list = []
         for i in range(K):
             acc = None
             for t in range(T):
@@ -642,13 +642,14 @@ def bn_typed_train_propagate(spec, params_state, bn_state, gb, state0,
                     1.0 - rate, (Np, in_dim))
                 acc = (k_t if acc is None
                        else jnp.where((types == t)[:, None], k_t, acc))
-            sel.append(acc)
-        keeps = jnp.stack(sel)                             # [K, Np, in]
-        kc = jnp.concatenate([state_cols(keeps), agg_cols(keeps),
-                              fold_cols(keeps)], axis=-1)
-        mc = jax.vmap(to3)(kc).astype(jnp.int8)
+            kc = jnp.concatenate([state_cols(acc), agg_cols(acc),
+                                  fold_cols(acc)], axis=-1)
+            # per-iteration tuple entries (not a [K, ...] stack): the stack
+            # forced a per-step relayout copy (pallas_bn round-5 note)
+            mc_list.append(to3(kc).astype(jnp.int8))
+        mc = tuple(mc_list)
     else:
-        mc = jnp.ones((K, 1, 1, 1), jnp.float32)
+        mc = tuple(jnp.ones((1, 1, 1), jnp.float32) for _ in range(K))
 
     if gb.res_src is not None and gb.res_src.shape[0]:
         res_src, res_dst, res_w = gb.res_src, gb.res_dst, gb.res_w

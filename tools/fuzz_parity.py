@@ -461,6 +461,14 @@ def _compare(paths, outs, iters, grads, atol, rtol, state_scale=1.0,
                         jax.tree_util.tree_leaves(grads[name])):
             a, b = np.asarray(a), np.asarray(b)
             g_rtol, g_atol = rtol, atol * tree_scale
+            if atol >= 1e-2:
+                # bf16 state-carry rounding compounds per iteration in the
+                # GRADS too (campaign seed 5100160: two pure-XLA bodies,
+                # tanh/linear — no flips possible — diverged 3.7e-2 rel at
+                # K=4 while the identical f32 trial agreed to 1.3e-6; the
+                # BN backward's 1/sigma amplifies the per-iteration drift).
+                # Same per-iteration scaling the r4 output band got.
+                g_atol = max(g_atol, 1.5e-2 * n_it * tree_scale)
             if state_scale > 50.0:
                 # exploding (non-contractive) fixed points: isolated grad
                 # elements legitimately diverge — keep a loose sanity band

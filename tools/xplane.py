@@ -166,3 +166,39 @@ if __name__ == "__main__":
     if len(sys.argv) < 3 or sys.argv[1] not in ("agg", "tl"):
         sys.exit(__doc__)
     (aggregate if sys.argv[1] == "agg" else timeline)(sys.argv[2])
+
+
+def device_bucket_ms(path: str) -> dict:
+    """Occupancy buckets from the TPU plane's sync 'XLA Ops' line:
+    {'kernel': ms, 'fusion': ms, 'copy': ms, 'other': ms, 'while': ms}.
+    'kernel' counts custom-calls (Pallas launches); 'while' is the whole
+    loop span (the step total when the trace is one scanned dispatch)."""
+    space = open(path, "rb").read()
+    out = {"kernel": 0.0, "fusion": 0.0, "copy": 0.0, "other": 0.0,
+           "while": 0.0}
+    for fn, plane in _fields(space):
+        if fn != 1:
+            continue
+        name, emeta, lines = _parse_plane(plane)
+        if "TPU" not in name:
+            continue
+        for ln in lines:
+            lname, evs = _parse_line(ln)
+            if lname != "XLA Ops":
+                continue
+            for _, dur, mid in evs:
+                key = str(emeta.get(mid, mid))
+                base = key.split("=", 1)[0].strip().lstrip("%")
+                if base.startswith("while"):
+                    out["while"] += dur / 1e9
+                elif "custom-call" in key:
+                    out["kernel"] += dur / 1e9
+                elif base.startswith("fusion") or "_fusion" in base.split(
+                        ".")[0]:
+                    out["fusion"] += dur / 1e9
+                elif base.startswith(("copy", "slice", "reshape",
+                                      "transpose", "bitcast")):
+                    out["copy"] += dur / 1e9
+                else:
+                    out["other"] += dur / 1e9
+    return out
