@@ -168,19 +168,32 @@ def composite_propagate(spec: CompositeGNNSpec, params_state, bn_state,
     # type-masked XLA body below in benchmarks/composite_bench.py. Same
     # kill-switches as the homogeneous chain (GNN_TPU_FUSED / _FUSED_BN).
     import os as _os
-    if (training and gb.adj_blocks is not None
+    if (gb.adj_blocks is not None
             and spec.aggregation == "auto"
             and spec.shard_axis is None and spec.grad_mode != "ift"
             and _os.environ.get("GNN_TPU_FUSED", "1") != "0"
             and _os.environ.get("GNN_TPU_FUSED_BN", "1") != "0"):
-        from gnn_tpu.ops.pallas_typed import (bn_typed_train_propagate,
-                                              supports_typed_bn_train)
         shape_ok = (spec.state_specs[0].units[-1]
                     == (sd if sd else gb.nodes.shape[1]))
-        if shape_ok and supports_typed_bn_train(spec.state_specs):
-            return bn_typed_train_propagate(
-                spec, params_state, bn_state, gb, state0, agg_arcs,
-                step_rngs, nm, const_feats if sd > 0 else None)
+        if training and shape_ok:
+            from gnn_tpu.ops.pallas_typed import (bn_typed_train_propagate,
+                                                  supports_typed_bn_train)
+            if supports_typed_bn_train(spec.state_specs):
+                return bn_typed_train_propagate(
+                    spec, params_state, bn_state, gb, state0, agg_arcs,
+                    step_rngs, nm, const_feats if sd > 0 else None)
+        elif shape_ok:
+            # typed EVAL chain (round 5): the stacked-weight kernel with the
+            # per-type inference affine fixed from running statistics. No
+            # VJP — inference only; differentiating an eval forward on this
+            # path fails loudly (train with training=True, which rides the
+            # custom-VJP training chain)
+            from gnn_tpu.ops.pallas_typed import (supports_typed_eval,
+                                                  typed_eval_propagate)
+            if supports_typed_eval(spec.state_specs):
+                return typed_eval_propagate(
+                    spec, params_state, bn_state, gb, state0, agg_arcs,
+                    nm, const_feats if sd > 0 else None)
 
     def body(carry, step_rng):
         k, state, state_old, active, bn = carry

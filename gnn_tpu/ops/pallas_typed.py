@@ -686,3 +686,117 @@ def bn_typed_train_propagate(spec, params_state, bn_state, gb, state0,
         new_bns.append({"mean": mean_mv.astype(bn_state[t]["mean"].dtype),
                         "var": var_mv.astype(bn_state[t]["var"].dtype)})
     return k, from_blocks_fm(state3), tuple(new_bns)
+
+
+# ------------------------------------------------------------ typed EVAL chain
+def supports_typed_eval(state_specs) -> bool:
+    """Static eligibility of the typed EVAL chain: single dense layer with a
+    fusable activation per type (BatchNormalization optional — at inference
+    it is a fixed per-type affine; dropout is inactive)."""
+    return all(s.num_layers == 1
+               and s.activations[0] in FUSABLE_ACTIVATIONS
+               for s in state_specs)
+
+
+def typed_eval_propagate(spec, params_state, bn_state, gb, state0, agg_arcs,
+                         nm, const_feats=None):
+    """Typed INFERENCE propagation on the kernel path: the training chain's
+    stacked-weight fwd kernel (`_bnT_fwd_call`) launched per iteration with
+    the per-type affine FIXED from running statistics (or identity when BN
+    is off) — no moment glue, no dropout, no custom VJP (serving never
+    differentiates; training uses `bn_typed_train_propagate`). The moment
+    partial sums the kernel emits are ignored.
+
+    Returns (iters, state [Np, D] node-major, bn_state unchanged)."""
+    import os as _os
+    Bb, Wb, _ = gb.adj_blocks.shape
+    K = spec.max_iteration
+    D = state0.shape[1]
+    T = spec.n_types
+    sd_ = spec.state_dim
+    nl_ = gb.nodes.shape[1]
+    if sd_ > 0:
+        fold_feats = jnp.concatenate([gb.nodes, const_feats], axis=1)
+    else:
+        fold_feats = agg_arcs
+
+    def aug_w(p):
+        w1T = p["dense_0"]["w"].T
+        if sd_ > 0:
+            w_cat = jnp.concatenate([w1T[:, :sd_],
+                                     w1T[:, sd_ + nl_:2 * sd_ + nl_]], axis=1)
+            Wf = jnp.concatenate([w1T[:, sd_:sd_ + nl_],
+                                  w1T[:, 2 * sd_ + nl_:]], axis=1)
+        else:
+            w_cat = w1T[:, :2 * D]
+            Wf = w1T[:, 2 * D:]
+        return jnp.concatenate([w_cat, Wf, p["dense_0"]["b"][:, None]],
+                               axis=1)
+
+    w_stk3 = jnp.stack([aug_w(p) for p in params_state])
+    w_stk = w_stk3.reshape(T * w_stk3.shape[1], w_stk3.shape[2])
+    acts = tuple(s.activations[0] for s in spec.state_specs)
+    to3 = functools.partial(to_blocks_fm, block_w=Wb)
+    adj_pack = (gb.adj_packT if gb.adj_packT is not None
+                else pack_adjacency(jnp.swapaxes(gb.adj_blocks, 1, 2)))
+    nm3 = nm.astype(jnp.float32).reshape(Bb, 1, Wb)
+    types = gb.node_types
+    tm3 = to3(jax.nn.one_hot(types, T, dtype=jnp.float32))
+    feats3 = to3(fold_feats.astype(state0.dtype))
+
+    # the FIXED inference affine per type: identity without BN, else
+    # gamma·rsqrt(var_mv+eps) / beta − mean·scale (ops/mlp.py eval branch)
+    if spec.state_specs[0].batch_normalization:
+        scale = jnp.stack([
+            p["bn"]["gamma"].astype(jnp.float32)
+            * jax.lax.rsqrt(b["var"].astype(jnp.float32) + _BN_EPS)
+            for p, b in zip(params_state, bn_state)])          # [T, D]
+        shift = jnp.stack([
+            p["bn"]["beta"].astype(jnp.float32)
+            - b["mean"].astype(jnp.float32) * s
+            for (p, b), s in zip(zip(params_state, bn_state), scale)])
+        aff1 = jnp.stack([scale, shift])                       # [2, T, D]
+    else:
+        aff1 = jnp.broadcast_to(_ident_aff(D)[:, None, :], (2, T, D))
+    identT = jnp.broadcast_to(_ident_aff(D)[:, None, :], (2, T, D))
+
+    if gb.res_src is not None and gb.res_src.shape[0]:
+        res_src, res_dst, res_w = gb.res_src, gb.res_dst, gb.res_w
+        res_type = jnp.take(types, res_src)
+        src_idx = _res_flat_idx(res_src, D, Wb)
+        dst_idx = _res_flat_idx(res_dst, D, Wb)
+        has_res = True
+    else:
+        has_res = False
+
+    s03 = to3(state0)
+    interpret = True if _os.environ.get("GNN_TPU_INTERPRET") else None
+    grp = pick_group(Bb, cap=max(4, min(32, 128 // max(1, T))))
+    y1, y2 = s03, jnp.ones_like(s03)
+    a1, a2 = identT, identT
+    ys, margs = [], []
+    for k in range(K):
+        if has_res:
+            vals = _res_gather_typed(y1, a1, src_idx, res_type, res_w)
+            rT = _res_scatter(vals, dst_idx, Bb, D, Wb)
+        else:
+            rT = None
+        aff_pack = jnp.concatenate([a1, a2], axis=0)[:, :, :, None]
+        y, _agg, marg, _msum = _bnT_fwd_call(
+            adj_pack, y1, y2, aff_pack, tm3, None, rT, feats3, w_stk, nm3,
+            acts=acts, T=T, alpha_drop=False, rate=0.0, group=grp,
+            thr=float(spec.threshold), interpret=interpret)
+        y2, a2 = y1, a1
+        y1, a1 = y, aff1          # fixed affine from iteration 1 on
+        ys.append(y)
+        margs.append(marg)
+    margins = jnp.stack(margs)
+    loop_any = jnp.any(margins > 0.5, axis=(1, 2, 3))
+    iters = jnp.sum(jnp.cumprod(loop_any.astype(jnp.float32)))
+    idx = jnp.maximum(iters.astype(jnp.int32) - 1, 0)
+    y_sel = jax.lax.dynamic_index_in_dim(jnp.stack(ys), idx, 0,
+                                         keepdims=False)
+    state3 = y_sel.astype(jnp.float32) * _sel_coef(tm3, aff1[0]) \
+        + _sel_coef(tm3, aff1[1])
+    state3 = jnp.where(iters >= 1.0, state3.astype(s03.dtype), s03)
+    return iters, from_blocks_fm(state3), bn_state

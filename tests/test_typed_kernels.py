@@ -117,6 +117,10 @@ class TestTypedChainParity:
                                      big=big)
         if big:
             assert gb.res_src is not None and int(gb.res_src.shape[0]) > 0
+        # the kernel path must actually dispatch (routing guard)
+        jx = str(jax.make_jaxpr(lambda p: composite_forward(
+            spec, p, bn, gb, jax.random.key(0), training=True))(params))
+        assert "pallas" in jx
         (l_x, r_x, g_x), (l_k, r_k, g_k) = both_paths(spec, params, bn, gb)
         assert float(r_x["iters"]) == float(r_k["iters"])
         scale = max(1.0, float(jnp.max(jnp.abs(r_x["state"]))))
@@ -161,6 +165,42 @@ class TestTypedChainParity:
         assert float(r_k["iters"]) < 5.0
         np.testing.assert_allclose(np.asarray(r_k["state"]),
                                    np.asarray(r_x["state"]), atol=1e-4)
+
+    @pytest.mark.parametrize("T,bn_on,sd", [(1, True, 0), (3, True, 0),
+                                            (2, False, 0), (3, True, 4)])
+    def test_eval_chain_matches_xla_body(self, rng, T, bn_on, sd):
+        """Typed EVAL chain (fixed per-type inference affine, no dropout)
+        vs the XLA body — BN on and off, state_dim variants."""
+        import dataclasses
+        spec, params, bn, gb = build(rng, T, sd=sd, rate=0.15)
+        if not bn_on:
+            spec = dataclasses.replace(spec, state_specs=tuple(
+                dataclasses.replace(s, batch_normalization=False)
+                for s in spec.state_specs))
+            params, bn = composite_init(spec, jax.random.key(0))
+        jx = str(jax.make_jaxpr(lambda p: composite_forward(
+            spec, p, bn, gb, jax.random.key(0), training=False))(params))
+        assert "pallas" in jx
+        key = jax.random.key(5)
+
+        def run(off):
+            if off:
+                os.environ["GNN_TPU_FUSED_BN"] = "0"
+            try:
+                return composite_forward(spec, params, bn, gb, key,
+                                         training=False)
+            finally:
+                os.environ.pop("GNN_TPU_FUSED_BN", None)
+
+        r_x, r_k = run(True), run(False)
+        assert float(r_x["iters"]) == float(r_k["iters"])
+        scale = max(1.0, float(jnp.max(jnp.abs(r_x["state"]))))
+        np.testing.assert_allclose(np.asarray(r_k["state"]),
+                                   np.asarray(r_x["state"]),
+                                   atol=max(1e-4, 3e-5 * scale))
+        np.testing.assert_allclose(np.asarray(r_k["out"]),
+                                   np.asarray(r_x["out"]),
+                                   atol=max(1e-4, 3e-5 * scale))
 
     def test_killswitch_and_eligibility(self, rng, monkeypatch):
         """GNN_TPU_FUSED=0 keeps the XLA body; mixed per-type dropout rates
