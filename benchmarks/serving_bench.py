@@ -65,6 +65,23 @@ from gnn_tpu.config import warmup_transfers  # noqa: E402
 
 warmup_transfers()
 
+# the runtime's floor for ANY synchronous dispatch+pull: a trivial jitted
+# x+1 through the same link. On the tunnelled chip this is ~28-30 ms of pure
+# round-trip — it bounds every blocking predict() below regardless of model
+# cost, and is the number to subtract when projecting to locally-attached
+# TPU serving (where the same floor is <1 ms)
+_f = jax.jit(lambda x: x + 1.0)
+_x = jax.device_put(np.ones((8,), np.float32))
+np.asarray(_f(_x))
+_fl = []
+for _ in range(15):
+    t0 = time.perf_counter()
+    np.asarray(_f(_x))
+    _fl.append((time.perf_counter() - t0) * 1e3)
+tunnel_floor_ms = round(sorted(_fl)[len(_fl) // 2], 2)
+print(f"tunnel_floor_ms (trivial dispatch+pull median): {tunnel_floor_ms}",
+      flush=True)
+
 results = {}
 for k in SIZES:
     reqs = [request(k) for _ in range(REPS)]
@@ -104,6 +121,18 @@ for k in SIZES:
     # p99 attribution: did the tail requests coincide with a gen-2 GC pass?
     worst = max(attrib, key=lambda a: a[0])
 
+    # PIPELINED warm pass (predict_async): all requests dispatched before
+    # any result() pull — the deployment pattern that amortises the tunnel
+    # round-trip across in-flight requests. Per-request amortised cost
+    # should approach device time + host split, not the RTT floor.
+    pends = [pred.predict_async(req, split=False) for req in reqs]
+    [p.result() for p in pends]           # absorb any first-wave stall
+    t0 = time.perf_counter()
+    pends = [pred.predict_async(req, split=False) for req in reqs]
+    outs = [p.result() for p in pends]
+    pipelined_ms = (time.perf_counter() - t0) / len(reqs) * 1e3
+    assert all(o.shape[0] == k for o in outs)
+
     # device-only path: same packed batch launched REPS times back-to-back,
     # ONE real host pull at the end amortised over the chain
     gb = pred.build_batch(reqs[-1])
@@ -124,6 +153,7 @@ for k in SIZES:
         "warm_p50_ms": round(warm_ms[len(warm_ms) // 2], 2),
         "warm_p99_ms": round(warm_ms[min(len(warm_ms) - 1,
                                          int(len(warm_ms) * 0.99))], 2),
+        "warm_pipelined_ms": round(pipelined_ms, 2),
         "launch_ms": round(dev_ms, 2),
         "edges_last_req": int(edges),
         "graphs_per_s_p50": round(k / (lat_ms[len(lat_ms) // 2] / 1e3)),
@@ -137,6 +167,7 @@ for k in SIZES:
     print(f"size {k:4d}: {json.dumps(results[k])}", flush=True)
 
 summary = {"metric": "serving_request_p50_ms", "by_size": results,
+           "tunnel_floor_ms": tunnel_floor_ms,
            "hidden": HIDDEN, "device": str(jax.devices()[0])}
 print(json.dumps(summary), flush=True)
 out_path = os.environ.get("SERVING_OUT")

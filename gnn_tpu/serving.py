@@ -89,6 +89,37 @@ def _forward_callable(model):
     return fn, model.params, model.bn
 
 
+class PendingPrediction:
+    """In-flight request handle from :meth:`Predictor.predict_async`: the
+    executable has been launched; ``result()`` performs the device→host pull
+    (the only blocking step) and the per-graph split."""
+
+    def __init__(self, out, gb, glist, single: bool, split: bool):
+        self._out, self._gb = out, gb
+        self._glist, self._single, self._split = glist, single, split
+        # start the device->host copy NOW (non-blocking; the runtime pushes
+        # the bytes as soon as the execution completes). Without this every
+        # result() pays its own full round-trip sequentially — with it, the
+        # transfers of all in-flight requests stream concurrently
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+
+    def result(self):
+        sel = np.asarray(self._gb.sel_mask)
+        rows = np.asarray(self._out)[sel]      # device->host barrier
+        if not self._split:
+            return rows
+        # targets are concatenated in request order (graphs/batch.py) and
+        # sel filters order-preservingly -> per-graph spans from sel counts
+        spans = np.cumsum([g.targets.shape[0] for g in self._glist])
+        counts = [int(sel[a:b].sum()) for a, b in
+                  zip(np.concatenate([[0], spans[:-1]]), spans)]
+        parts: List[np.ndarray] = np.split(rows, np.cumsum(counts)[:-1])
+        return parts[0] if self._single else parts
+
+
 class Predictor:
     """Serve a trained model: ``Predictor(model).predict(graphs)``.
 
@@ -221,25 +252,29 @@ class Predictor:
             follow each graph's own target order); False returns the
             concatenated selected rows.
         """
+        t0 = time.perf_counter()
+        res = self.predict_async(graphs, split=split).result()
+        self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
+        return res
+
+    def predict_async(self, graphs: Union[Graph, Sequence[Graph]],
+                      split: bool = True) -> "PendingPrediction":
+        """Dispatch a request WITHOUT blocking on the device→host pull.
+
+        Returns a :class:`PendingPrediction`; its ``result()`` blocks and
+        returns exactly what ``predict`` would. On a remote/tunnelled
+        runtime a synchronous predict pays one full round-trip per request
+        (~30 ms through the TPU tunnel vs ~1.5 ms device time —
+        SERVING_r5.json ``tunnel_floor_ms``); keeping several requests in
+        flight amortises the round-trip so steady-state per-request cost
+        approaches device time."""
         single = isinstance(graphs, Graph)
         glist = [graphs] if single else list(graphs)
         gb = self._cached_batch(glist)
         exe = self._executable(gb)
-        t0 = time.perf_counter()
-        out = exe(self._params, self._bn, gb)
-        sel = np.asarray(gb.sel_mask)
-        rows = np.asarray(out)[sel]        # device->host barrier
-        self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
+        out = exe(self._params, self._bn, gb)    # async: no host barrier
         self.stats["requests"] += 1
-        if not split:
-            return rows
-        # targets are concatenated in request order (graphs/batch.py) and
-        # sel filters order-preservingly -> per-graph spans from sel counts
-        spans = np.cumsum([g.targets.shape[0] for g in glist])
-        counts = [int(sel[a:b].sum()) for a, b in
-                  zip(np.concatenate([[0], spans[:-1]]), spans)]
-        parts: List[np.ndarray] = np.split(rows, np.cumsum(counts)[:-1])
-        return parts[0] if single else parts
+        return PendingPrediction(out, gb, glist, single, split)
 
     def __call__(self, graphs):
         return self.predict(graphs)

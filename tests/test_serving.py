@@ -152,6 +152,25 @@ class TestBatchCache:
         pred.predict(gs[:2], split=False)
         assert pred.stats["batch_cache_hits"] == 1
 
+    def test_predict_async_matches_predict(self, rng):
+        """predict_async (pipelined serving) returns the same values as the
+        blocking predict, for both split modes, with overlapping requests
+        in flight."""
+        model = build_model(focus="n")
+        reqs = [graphs_for(rng, focus="n", n_graphs=k) for k in (2, 3, 1)]
+        pred = Predictor(model, block_w=32)
+        blocking = [pred.predict(r, split=False) for r in reqs]
+        pends = [pred.predict_async(r, split=False) for r in reqs]
+        for b, p in zip(blocking, pends):
+            np.testing.assert_array_equal(b, p.result())
+        # split mode + single-graph request through the async path
+        parts = pred.predict_async(reqs[0]).result()
+        assert len(parts) == 2
+        for g, p in zip(reqs[0], parts):
+            assert p.shape == g.targets.shape
+        single = pred.predict_async(reqs[2][0]).result()
+        np.testing.assert_array_equal(single, pred.predict(reqs[2][0]))
+
     def test_lru_eviction_and_disable(self, rng):
         model = build_model(focus="n")
         gs = graphs_for(rng, focus="n", n_graphs=5)

@@ -107,9 +107,13 @@ def run_check(name, rng, units, activations, dropout, training, bn=False,
     return res
 
 
-def run_typed_check(name, rng, T, dropout, training=True, sd=0):
-    """Typed (composite) BN training kernel chain (ops/pallas_typed.py) vs
-    the dense type-masked XLA body (GNN_TPU_FUSED_BN=0) on the same chip."""
+def run_typed_check(name, rng, T, dropout, training=True, sd=0, bn=True):
+    """Typed (composite) kernel chains (ops/pallas_typed.py) vs the dense
+    type-masked XLA body (GNN_TPU_FUSED_BN=0) on the same chip. training=True
+    validates the custom-VJP BN training chain (fwd + grads); training=False
+    validates the round-5 EVAL chain (stacked-weight inference kernel with
+    fixed per-type affines) — forward + iteration count only, since the eval
+    chain has no VJP by design (serving never differentiates)."""
     from gnn_tpu.graphs.graph import Graph
     from gnn_tpu.models.composite import (CompositeGNNSpec,
                                           composite_forward, composite_init)
@@ -132,7 +136,7 @@ def run_typed_check(name, rng, T, dropout, training=True, sd=0):
         MLPSpec(input_dim=2 * (5 + sd) + 3, units=(out_w,),
                 activations=("selu", "tanh", "relu")[t % 3],
                 kernel_initializer="lecun_normal",
-                bias_initializer="lecun_normal", batch_normalization=True,
+                bias_initializer="lecun_normal", batch_normalization=bn,
                 **kw)
         for t in range(T))
     os_ = MLPSpec(input_dim=5 + sd, units=(2,), activations="softmax",
@@ -140,6 +144,16 @@ def run_typed_check(name, rng, T, dropout, training=True, sd=0):
     spec = CompositeGNNSpec(focus="g", state_specs=sss, output_spec=os_,
                             state_dim=sd, max_iteration=4, threshold=0.01)
     params, bnst = composite_init(spec, jax.random.key(0))
+    if not training and bn:
+        # perturb the running stats so the EVAL chain's fixed per-type
+        # affine (gamma·rsqrt(var_mv+eps), beta − mean·scale) is non-trivial
+        bnst = {
+            "output": bnst["output"],
+            "state": tuple(
+                {"mean": rng.normal(0, 0.3, b["mean"].shape).astype(np.float32),
+                 "var": rng.uniform(0.5, 2.0, b["var"].shape).astype(np.float32)}
+                for b in bnst["state"]),
+        }
     key = jax.random.key(7)
     t0 = time.perf_counter()
     jx = str(jax.make_jaxpr(lambda p: composite_forward(
@@ -159,7 +173,13 @@ def run_typed_check(name, rng, T, dropout, training=True, sd=0):
                                       training=training)
                 return weighted_loss(lf, {}, gbf, r["out"]), r
             with jax.default_matmul_precision("highest"):
-                (loss, r), grads = jax.value_and_grad(f, has_aux=True)(params)
+                if training:
+                    (loss, r), grads = jax.value_and_grad(
+                        f, has_aux=True)(params)
+                else:
+                    # EVAL chain: forward only — it has no VJP by design
+                    loss, r = f(params)
+                    grads = None
             return r, grads
         finally:
             os.environ.pop("GNN_TPU_FUSED_BN", None)
@@ -169,14 +189,19 @@ def run_typed_check(name, rng, T, dropout, training=True, sd=0):
     s_f, s_x = np.asarray(r_f["state"]), np.asarray(r_x["state"])
     fwd_err = float(np.max(np.abs(s_f - s_x)))
     it_ok = float(r_f["iters"]) == float(r_x["iters"])
-    grad_err = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
-                   for a, b in zip(jax.tree_util.tree_leaves(g_x),
-                                   jax.tree_util.tree_leaves(g_f)))
+    if training:
+        grad_err = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                       for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                                       jax.tree_util.tree_leaves(g_f)))
+    else:
+        out_err = float(np.max(np.abs(np.asarray(r_f["out"])
+                                      - np.asarray(r_x["out"]))))
+        grad_err = out_err  # eval chain: readout parity stands in for grads
     dt = time.perf_counter() - t0
     ok = fwd_err < 1e-3 and grad_err < 1e-3 and it_ok
     res = {"name": name, "ok": bool(ok), "fwd_max_abs_err": fwd_err,
-           "grad_max_abs_err": grad_err, "iters_equal": bool(it_ok),
-           "wall_s": round(dt, 1)}
+           ("grad_max_abs_err" if training else "out_max_abs_err"): grad_err,
+           "iters_equal": bool(it_ok), "wall_s": round(dt, 1)}
     print(("PASS " if ok else "FAIL ") + json.dumps(res), flush=True)
     return res
 
