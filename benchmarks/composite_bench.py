@@ -80,6 +80,8 @@ def main():
         return dt * 1e3, float(np.mean(np.asarray(it)))
 
     results = {}
+    do_train = os.environ.get("BENCH_TRAIN", "1") != "0"
+    do_eval = os.environ.get("BENCH_EVAL", "1") != "0"
 
     # homogeneous kernel-path reference row (identical graph, T=1 math)
     hspec = GNNSpec(focus="g", state_spec=state_spec(), output_spec=out_spec,
@@ -87,14 +89,15 @@ def main():
                     aggregation="auto")
     hp, hb = gnn_init(hspec, jax.random.key(0))
     gb_fused = from_graphs_blocked(graphs, block_w=128, fused_layout=True)
-    opt = make_optimizer(cfg)
-    loop = make_train_loop(hspec, "categorical_crossentropy", la, cfg,
-                           mean=True, n_steps=SCAN_STEPS)
-    ms, iters = time_loop(loop, hp, hb, opt.init(hp), gb_fused,
-                          lambda p: p["state"]["dense_0"]["b"])
-    results["homogeneous_kernel_ms"] = round(ms, 3)
-    print(f"homogeneous kernel path: {ms:.3f} ms/step (iters {iters})",
-          file=sys.stderr, flush=True)
+    if do_train:
+        opt = make_optimizer(cfg)
+        loop = make_train_loop(hspec, "categorical_crossentropy", la, cfg,
+                               mean=True, n_steps=SCAN_STEPS)
+        ms, iters = time_loop(loop, hp, hb, opt.init(hp), gb_fused,
+                              lambda p: p["state"]["dense_0"]["b"])
+        results["homogeneous_kernel_ms"] = round(ms, 3)
+        print(f"homogeneous kernel path: {ms:.3f} ms/step (iters {iters})",
+              file=sys.stderr, flush=True)
 
     # composite body at T types (type-masked design). Types are drawn
     # per-T from [0, T) so every node's type has a live state net — at
@@ -115,6 +118,56 @@ def main():
             typed.append(tg)
         return from_graphs_blocked(typed, block_w=128)
 
+    def time_eval_composite(use_kernel, cspec, cp, cb, gb_t):
+        """Scanned EVAL forward: typed kernel chain vs type-masked XLA body
+        (GNN_TPU_FUSED_BN=0 set through tracing — env is read at trace)."""
+        if use_kernel:
+            os.environ.pop("GNN_TPU_FUSED_BN", None)
+        else:
+            os.environ["GNN_TPU_FUSED_BN"] = "0"
+        try:
+            @jax.jit
+            def floop(p, b, gb, key):
+                def ebody(carry, k):
+                    res = composite_forward(cspec, p, b, gb, k,
+                                            training=False)
+                    return carry, res["iters"]
+                _, its = jax.lax.scan(ebody, 0,
+                                      jax.random.split(key, SCAN_STEPS))
+                return its
+            pull(floop(cp, cb, gb_t, jax.random.key(1)))   # compile+warmup
+            dt = float("inf")
+            for j in range(2):
+                t0 = time.perf_counter()
+                its = floop(cp, cb, gb_t, jax.random.key(j + 2))
+                pull(its)
+                dt = min(dt, (time.perf_counter() - t0) / SCAN_STEPS)
+            return dt * 1e3
+        finally:
+            os.environ.pop("GNN_TPU_FUSED_BN", None)
+
+    if do_eval:
+        # homogeneous EVAL reference row (eval kernels, ops/pallas_fused.py)
+        from gnn_tpu.models.core import gnn_forward
+
+        @jax.jit
+        def hloop(p, b, gb, key):
+            def ebody(carry, k):
+                res = gnn_forward(hspec, p, b, gb, k, training=False)
+                return carry, res["iters"]
+            _, its = jax.lax.scan(ebody, 0, jax.random.split(key, SCAN_STEPS))
+            return its
+        pull(hloop(hp, hb, gb_fused, jax.random.key(1)))
+        dt = float("inf")
+        for j in range(2):
+            t0 = time.perf_counter()
+            its = hloop(hp, hb, gb_fused, jax.random.key(j + 2))
+            pull(its)
+            dt = min(dt, (time.perf_counter() - t0) / SCAN_STEPS)
+        results["homogeneous_eval_ms"] = round(dt * 1e3, 3)
+        print(f"homogeneous eval: {dt * 1e3:.3f} ms/step",
+              file=sys.stderr, flush=True)
+
     for T in TYPE_COUNTS:
         gb_t = typed_batch(T)
         cspec = CompositeGNNSpec(
@@ -122,6 +175,15 @@ def main():
             output_spec=out_spec, max_iteration=5, threshold=0.01,
             aggregation="auto")
         cp, cb = composite_init(cspec, jax.random.key(0))
+        if do_eval:
+            ek = time_eval_composite(True, cspec, cp, cb, gb_t)
+            ex = time_eval_composite(False, cspec, cp, cb, gb_t)
+            results[f"composite_eval_T{T}_ms"] = round(ek, 3)
+            results[f"composite_eval_xla_T{T}_ms"] = round(ex, 3)
+            print(f"composite eval T={T}: typed {ek:.3f} / xla {ex:.3f} "
+                  f"ms/step", file=sys.stderr, flush=True)
+        if not do_train:
+            continue
         opt = make_optimizer(cfg)
 
         def body(carry, key, cspec=cspec, opt=opt):

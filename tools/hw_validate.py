@@ -34,7 +34,7 @@ CHECKS = os.environ.get(
     "HW_CHECKS",
     "eval1,train1,eval2,train2,bn1,bn1_nodrop,sd_train1,sd_bn1,sd_train2,"
     "bn2,bn2_nodrop,sd_bn2,typed_bn1,typed_bn1_T8,typed_bn1_nodrop,"
-    "typed_sd_bn1"
+    "typed_sd_bn1,typed_eval,typed_eval_T8,typed_eval_nobn"
 ).split(",")
 
 
@@ -212,6 +212,11 @@ def main():
         "typed_bn1_T8": dict(T=8, dropout=True),
         "typed_bn1_nodrop": dict(T=2, dropout=False),
         "typed_sd_bn1": dict(T=3, dropout=True, sd=4),
+        # round-5 EVAL chain (inference-only, fixed per-type affines)
+        "typed_eval": dict(T=3, dropout=False, training=False),
+        "typed_eval_T8": dict(T=8, dropout=False, training=False),
+        "typed_eval_nobn": dict(T=2, dropout=False, training=False,
+                                bn=False),
     }
     matrix = {
         "eval1": dict(units=(5,), activations="selu", dropout=False,
