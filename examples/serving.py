@@ -65,4 +65,17 @@ for k in (1, 4, 16):
     print(f"request of {k:2d} graphs -> {len(outs)} outputs "
           f"(first={np.round(outs[0][0], 3)}) in {dt:.1f} ms "
           f"(compiles so far: {pred.stats['compiles']})")
+
+# pipelined serving: dispatch a burst without blocking on each pull — the
+# per-request amortised cost approaches device-launch time instead of the
+# per-request round-trip (predict_async + PendingPrediction.result)
+burst = [[random_graph(int(rng.integers(10, 40)), 6, 3, 2, 0.4, focus="g",
+                       rng=rng)] for _ in range(8)]
+pred.warmup(burst)
+t0 = time.perf_counter()
+pending = [pred.predict_async(req) for req in burst]
+outs = [p.result() for p in pending]
+dt = (time.perf_counter() - t0) / len(burst) * 1e3
+print(f"pipelined burst of {len(burst)} 1-graph requests: "
+      f"{dt:.2f} ms/request amortised")
 print("stats:", pred.stats)
