@@ -171,6 +171,39 @@ class TestBatchCache:
         single = pred.predict_async(reqs[2][0]).result()
         np.testing.assert_array_equal(single, pred.predict(reqs[2][0]))
 
+    def test_composite_serving_rides_typed_eval_kernels(self, rng):
+        """Heterogeneous serving through the public Predictor surface
+        dispatches the typed EVAL chain (round 5) and returns per-graph
+        outputs."""
+        from gnn_tpu.models.gnn import CompositeGNNgraphBased
+        gs = []
+        for _ in range(5):
+            g = random_graph(14, 5, 3, 2, 0.5, focus="g", rng=rng)
+            g.node_types = rng.integers(0, 3, g.n_nodes).astype(np.int32)
+            gs.append(g)
+        sss = tuple(MLPSpec(input_dim=2 * 5 + 3, units=(5,),
+                            activations="selu", batch_normalization=True)
+                    for _ in range(3))
+        os_ = MLPSpec(input_dim=5, units=(2,), activations="softmax",
+                      batch_normalization=False)
+        m = CompositeGNNgraphBased(
+            net_states=sss, net_output=os_,
+            optimizer={"name": "adam", "kwargs": {"learning_rate": 1e-3}},
+            loss_function="categorical_crossentropy",
+            loss_arguments={"from_logits": False},
+            max_iteration=4, threshold=0.01,
+            path_writer="/tmp/wserve_comp/", seed=0)
+        pred = Predictor(m, block_w=32)
+        gb = pred.build_batch(gs)
+        jx = str(jax.make_jaxpr(
+            lambda p: pred._fn(p, pred._bn, gb))(pred._params))
+        assert "pallas" in jx
+        outs = pred.predict(gs)
+        assert len(outs) == 5
+        for g, p in zip(gs, outs):
+            assert p.shape == g.targets.shape
+            assert np.all(np.isfinite(p))
+
     def test_lru_eviction_and_disable(self, rng):
         model = build_model(focus="n")
         gs = graphs_for(rng, focus="n", n_graphs=5)
