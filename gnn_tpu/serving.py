@@ -715,6 +715,14 @@ class ShardedPredictor(Predictor):
                      self._executable_on(gb_d, d)(self._params_dev[d],
                                                   self._bn_dev[d], gb_d))
                     for d, idx, gb_d in placed]
+        for _, _, _, out in launched:
+            # start all device->host copies before any blocking pull so the
+            # per-shard transfers stream concurrently (one round-trip total,
+            # not one per shard — see PendingPrediction)
+            try:
+                out.copy_to_host_async()
+            except AttributeError:
+                pass
         results: List[np.ndarray] = [None] * len(glist)   # type: ignore
         for d, idx, gb_d, out in launched:
             sel = np.asarray(gb_d.sel_mask)
